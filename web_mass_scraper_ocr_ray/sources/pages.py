@@ -1,0 +1,217 @@
+"""Pages input table — readers + deterministic synthesis (M0).
+
+The engine's primary source is the Common-Crawl-style Parquet table
+(BASELINE.json ``input_hint``)::
+
+    pages: url string, warc_ts timestamp[us], html binary,
+           text string, lang string
+
+replacing the reference's Postgres URL source (db_utils.py:33-74) and
+live Playwright fetch (scraper.py:174-205).
+
+Since the driver's testdata has no ``pages`` table, we synthesize one
+deterministically from ``documents.parquet`` (FIXTURES.md §5): every
+derived field is a pure function of ``doc_id`` and ``text``, so a DuckDB
+SQL oracle over ``documents`` can independently recompute the expected
+extraction output (the correctness gate's cross-check). The generation
+rules below are therefore a *public contract* — the SQL in
+``__ray_entry__.oracle_sql()`` mirrors them clause for clause.
+
+Synthesis contract (doc_id = d, text = t):
+  - url       = https://www.host{d%50:03d}.example.com/docs/{d}
+  - hostname  = www_host{d%50:03d}_example_com   (normalize_hostname)
+  - warc_ts   = 2024-01-01T00:00:00 + d seconds  (no wall clock — §7.4.2)
+  - extracted = "Doc {d} " + collapse(t) + " footer {d}"
+  - n_images  = d % 4; image i's payload class r = (d*7 + i*3) % 10:
+      r=0 remote /img/{d}_{i}.png           → failed download (offline)
+      r=1 data:image/png, empty payload     → error_processing
+      r=2 data:image/svg+xml                → error_unsupported_format
+      r=3 data:image/png STUB1: (empty)     → no_text_found
+      r=4 data:image/png corrupt bytes      → error_unsupported_format
+      r≥5 data:image/png STUB1:"img {i} of doc {d}" → success
+  - the page also carries a <script>, <style>, a display:none div and a
+    <head> block that must NOT appear in the extraction (skip-tag and
+    hidden-element behavior is exercised on every single page).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N_HOSTS = 50
+_EPOCH = _dt.datetime(2024, 1, 1)
+
+_PAGE_TEMPLATE = (
+    '<html><head><title>Doc {d}</title><style>.x{{color:#000}}</style>'
+    '<script>var q = "NOT VISIBLE";</script></head>\n'
+    "<body>\n"
+    "<h1>Doc {d}</h1>\n"
+    '<div id="content"><p>{text}</p></div>\n'
+    "{imgs}\n"
+    '<div style="display:none">HIDDEN TEXT {d}</div>\n'
+    "<footer>footer {d}</footer>\n"
+    "</body></html>"
+)
+
+
+def page_url(doc_id: int) -> str:
+    return f"https://www.host{doc_id % N_HOSTS:03d}.example.com/docs/{doc_id}"
+
+
+def page_warc_ts(doc_id: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(seconds=int(doc_id))
+
+
+def _b64(payload: bytes) -> str:
+    return base64.b64encode(payload).decode("ascii")
+
+
+def image_src(doc_id: int, i: int) -> str:
+    r = (doc_id * 7 + i * 3) % 10
+    if r == 0:
+        return f"/img/{doc_id}_{i}.png"
+    if r == 1:
+        return "data:image/png;base64,"
+    if r == 2:
+        return "data:image/svg+xml;base64," + _b64(b"<svg/>")
+    if r == 3:
+        return "data:image/png;base64," + _b64(b"STUB1:")
+    if r == 4:
+        return "data:image/png;base64," + _b64(b"\x89PNG-not-really-a-png")
+    return "data:image/png;base64," + _b64(
+        f"STUB1:img {i} of doc {doc_id}".encode("utf-8")
+    )
+
+
+def page_html(doc_id: int, text: str) -> bytes:
+    imgs = "".join(
+        f'<img src="{image_src(doc_id, i)}"/>' for i in range(doc_id % 4)
+    )
+    return _PAGE_TEMPLATE.format(d=doc_id, text=text, imgs=imgs).encode("utf-8")
+
+
+# Bad-URL families for the validator query (utils.py:32-63 truth table).
+# Family 0 is the only valid one; SQL oracle: valid ⇔ doc_id % 8 == 0.
+def candidate_url(doc_id: int) -> str:
+    fam = doc_id % 8
+    base = page_url(doc_id)
+    if fam == 0:
+        return base
+    if fam == 1:
+        return f"www.host.example.com/docs/{doc_id}"          # no scheme
+    if fam == 2:
+        return f"ftp://www.host.example.com/docs/{doc_id}"    # bad scheme
+    if fam == 3:
+        return f"https://hostnamewithoutdot/docs/{doc_id}"    # no dot
+    if fam == 4:
+        return f"https://www.host.example.com/docs/{doc_id} x"  # space
+    if fam == 5:
+        return f"https://www.host.example.com/docs/{doc_id}/<b>"  # bad char
+    if fam == 6:
+        return "https://www.host.example.com/" + "a" * 2100   # too long
+    return "https://a./x"                                      # short netloc
+
+
+def synth_pages_table(sf_dir: str, with_dups: bool = False) -> pa.Table:
+    """documents.parquet → deterministic `pages` Arrow table.
+
+    ``with_dups`` appends an exact-duplicate row (same url, warc_ts+1h)
+    for every doc with doc_id % 10 == 0 — the dup_url fixture family
+    (FIXTURES.md §1) feeding dedup/resume queries (J2).
+    """
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+
+    urls, tss, htmls = [], [], []
+    for d, t in zip(doc_ids, texts):
+        urls.append(page_url(d))
+        tss.append(page_warc_ts(d))
+        htmls.append(page_html(d, t))
+
+    out_urls = list(urls)
+    out_tss = list(tss)
+    out_htmls = list(htmls)
+    out_texts = list(texts)
+    out_langs = list(langs)
+    if with_dups:
+        for idx, d in enumerate(doc_ids):
+            if d % 10 == 0:
+                out_urls.append(urls[idx])
+                out_tss.append(tss[idx] + _dt.timedelta(hours=1))
+                out_htmls.append(htmls[idx])
+                out_texts.append(texts[idx])
+                out_langs.append(langs[idx])
+
+    return pa.table(
+        {
+            "url": pa.array(out_urls, pa.string()),
+            "warc_ts": pa.array(out_tss, pa.timestamp("us")),
+            "html": pa.array(out_htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def synth_pages_dataset(sf_dir: str, with_dups: bool = False,
+                        override_num_blocks: Optional[int] = None):
+    """`pages` as a ray.data.Dataset (small scale: in-memory from_arrow)."""
+    import ray.data as rd
+
+    tbl = synth_pages_table(sf_dir, with_dups=with_dups)
+    if override_num_blocks:
+        ds = rd.from_arrow(tbl)
+        return ds.repartition(override_num_blocks)
+    return rd.from_arrow(tbl)
+
+
+def read_pages(path, columns=None, **kwargs):
+    """Primary production source: Parquet with column pruning (S3 analog
+    of db_utils.py:33-74). Pass ``columns`` so only needed columns leave
+    storage — at 100 TB reading `text`/`lang` for an extract-only run
+    would double the scan."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_bench_corpus(sf_dir: str, out_path: str, replication: int = 1) -> int:
+    """Materialize a larger pages corpus to Parquet for benching.
+
+    Replicates the synthetic corpus ``replication`` times with distinct
+    urls per replica (deterministic — replica k shifts doc_id by
+    k * 10_000_000 in url/host derivation only, html payload reused).
+    Returns total rows.
+    """
+    base = synth_pages_table(sf_dir)
+    n = base.num_rows
+    writer = None
+    try:
+        for k in range(replication):
+            if k == 0:
+                tbl = base
+            else:
+                shift = k * 10_000_000
+                urls = [
+                    page_url(d + shift)
+                    for d in range(n)
+                ]
+                tbl = base.set_column(
+                    0, "url", pa.array(urls, pa.string())
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, tbl.schema)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    return n * replication
