@@ -1,0 +1,187 @@
+"""End-to-end pipeline tests over the deterministic synthetic corpus.
+
+The golden oracle is the same pure extractor run row-at-a-time without
+Ray (FIXTURES.md §3): per-url **byte-identical text** is the invariant
+(BASELINE.json input_hint).
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+import pyarrow as pa
+
+from web_mass_scraper_ocr_ray import PipelineConfig, build_pipeline
+from web_mass_scraper_ocr_ray.pipelines.extract_pipeline import (
+    hostname_rollup,
+    run_pipeline,
+    session_summary,
+)
+from web_mass_scraper_ocr_ray.sources.pages import (
+    synth_pages_dataset,
+    synth_pages_table,
+)
+from web_mass_scraper_ocr_ray.stages.extract import extract_row
+from web_mass_scraper_ocr_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(ray_session):
+    ds = build_pipeline(synth_pages_dataset(SF), PipelineConfig())
+    rows = ds.take_all()
+    return {r["url"]: r for r in rows}
+
+
+def test_byte_identical_text_vs_oracle(extracted_rows):
+    """Every url's pipeline text equals the Ray-free oracle's, byte for byte."""
+    tbl = synth_pages_table(SF)
+    urls = tbl.column("url").to_pylist()
+    htmls = tbl.column("html").to_pylist()
+    assert len(extracted_rows) == len(urls)
+    for url, html in zip(urls, htmls):
+        golden = extract_row(url, html)
+        got = extracted_rows[url]
+        assert got["text"] == golden["text"], url
+        assert got["hostname"] == golden["hostname"]
+        assert got["text_length"] == golden["text_length"]
+        assert got["word_count"] == golden["word_count"]
+        assert [dict(s) for s in got["spans"]] == golden["spans"], url
+
+
+def test_ocr_statuses_match_generation_contract(extracted_rows):
+    """The synthesis contract (sources/pages.py) fixes each image's fate."""
+    for url, row in extracted_rows.items():
+        doc_id = int(url.rsplit("/", 1)[1])
+        n_imgs = doc_id % 4
+        n_remote = sum(1 for i in range(n_imgs) if (doc_id * 7 + i * 3) % 10 == 0)
+        assert row["ocr_attempts"] == n_imgs - n_remote, url
+        assert len(row["failed_images"]) == n_remote
+        expected_success = sum(
+            1 for i in range(n_imgs) if (doc_id * 7 + i * 3) % 10 >= 5
+        )
+        assert row["ocr_successes"] == expected_success, url
+        # per-page rollup text concatenates successes in DOM order
+        expected_texts = [
+            f"img {i} of doc {doc_id}"
+            for i in range(n_imgs)
+            if (doc_id * 7 + i * 3) % 10 >= 5
+        ]
+        assert row["ocr"]["total_ocr_text"] == "\n\n".join(expected_texts).strip()
+
+
+def test_session_summary_counts(ray_session):
+    s = session_summary(build_pipeline(synth_pages_dataset(SF), PipelineConfig()))
+    assert s["urls_total"] == 500
+    assert s["urls_successful"] == 500 and s["urls_failed"] == 0
+    # independently recompute from the contract
+    exp_attempts = sum(
+        sum(1 for i in range(d % 4) if (d * 7 + i * 3) % 10 != 0)
+        for d in range(500)
+    )
+    assert s["total_images_ocr_attempted"] == exp_attempts
+
+
+def test_hostname_rollup_partition_count(ray_session):
+    out = hostname_rollup(
+        build_pipeline(synth_pages_dataset(SF), PipelineConfig())
+    ).take_all()
+    assert len(out) == 50  # N_HOSTS
+    assert sum(r["pages"] for r in out) == 500
+
+
+def test_mode_gates(ray_session):
+    t = build_pipeline(synth_pages_dataset(SF), PipelineConfig(mode="text")).take(20)
+    assert all(len(r["images"]) == 0 for r in t)
+    assert any(r["text"] for r in t)
+    o = build_pipeline(synth_pages_dataset(SF), PipelineConfig(mode="ocr")).take(20)
+    assert all(r["text"] == "" for r in o)
+    assert any(r["ocr_attempts"] > 0 for r in o)
+
+
+def test_poison_rows_become_rows_not_failures(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    bad = pa.table(
+        {
+            "url": ["https://ok.example.com/x", "not a url",
+                    "https://garbage.example.com/y", ""],
+            "warc_ts": pa.array(
+                [datetime.datetime(2024, 1, 1)] * 4, pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [b"<p>hi</p>", b"<p>x</p>", b"\xff\xfe\x01", None], pa.binary()
+            ),
+        }
+    )
+    rows = build_pipeline(
+        rd.from_arrow(bad), PipelineConfig(num_partitions=0, skew_enabled=False)
+    ).take_all()
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["not a url"]["status"] == "failed"
+    assert by_url["not a url"]["error_type"] == "InvalidURL"
+    assert by_url[""]["status"] == "failed"
+    assert by_url["https://ok.example.com/x"]["status"] == "completed"
+    assert by_url["https://ok.example.com/x"]["text"] == "hi"
+    # undecodable bytes: decoded with errors='replace', still a row
+    assert by_url["https://garbage.example.com/y"]["status"] == "completed"
+
+
+class TestResume:
+    def test_crash_and_resume_no_dups_no_missing(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(output_dir=out, num_partitions=8)
+        run_pipeline(synth_pages_dataset(SF), cfg)
+        urls1 = sorted(
+            r["url"]
+            for r in rd.read_parquet(out).select_columns(["url"]).take_all()
+        )
+        # simulate crash: two partitions lose their commit record, one of
+        # them also has a partial data file deleted
+        os.remove(mf.manifest_path(out, 2))
+        os.remove(mf.manifest_path(out, 5))
+        files5 = glob.glob(f"{out}/part_id=5/*.parquet")
+        os.remove(files5[0])
+
+        s2 = run_pipeline(synth_pages_dataset(SF), cfg)
+        urls2 = sorted(
+            r["url"]
+            for r in rd.read_parquet(out).select_columns(["url"]).take_all()
+        )
+        assert urls1 == urls2
+        assert len(urls2) == len(set(urls2))
+        assert s2["partitions_committed"] == 8
+
+    def test_manifest_counters_sum_to_session(self, ray_session, tmp_path):
+        out = str(tmp_path / "out2")
+        s = run_pipeline(
+            synth_pages_dataset(SF), PipelineConfig(output_dir=out, num_partitions=4)
+        )
+        manifests = mf.read_manifests(out)
+        assert len(manifests) == 4
+        assert sum(m["total_urls"] for m in manifests) == s["urls_total"] == 500
+        assert (
+            sum(m["total_ocr_successes"] for m in manifests)
+            == s["total_ocr_successful_extraction"]
+        )
+
+
+def test_skew_routing_equivalence(ray_session):
+    """Skew-bucketed routing must not change results, only task shape."""
+    a = build_pipeline(
+        synth_pages_dataset(SF),
+        PipelineConfig(skew_enabled=True, skew_bucket_bytes=2048),  # tiny → both paths used
+    ).take_all()
+    b = build_pipeline(
+        synth_pages_dataset(SF), PipelineConfig(skew_enabled=False)
+    ).take_all()
+    ta = {r["url"]: r["text"] for r in a}
+    tb = {r["url"]: r["text"] for r in b}
+    assert ta == tb
