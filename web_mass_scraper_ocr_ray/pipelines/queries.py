@@ -1,0 +1,369 @@
+"""Named query callables — the driver-facing operator surface.
+
+One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text-analysis /
+multimodal). Each callable takes ``sf_dir`` and returns a Dataset /
+pyarrow Table; ``__ray_entry__.oracle_sql()`` carries the matching
+DuckDB SQL where the op is SQL-expressible.
+
+Column names here are a contract with the oracle SQL — the driver's
+compare sorts columns by name and hashes values, so every computed
+column is named identically on both sides.
+
+None of these call ray.init(): the driver owns the session.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import PipelineConfig
+from ..sources.pages import (
+    candidate_url,
+    page_url,
+    synth_pages_dataset,
+)
+from ..stages import dedup as dd
+from ..stages import multimodal as mm
+from ..stages import similarity as sim
+from ..stages import textstats as ts
+from ..stages.extract import extract_batch
+from ..functions.urltools import validate_url
+from .extract_pipeline import build_pipeline, hostname_rollup, session_summary
+
+KNN_QUERY_IDS = (0, 1, 2, 3, 4)
+NEARDUP_COS_THRESHOLD = 0.4
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(sf_dir: str, **cfg_kwargs):
+    cfg = PipelineConfig(**cfg_kwargs)
+    return build_pipeline(synth_pages_dataset(sf_dir), cfg)
+
+
+# ---- extraction queries --------------------------------------------------
+
+def q_extract_text(sf_dir: str):
+    """Flagship per-url extraction (M3/M4/M9). Oracle recomputes the
+    expected text from `documents` via the synthesis contract."""
+    return _extracted(sf_dir).select_columns(
+        ["url", "hostname", "text", "text_length", "word_count",
+         "paragraph_count", "n_images", "status"]
+    )
+
+
+def q_hostname_rollup(sf_dir: str):
+    """Per-host grouped aggregate (A5) — shuffle key = hostname."""
+    return hostname_rollup(_extracted(sf_dir))
+
+
+def q_session_summary(sf_dir: str):
+    """Global session rollup (A4) as a 1-row table (integer fields)."""
+    s = session_summary(_extracted(sf_dir))
+    keep = [
+        "urls_total", "urls_successful", "urls_failed",
+        "total_images_ocr_attempted", "total_ocr_successful_extraction",
+        "total_ocr_no_text_found", "total_ocr_errors_unsupported_format",
+        "total_ocr_errors_processing", "total_ocr_errors_file_not_found",
+        "total_ocr_errors_tesseract", "total_ocr_errors_sum",
+        "total_text_length", "total_word_count",
+    ]
+    return pa.table({k: pa.array([int(s[k])], pa.int64()) for k in keep})
+
+
+def q_validate_urls(sf_dir: str):
+    """M1 validator over the 8 bad-url families (sources/pages.py)."""
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+
+    def _validate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        fams, valids = [], []
+        for d in ids:
+            fams.append(d % 8)
+            valids.append(validate_url(candidate_url(d))[0])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url_family": pa.array(fams, pa.int64()),
+            "valid": pa.array(valids, pa.bool_()),
+        })
+
+    return docs.map_batches(_validate, batch_format="pyarrow")
+
+
+def q_top_pages(sf_dir: str):
+    """O1-style deterministic top-k: largest pages by extracted length."""
+    return (
+        _extracted(sf_dir)
+        .select_columns(["url", "text_length"])
+        .sort(["text_length", "url"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_dedup_exact_pages(sf_dir: str):
+    """Exact url dedup over the dup-injected corpus (J2 intra-run):
+    first-wins by earliest warc_ts, hash-partitioned by url."""
+    from ray.data.aggregate import Count, Min
+
+    pages = synth_pages_dataset(sf_dir, with_dups=True)
+    keyed = pages.map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "ts_us": pc.cast(t.column("warc_ts"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("url").aggregate(
+        Min("ts_us", alias_name="first_ts_us"),
+        Count(alias_name="n_copies"),
+    )
+
+
+def q_resume_filter(sf_dir: str):
+    """J2 anti-join resume: drop urls already committed (doc_id%3==0),
+    via a broadcast key set — no shuffle."""
+    import ray
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    committed = frozenset(
+        page_url(d) for d in docs.column("doc_id").to_pylist() if d % 3 == 0
+    )
+    ref = ray.put(committed)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        done = ray.get(ref)
+        mask = [u not in done for u in t.column("url").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return (
+        synth_pages_dataset(sf_dir)
+        .select_columns(["url"])
+        .map_batches(_filter, batch_format="pyarrow")
+    )
+
+
+def q_images_enum(sf_dir: str):
+    """M5 image enumeration + payload routing counts, pre-OCR."""
+    ds = synth_pages_dataset(sf_dir).select_columns(
+        ["url", "warc_ts", "html"]
+    ).map_batches(extract_batch, batch_format="pyarrow")
+
+    def _counts(t: pa.Table) -> pa.Table:
+        refs = t.column("images").to_pylist()
+        n_data = [sum(1 for r in row if r["payload_kind"] == "data")
+                  for row in refs]
+        n_remote = [sum(1 for r in row if r["payload_kind"] == "remote")
+                    for row in refs]
+        return pa.table({
+            "url": t.column("url"),
+            "n_images": t.column("n_images"),
+            "n_data": pa.array(n_data, pa.int64()),
+            "n_remote": pa.array(n_remote, pa.int64()),
+        })
+
+    return ds.map_batches(_counts, batch_format="pyarrow")
+
+
+def q_ocr_rollup(sf_dir: str):
+    """A1/A2 per-page OCR rollup incl. concatenated text + histogram."""
+    ds = _extracted(sf_dir)
+
+    def _flatten(t: pa.Table) -> pa.Table:
+        rollups = t.column("ocr").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "ocr_attempts": t.column("ocr_attempts"),
+            "ocr_successes": t.column("ocr_successes"),
+            "ocr_no_text_found_count": t.column("ocr_no_text_found_count"),
+            "ocr_error_unsupported_format_count":
+                t.column("ocr_error_unsupported_format_count"),
+            "ocr_error_processing_count": t.column("ocr_error_processing_count"),
+            "ocr_total_errors": t.column("ocr_total_errors"),
+            "total_ocr_text": pa.array(
+                [r["total_ocr_text"] for r in rollups], pa.string()
+            ),
+        })
+
+    return ds.map_batches(_flatten, batch_format="pyarrow")
+
+
+def q_company_join(sf_dir: str):
+    """J1 broadcast small-side lookup join: doc → customer name.
+    Key = doc_id % |customer| + min(c_custkey); the dimension table is
+    ray.put ONCE and read per task — no shuffle, never re-shipped."""
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    keys = cust.column("c_custkey").to_pylist()
+    names = cust.column("c_name").to_pylist()
+    lookup = dict(zip(keys, names))
+    n, kmin = len(keys), min(keys)
+    ref = ray.put(lookup)
+
+    def _join(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([page_url(d) for d in ids], pa.string()),
+            "c_name": pa.array(
+                [lk[d % n + kmin] for d in ids], pa.string()
+            ),
+        })
+
+    return _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        _join, batch_format="pyarrow"
+    )
+
+
+# ---- text-analysis queries ----------------------------------------------
+
+def q_doc_token_count(sf_dir: str):
+    return ts.token_count_table(_docs(sf_dir))
+
+
+def q_doc_quality(sf_dir: str):
+    return ts.quality_table(_docs(sf_dir))
+
+
+def q_doc_langid(sf_dir: str):
+    return ts.langid_table(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return ts.fingerprint_table(_docs(sf_dir))
+
+
+# ---- dedup queries -------------------------------------------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    return dd.dedup_exact(_docs(sf_dir))
+
+
+def _docs_with_neardups(sf_dir: str):
+    """documents ∪ mutated copies (id+1e6, ' xqz' appended) — every doc
+    gains exactly one near-duplicate; used by the near-dup queries so
+    their outputs are non-trivial on random text."""
+    import ray.data as rd
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    mut = pa.table({
+        "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
+        "text": pa.array([t + " xqz" for t in texts], pa.string()),
+    })
+    return rd.from_arrow(pa.concat_tables([tbl, mut]))
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidate pairs over the near-dup corpus."""
+    return dd.minhash_lsh_candidates(_docs_with_neardups(sf_dir))
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """LSH candidates verified by exact n-gram Jaccard ≥ 0.8."""
+    return dd.minhash_dedup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3) over the near-dup corpus."""
+    return dd.simhash_dedup_pairs(_docs_with_neardups(sf_dir))
+
+
+# ---- similarity queries --------------------------------------------------
+
+def q_knn_bruteforce(sf_dir: str):
+    return sim.knn_bruteforce(_emb(sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_knn_lsh(sf_dir: str):
+    return sim.knn_lsh(_emb(sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_embedding_neardup(sf_dir: str):
+    # pairs only: the raw cosine is float32 in the DuckDB oracle vs
+    # float64 here (~1e-7 apart) — comparing a rounded value would flap
+    # at bucket boundaries; the threshold itself has no pair within
+    # 1e-4 of it on this corpus (checked), so the SET is stable.
+    return sim.embedding_neardup_pairs(
+        _emb(sf_dir), threshold=NEARDUP_COS_THRESHOLD
+    ).select_columns(["vec_a", "vec_b"])
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def q_multimodal_decode(sf_dir: str):
+    return mm.decode_media(mm.synth_media_dataset(sf_dir))
+
+
+# ---- streaming-shaped (events) ------------------------------------------
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1h window per user over the events log — the
+    streaming-shaped aggregate (ray_guide: groupby + floor_temporal).
+    Min/Max only (order-independent floats; Sum of doubles is
+    summation-order-dependent and would flap vs the oracle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "window_start", pc.floor_temporal(t.column("ts"), unit="hour")
+        ).drop_columns(["ts"])
+
+    return ev.map_batches(_window, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+QUERIES: Dict[str, callable] = {
+    "extract_text": q_extract_text,
+    "hostname_rollup": q_hostname_rollup,
+    "session_summary": q_session_summary,
+    "validate_urls": q_validate_urls,
+    "top_pages": q_top_pages,
+    "dedup_exact_pages": q_dedup_exact_pages,
+    "resume_filter": q_resume_filter,
+    "images_enum": q_images_enum,
+    "ocr_rollup": q_ocr_rollup,
+    "company_join": q_company_join,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "events_tumbling": q_events_tumbling,
+}

@@ -1,0 +1,146 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Per the build brief: image/audio/video are opaque ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample
+are actor-pool ``map_batches`` stages. The image/audio codec libraries
+are NOT in this container, so the decode kernels are STUBS behind the
+same interface (deterministic fakes / NotImplementedError seams), while
+the Ray-side plumbing — schema, batch size, actor signature, output
+layout — is real and tested.
+
+Schema convention::
+
+    media: media_id int64, payload binary, mime string, meta struct<...>
+
+The stub decoder derives deterministic pseudo-metadata from payload
+bytes (stable across runs/processes) so tests can assert exact values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),          # image|audio|video|unknown
+        ("n_bytes", pa.int64()),
+        ("width", pa.int64()),          # images/video (stub-derived)
+        ("height", pa.int64()),
+        ("duration_ms", pa.int64()),    # audio/video (stub-derived)
+        ("ok", pa.bool_()),
+    ]
+)
+
+
+def _stub_dims(payload: bytes) -> tuple:
+    """Deterministic fake dimensions from a content digest."""
+    d = hashlib.md5(payload).digest()
+    return 16 + d[0] * 8, 16 + d[1] * 8  # 16..2056 px
+
+
+class MediaDecoder:
+    """Actor-pool decode stage (stub kernels).
+
+    A real deployment swaps ``_decode_image``/``_decode_audio`` for
+    PIL/ffmpeg-backed kernels loaded once per actor in ``__init__`` —
+    the Ray plumbing is identical. ``strict=True`` surfaces the seam:
+    any non-stub payload raises NotImplementedError instead of faking.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _decode_one(self, payload: Optional[bytes], mime: str) -> dict:
+        meta = {"kind": "unknown", "n_bytes": 0, "width": 0, "height": 0,
+                "duration_ms": 0, "ok": False}
+        if payload is None or not mime:
+            return meta
+        meta["n_bytes"] = len(payload)
+        kind = mime.split("/", 1)[0]
+        if kind not in ("image", "audio", "video"):
+            return meta
+        meta["kind"] = kind
+        if self.strict and not payload.startswith(b"STUB1:"):
+            raise NotImplementedError(
+                "real media decode requires codec libraries not present "
+                "in this container (stub contract: payload starts STUB1:)"
+            )
+        if kind == "image":
+            w, h = _stub_dims(payload)
+            meta["width"], meta["height"] = w, h
+        else:
+            meta["duration_ms"] = 1 + len(payload) % 60_000
+        meta["ok"] = True
+        return meta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        metas = [self._decode_one(p, m) for p, m in zip(payloads, mimes)]
+        # payload dropped after decode — heavy bytes never travel past
+        # the decode stage (same rule as html in extract, §7.4.4)
+        out = batch.drop_columns(["payload"])
+        return out.append_column("meta", pa.array(metas, MEDIA_META_TYPE))
+
+
+class FrameSampler:
+    """Video frame-sample stub: emits k deterministic frame offsets per
+    row (list<int64> of millisecond timestamps). Real impl: ffmpeg
+    keyframe probe per actor."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = batch.column("meta").to_pylist()
+        offsets = []
+        for m in metas:
+            dur = m["duration_ms"] or 0
+            if m["kind"] != "video" or dur <= 0:
+                offsets.append([])
+            else:
+                step = max(dur // (self.k + 1), 1)
+                offsets.append([step * (i + 1) for i in range(self.k)])
+        return batch.append_column(
+            "frame_offsets_ms", pa.array(offsets, pa.list_(pa.int64()))
+        )
+
+
+def synth_media_dataset(sf_dir: str):
+    """Deterministic media table derived from documents.parquet:
+    payload = STUB1:<text bytes>, mime cycles image/audio/video."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    mimes_cycle = ("image/png", "audio/wav", "video/mp4")
+    tbl = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(
+            [b"STUB1:" + t.encode("utf-8") for t in texts], pa.binary()
+        ),
+        "mime": pa.array([mimes_cycle[i % 3] for i in ids], pa.string()),
+    })
+    return rd.from_arrow(tbl)
+
+
+def decode_media(media_ds, concurrency=2, batch_size: int = 256,
+                 strict: bool = False):
+    """The headline multimodal pipeline: actor-pool decode (+ sampling).
+
+    Small batch_size by design — payload batches are bytes-heavy
+    (batch_size × payload_size must fit a worker heap)."""
+    decoded = media_ds.map_batches(
+        MediaDecoder, fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=concurrency
+    )

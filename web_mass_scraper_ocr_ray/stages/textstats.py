@@ -1,0 +1,188 @@
+"""Text-analysis operators over a document table (training-data ops).
+
+Beyond the reference's own surface: language-ID, quality scoring, token
+counting and document fingerprinting — the text-side toolkit a 100 TB
+training-data pipeline needs (build brief). All stages are vectorized
+``map_batches`` bodies; the regex-heavy ones are callable CLASSES so
+patterns compile once per actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+# BPE-ish tokenizer: word pieces or single non-space punctuation — the
+# classic GPT-2-style pre-tokenization shape (public regex family).
+_BPE_ISH = r"\w+|[^\w\s]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+# Tiny character/stopword profiles for heuristic language-ID. n-gram
+# profile method per Cavnar & Trenkle (1994) reduced to marker sets —
+# deterministic, dependency-free.
+_LANG_MARKERS: Dict[str, tuple] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "de": ("der", "die", "und", "nicht", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "y", "los", "que", "es"),
+}
+
+
+class TokenCounter:
+    """doc text → whitespace token count + BPE-ish token count."""
+
+    def __init__(self):
+        self.bpe = re.compile(_BPE_ISH)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = [len(t.split()) for t in texts]
+        bpe = [len(self.bpe.findall(t)) for t in texts]
+        return batch.append_column(
+            "ws_tokens", pa.array(ws, pa.int64())
+        ).append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+
+
+class QualityScorer:
+    """Length / punctuation / stopword quality features.
+
+    Integer features only (counts), so the DuckDB oracle can recompute
+    them bit-exactly; consumers derive ratios downstream.
+    """
+
+    def __init__(self):
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = frozenset(_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        length = [0] * n
+        tokens = [0] * n
+        stop_count = [0] * n
+        punct_count = [0] * n
+        alpha_len = [0] * n
+        for i, t in enumerate(texts):
+            toks = t.split()
+            length[i] = len(t)
+            tokens[i] = len(toks)
+            stop_count[i] = sum(1 for w in toks if w in self.stop)
+            punct_count[i] = len(self.punct.findall(t))
+            alpha_len[i] = len(t) - t.count(" ")
+        for name, vals in (
+            ("n_chars_actual", length),
+            ("token_count", tokens),
+            ("stopword_count", stop_count),
+            ("punct_count", punct_count),
+            ("alpha_len", alpha_len),
+        ):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch
+
+
+class LangId:
+    """Heuristic marker-based language-ID (en/de/fr/es + CJK → zh)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zàâäéèêëíìîïóòôöúùûüñç]+", re.IGNORECASE)
+        self.markers = {
+            lang: frozenset(ms) for lang, ms in _LANG_MARKERS.items()
+        }
+
+    def _predict(self, text: str):
+        cjk = sum(1 for ch in text[:500] if "一" <= ch <= "鿿")
+        if cjk >= 5:
+            return "zh", float(cjk)
+        toks = [w.lower() for w in self.word.findall(text[:2000])]
+        if not toks:
+            return "und", 0.0
+        best, best_score = "und", 0
+        for lang, marks in self.markers.items():
+            score = sum(1 for w in toks if w in marks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best, float(best_score) / len(toks)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            p, s = self._predict(t)
+            preds.append(p)
+            scores.append(s)
+        return batch.append_column(
+            "lang_pred", pa.array(preds, pa.string())
+        ).append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+def _rolling_hashes(data: bytes, window: int = 8) -> np.ndarray:
+    """Vectorized Rabin-Karp rolling hash over a byte string."""
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(1000003)
+    # powers base^(window-1-j)
+    powers = np.array(
+        [pow(1000003, window - 1 - j, 2**64) for j in range(window)],
+        dtype=np.uint64,
+    )
+    n = len(arr) - window + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(window):  # window is tiny (8) — O(8) vector ops
+            out += arr[j : j + n] * powers[j]
+    return out
+
+
+class Fingerprinter:
+    """Winnowing-style document fingerprint: minimum of rolling hashes
+    (window w) per document — a compact content signature robust to
+    local edits (Schleimer et al., SIGMOD'03 'winnowing' family)."""
+
+    def __init__(self, window: int = 8, k_mins: int = 4):
+        self.window = window
+        self.k = k_mins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps: List[List[int]] = []
+        for t in texts:
+            h = _rolling_hashes(t.encode("utf-8"), self.window)
+            k = min(self.k, len(h))
+            mins = np.partition(h, k - 1)[:k] if len(h) > k else np.sort(h)
+            fps.append(sorted(int(x) for x in mins))
+        return batch.append_column(
+            "fingerprint", pa.array(fps, pa.list_(pa.uint64()))
+        )
+
+
+def token_count_table(docs_ds):
+    """documents Dataset → (doc_id, ws_tokens, bpe_tokens)."""
+    return docs_ds.map_batches(
+        TokenCounter, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
+
+
+def quality_table(docs_ds):
+    return docs_ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2
+    ).select_columns(
+        ["doc_id", "n_chars_actual", "token_count", "stopword_count",
+         "punct_count", "alpha_len"]
+    )
+
+
+def langid_table(docs_ds):
+    return docs_ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def fingerprint_table(docs_ds):
+    return docs_ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "fingerprint"])
