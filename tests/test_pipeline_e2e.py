@@ -132,37 +132,64 @@ def test_poison_rows_become_rows_not_failures(ray_session):
     assert by_url["https://garbage.example.com/y"]["status"] == "completed"
 
 
+@pytest.fixture()
+def pages_files(tmp_path):
+    """Synth corpus written as 8 Parquet files — the file-lineage input
+    shape the commit-group resume operates on."""
+    import pyarrow.parquet as pq
+
+    from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table(SF)
+    d = tmp_path / "pages"
+    d.mkdir()
+    step = (tbl.num_rows + 7) // 8
+    for i in range(8):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, str(d / f"pages-{i:03d}.parquet"))
+    return str(d)
+
+
 class TestResume:
-    def test_crash_and_resume_no_dups_no_missing(self, ray_session, tmp_path):
+    def test_crash_and_resume_no_dups_no_missing(
+        self, ray_session, tmp_path, pages_files
+    ):
         import ray.data as rd
 
         out = str(tmp_path / "out")
-        cfg = PipelineConfig(output_dir=out, num_partitions=8)
-        run_pipeline(synth_pages_dataset(SF), cfg)
+        cfg = PipelineConfig(output_dir=out, commit_groups=4)
+        s1 = run_pipeline(pages_files, cfg)
+        assert s1["groups_executed"] == 4
         urls1 = sorted(
             r["url"]
             for r in rd.read_parquet(out).select_columns(["url"]).take_all()
         )
-        # simulate crash: two partitions lose their commit record, one of
-        # them also has a partial data file deleted
+        assert len(urls1) == 500
+        # simulate crash: group 2 loses its commit record AND has a
+        # partial data file; group 1 loses only the record
         os.remove(mf.manifest_path(out, 2))
-        os.remove(mf.manifest_path(out, 5))
-        files5 = glob.glob(f"{out}/part_id=5/*.parquet")
-        os.remove(files5[0])
+        os.remove(mf.manifest_path(out, 1))
+        files2 = glob.glob(f"{out}/group-00002/*.parquet")
+        os.remove(files2[0])
 
-        s2 = run_pipeline(synth_pages_dataset(SF), cfg)
+        s2 = run_pipeline(pages_files, cfg)
+        assert s2["groups_executed"] == 2  # only uncommitted groups re-ran
         urls2 = sorted(
             r["url"]
             for r in rd.read_parquet(out).select_columns(["url"]).take_all()
         )
         assert urls1 == urls2
         assert len(urls2) == len(set(urls2))
-        assert s2["partitions_committed"] == 8
+        assert s2["partitions_committed"] == 4
+        assert s2["urls_total"] == 500  # counters merged incl. resumed groups
 
-    def test_manifest_counters_sum_to_session(self, ray_session, tmp_path):
+    def test_manifest_counters_sum_to_session(
+        self, ray_session, tmp_path, pages_files
+    ):
         out = str(tmp_path / "out2")
         s = run_pipeline(
-            synth_pages_dataset(SF), PipelineConfig(output_dir=out, num_partitions=4)
+            pages_files, PipelineConfig(output_dir=out, commit_groups=4)
         )
         manifests = mf.read_manifests(out)
         assert len(manifests) == 4
@@ -171,6 +198,36 @@ class TestResume:
             sum(m["total_ocr_successes"] for m in manifests)
             == s["total_ocr_successful_extraction"]
         )
+        # lineage recorded: every input file appears in exactly one group
+        all_files = [f for m in manifests for f in m["input_files"]]
+        assert len(all_files) == 8 and len(set(all_files)) == 8
+
+    def test_dataset_input_single_group(self, ray_session, tmp_path):
+        out = str(tmp_path / "out3")
+        s = run_pipeline(
+            synth_pages_dataset(SF),
+            PipelineConfig(output_dir=out, commit_groups=4),
+        )
+        assert s["partitions_committed"] == 1  # dataset input: one group
+        assert s["urls_total"] == 500
+
+
+def test_actor_pool_ocr_equivalence(ray_session):
+    """Actor-pool OCR (pinned engine) and fused-task OCR (process-global
+    engine) must produce identical rows — they are the same operator
+    with different state placement."""
+    fused = build_pipeline(
+        synth_pages_dataset(SF), PipelineConfig(ocr_use_actor_pool=False)
+    ).take_all()
+    pooled = build_pipeline(
+        synth_pages_dataset(SF),
+        PipelineConfig(ocr_use_actor_pool=True, ocr_concurrency=2),
+    ).take_all()
+    fa = {r["url"]: (r["ocr"], r["ocr_attempts"], r["failed_images"])
+          for r in fused}
+    pb = {r["url"]: (r["ocr"], r["ocr_attempts"], r["failed_images"])
+          for r in pooled}
+    assert fa == pb
 
 
 def test_skew_routing_equivalence(ray_session):

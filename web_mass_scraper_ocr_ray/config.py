@@ -22,9 +22,15 @@ class PipelineConfig:
     ocr_engine: str = "stub"
     ocr_enhancement: bool = True
     ocr_fast_processing: bool = False
-    # actor pool sizing: (min, max) autoscaling or int fixed
-    ocr_concurrency: Union[int, Tuple[int, int]] = (2, 8)
-    ocr_batch_size: int = 256          # small batches bound elephant pages
+    # actor pool vs fused tasks: pools pin heavy state but CANNOT fuse
+    # with the extract task stage (extra object-store hop). None → auto:
+    # pool only for expensive-init engines (tesseract); stub fuses.
+    ocr_use_actor_pool: Optional[bool] = None
+    # actor pool sizing: (min, max) autoscaling or int fixed — the max
+    # tracks node CPU count so the pool can absorb the whole node when
+    # OCR dominates, while autoscaling keeps it small when extract does
+    ocr_concurrency: Union[int, Tuple[int, int]] = (2, 16)
+    ocr_batch_size: int = 512          # small batches bound elephant pages
     ocr_num_cpus: float = 1.0
 
     # extract stage (M4): stateless tasks over pyarrow batches
@@ -39,6 +45,16 @@ class PipelineConfig:
     num_partitions: int = 64            # part_id = hash64(url) % num_partitions
     output_dir: Optional[str] = None    # None → no write stage (return ds)
     manifest_dirname: str = "_manifest"
+    # physical resume granularity: number of commit groups the input
+    # FILE list is split into (each group = its own streaming pipeline
+    # + atomic manifest; §4.5). 1 = single commit (fastest); raise for
+    # long jobs where losing a crashed run's work matters. Dataset
+    # (non-file) input always runs as one group.
+    commit_groups: int = 1
+    # commit groups running concurrently (each its own streaming
+    # execution on the shared cluster) — overlaps one group's
+    # ramp/drain/stats barriers with another's compute
+    groups_in_flight: int = 2
 
     # input column pruning at the read
     input_columns: tuple = ("url", "warc_ts", "html")
@@ -52,3 +68,5 @@ class PipelineConfig:
     def __post_init__(self):
         if self.mode not in ("text", "ocr", "both"):
             raise ValueError(f"mode must be text|ocr|both, got {self.mode!r}")
+        if self.ocr_use_actor_pool is None:
+            self.ocr_use_actor_pool = self.ocr_engine != "stub"

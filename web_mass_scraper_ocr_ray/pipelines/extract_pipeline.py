@@ -1,17 +1,20 @@
-"""Flagship pipeline: pages → extract → OCR → rollups → partitioned output.
+"""Flagship pipeline: pages → extract → OCR → rollups → committed output.
 
 Ray-Data expression of the reference's whole lifecycle (main.py:483-649):
 
-    pages = read_parquet(input)                      # source (S3 analog)
-    pages = assign part_id, anti-join committed      # resume (J2, §4.5)
-    pages = size-bucket routing                      # skew (§4.4)
-    ext   = pages.map_batches(extract_batch)         # M1-M5, M9-M10
-    ext   = ext.map_batches(OCRStage, concurrency=…) # T2 actor pool (mode gate)
-    ext.write_parquet(out, partition_cols=[part_id]) # S8-S15 → keyed Parquet
-    per-partition manifests + session summary        # A4, S11-S13
+    for each commit group g (deterministic input-file split, §4.5):
+      pages = read_parquet(group files, pruned columns)   # source
+      pages = assign part_id (url shard column)           # J2 key
+      ext   = pages.map_batches(extract_batch_sliced)     # M1-M5, M9-M10
+      ext   = ext.map_batches(ocr_batch_fused | OCRStage) # T2 (mode gate)
+      ext.write_parquet(out/group-g/)                     # S8-S15
+      commit manifest(g, lineage + counters)              # S13-S15, A4
+    session summary = merge of group counters             # A4, S11
 
 One process boundary (Ray object store) replaces the reference's
 browser-subprocess / Postgres / HTTP triangle (SURVEY.md §3.4).
+Committed groups are skipped at the READ on resume — their input files
+never leave storage.
 """
 
 from __future__ import annotations
@@ -86,38 +89,19 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
             batch_format="pyarrow",
         )
 
-    if cfg.output_dir:
-        committed = mf.committed_parts(cfg.output_dir, cfg.manifest_dirname)
-        if committed:
-            mf.clean_uncommitted(cfg.output_dir, committed)
-            ds = ds.map_batches(
-                partial(mf.filter_uncommitted_batch, committed=committed),
-                batch_format="pyarrow",
-            )
-
     if cfg.skew_enabled:
-        # §4.4: route the heavy-HTML tail through tiny batches so one
-        # elephant page bounds one task briefly — no shuffle, two
-        # cheap vectorized filters over the same blocks.
-        threshold = max(cfg.skew_bucket_bytes // 8, 1)
-        small = ds.map_batches(
-            lambda t, th=threshold: t.filter(
-                pc.less_equal(pc.binary_length(t.column("html")), th)
-            ),
+        # §4.4: heap-bounded slicing inside each task — a batch never
+        # holds more than skew_bucket_bytes of html in flight, so a run
+        # of elephant pages bounds memory, not just rows. Straggler
+        # bounding comes from block sizing (task = block ≤
+        # target_max_block_size). No extra scan, no shuffle.
+        from ..stages.extract import extract_batch_sliced
+
+        ds = ds.map_batches(
+            partial(extract_batch_sliced, byte_budget=cfg.skew_bucket_bytes),
             batch_format="pyarrow",
-        ).map_batches(
-            extract_batch, batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
-        big = ds.map_batches(
-            lambda t, th=threshold: t.filter(
-                pc.greater(pc.binary_length(t.column("html")), th)
-            ),
-            batch_format="pyarrow",
-        ).map_batches(
-            extract_batch, batch_format="pyarrow", batch_size=4,
-        )
-        ds = small.union(big)
     else:
         ds = ds.map_batches(
             extract_batch, batch_format="pyarrow",
@@ -130,18 +114,37 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
         )
 
     if cfg.mode in ("ocr", "both"):
-        ds = ds.map_batches(
-            OCRStage,
-            fn_constructor_kwargs={
-                "engine": cfg.ocr_engine,
-                "enhancement": cfg.ocr_enhancement,
-                "fast_processing": cfg.ocr_fast_processing,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.ocr_batch_size,
-            concurrency=cfg.ocr_concurrency,
-            num_cpus=cfg.ocr_num_cpus,
-        )
+        if cfg.ocr_use_actor_pool:
+            # pinned-state pool: pays an unfusable stage boundary (the
+            # extracted dataset crosses the object store) — worth it
+            # only when engine init is expensive (Tesseract, models)
+            ds = ds.map_batches(
+                OCRStage,
+                fn_constructor_kwargs={
+                    "engine": cfg.ocr_engine,
+                    "enhancement": cfg.ocr_enhancement,
+                    "fast_processing": cfg.ocr_fast_processing,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.ocr_batch_size,
+                concurrency=cfg.ocr_concurrency,
+                num_cpus=cfg.ocr_num_cpus,
+            )
+        else:
+            # fused task path: process-global engine (same once-per-
+            # worker init), extract→OCR run as one task
+            from ..stages.ocr_stage import ocr_batch_fused
+
+            ds = ds.map_batches(
+                partial(
+                    ocr_batch_fused,
+                    engine=cfg.ocr_engine,
+                    enhancement=cfg.ocr_enhancement,
+                    fast_processing=cfg.ocr_fast_processing,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.ocr_batch_size,
+            )
     else:
         ds = ds.map_batches(empty_ocr_columns, batch_format="pyarrow")
 
@@ -149,29 +152,30 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
 
 
 def _session_counter_sums(ds):
-    """Associative partial sums over the output (A4). Small result."""
-    from ray.data.aggregate import Count, Sum
+    """Associative partial sums over the output (A4) — ONE dataset
+    execution: each batch collapses to a single partial-counter row
+    (classic combiner), then one tiny global Sum. Two separate
+    aggregates here would scan the dataset twice per commit group."""
+    from ray.data.aggregate import Sum
 
-    aggs = [Count(alias_name="total_urls")]
-    for out_name, col in _SUM_COLS.items():
-        aggs.append(Sum(col, alias_name=out_name))
-    row = ds.aggregate(*aggs)
+    names = ["total_urls", "successful_urls", *_SUM_COLS.keys()]
 
-    # per-batch partial count of completed rows → tiny global Sum
-    # (pre-aggregation before the aggregate — no full-row shuffle)
-    def _ok_partial(t: pa.Table) -> pa.Table:
+    def _partials(t: pa.Table) -> pa.Table:
         ok_n = pc.sum(
             pc.cast(pc.equal(t.column("status"), "completed"), pa.int64())
         ).as_py() or 0
-        return pa.table({"ok": pa.array([ok_n], pa.int64())})
+        row = {
+            "total_urls": [t.num_rows],
+            "successful_urls": [ok_n],
+        }
+        for out_name, col in _SUM_COLS.items():
+            row[out_name] = [pc.sum(t.column(col)).as_py() or 0]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
 
-    ok = ds.map_batches(_ok_partial, batch_format="pyarrow").aggregate(
-        Sum("ok", alias_name="successful_urls")
+    merged = ds.map_batches(_partials, batch_format="pyarrow").aggregate(
+        *[Sum(n, alias_name=n) for n in names]
     )
-
-    counters = {k: int(row.get(k) or 0) for k in
-                ["total_urls", *_SUM_COLS.keys()]}
-    counters["successful_urls"] = int(ok.get("successful_urls") or 0)
+    counters = {k: int(merged.get(k) or 0) for k in names}
     counters["failed_urls"] = counters["total_urls"] - counters["successful_urls"]
     return counters
 
@@ -196,59 +200,140 @@ def hostname_rollup(ds):
     )
 
 
-def run_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None) -> Dict:
+STATS_COLUMNS = ["status", *sorted(set(_SUM_COLS.values()))]
+
+# Guards lazy, non-thread-safe dataset construction (see _run_group).
+import threading
+
+_DS_BUILD_LOCK = threading.Lock()
+
+
+def _group_stats_dataset(group_dir: str):
+    """Counter-columns-only read of one commit group's written output —
+    the heavy text/spans/images columns stay on disk (~10% scan)."""
+    import ray.data as rd
+
+    return rd.read_parquet(group_dir, columns=STATS_COLUMNS)
+
+
+def run_pipeline(pages, cfg: Optional[PipelineConfig] = None) -> Dict:
     """Execute end-to-end; returns the run summary (S11 analog).
 
-    With ``cfg.output_dir``: writes partitioned Parquet, then commits
-    one lineage manifest per partition (§4.5) and derives the session
-    summary by merging the per-partition counters — associativity
-    guaranteed by construction (SURVEY.md §7.4.6).
+    ``pages`` is a Dataset, a Parquet path, or a list of Parquet files.
+
+    With ``cfg.output_dir`` and file input, the run is split into
+    ``cfg.commit_groups`` deterministic file groups (§4.5): each group
+    streams through its own pipeline, writes ``out/group-<g>/`` as
+    plain block files, then commits an atomic manifest with the group's
+    lineage (input files) and session counters. A crashed run resumes
+    by skipping committed groups at the READ (their files never leave
+    storage) and deleting partial uncommitted dirs. Dataset input is a
+    single commit group (in-memory sources have no file lineage).
     """
+    import ray.data as rd
+
     cfg = cfg or PipelineConfig()
     start = time.monotonic()
-    ds = build_pipeline(pages_ds, cfg)
+    from .._compat import ensure_threadsafe_fsspec_http
+
+    ensure_threadsafe_fsspec_http()
+
+    # resolve input → list of (group_id, files-or-dataset)
+    if isinstance(pages, (str, list, tuple)):
+        paths = _expand_parquet_paths(pages)
+        groups = mf.split_file_groups(list(paths), cfg.commit_groups)
+        jobs = [(gid, files) for gid, files in enumerate(groups)]
+        make_ds = lambda files: rd.read_parquet(
+            list(files), columns=list(cfg.input_columns)
+        )
+    else:
+        jobs = [(0, pages)]
+        make_ds = lambda ds: ds
 
     if not cfg.output_dir:
-        summary = session_summary(ds)
+        assert len(jobs) == 1 or isinstance(pages, (str, list, tuple))
+        ds_all = [build_pipeline(make_ds(j), cfg) for _, j in jobs]
+        full = ds_all[0]
+        for extra in ds_all[1:]:
+            full = full.union(extra)
+        summary = session_summary(full)
         summary["duration_seconds"] = time.monotonic() - start
         return summary
 
-    ds.write_parquet(cfg.output_dir, partition_cols=[mf.PART_COL])
-
-    from ray.data.aggregate import Count, Sum
-    import ray.data as rd
-
-    out_ds = rd.read_parquet(cfg.output_dir)
-    aggs = [Count(alias_name="total_urls")]
-    for out_name, col in _SUM_COLS.items():
-        aggs.append(Sum(col, alias_name=out_name))
-    per_part = out_ds.map_batches(
-        lambda t: t.append_column(
-            "ok_count",
-            pc.cast(pc.equal(t.column("status"), "completed"), pa.int64()),
-        ),
-        batch_format="pyarrow",
-    ).groupby(mf.PART_COL).aggregate(*aggs, Sum("ok_count",
-                                                alias_name="successful_urls"))
+    committed = mf.committed_parts(cfg.output_dir, cfg.manifest_dirname)
+    mf.clean_uncommitted(cfg.output_dir, committed)
+    manifests = {m["part_id"]: m for m in
+                 mf.read_manifests(cfg.output_dir, cfg.manifest_dirname)}
 
     totals = {k: 0 for k in
               ["total_urls", "successful_urls", "failed_urls", *_SUM_COLS.keys()]}
-    for row in per_part.iter_rows():
-        pid = int(row[mf.PART_COL])
-        stats = {
-            "total_urls": int(row["total_urls"]),
-            "successful_urls": int(row["successful_urls"] or 0),
-        }
-        stats["failed_urls"] = stats["total_urls"] - stats["successful_urls"]
-        for k in _SUM_COLS:
-            stats[k] = int(row[k] or 0)
-        mf.commit_partition(cfg.output_dir, pid, stats, cfg.manifest_dirname)
+
+    def _run_group(gid, job) -> Dict:
+        gdir = mf.group_dir(cfg.output_dir, gid)
+        with _DS_BUILD_LOCK:
+            # serialize read_parquet CONSTRUCTION only: its lazy fsspec
+            # probe is not thread-safe when aiohttp is absent (a failed
+            # concurrent import surfaces as ImportError, which Ray's
+            # ModuleNotFoundError guard misses). Execution runs parallel.
+            ds = build_pipeline(make_ds(job), cfg)
+        ds.write_parquet(gdir)
+        # counters from the written output (column-pruned cheap scan);
+        # commit record written ONLY after data + stats land
+        with _DS_BUILD_LOCK:
+            stats_ds = _group_stats_dataset(gdir)
+        stats = _session_counter_sums(stats_ds)
+        lineage = {"input_files": list(job)} if isinstance(
+            job, (list, tuple)) else {"input_files": None}
+        mf.commit_partition(
+            cfg.output_dir, gid, {**stats, **lineage}, cfg.manifest_dirname
+        )
+        return stats
+
+    # Pipelined group execution: a strictly sequential loop idles the
+    # cluster at every group boundary (ramp, drain, stats scan, commit
+    # — measured ~2s each). Running a couple of groups concurrently
+    # (each its own streaming execution against the shared cluster)
+    # overlaps one group's barriers with another's compute. Resume
+    # semantics are untouched — each group still commits atomically.
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups_run = 0
+    pending = [(gid, job) for gid, job in jobs if gid not in committed]
+    results: Dict[int, Dict] = {
+        gid: manifests[gid] for gid, _ in jobs if gid in committed
+    }
+    if pending:
+        workers = max(1, min(cfg.groups_in_flight, len(pending)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = {pool.submit(_run_group, gid, job): gid
+                    for gid, job in pending}
+            for fut, gid in futs.items():
+                results[gid] = fut.result()
+                groups_run += 1
+    for gid, _ in jobs:
+        stats = results[gid]
         for k in totals:
-            totals[k] += stats.get(k, 0)
+            totals[k] += int(stats.get(k, 0))
 
     summary = finalize_session_summary(totals)
     summary["duration_seconds"] = time.monotonic() - start
     summary["partitions_committed"] = len(
         mf.committed_parts(cfg.output_dir, cfg.manifest_dirname)
     )
+    summary["groups_executed"] = groups_run
     return summary
+
+
+def _expand_parquet_paths(pages) -> list:
+    """str dir/file or list → flat list of parquet file paths."""
+    import os
+
+    if isinstance(pages, str):
+        if os.path.isdir(pages):
+            return sorted(
+                os.path.join(pages, f)
+                for f in os.listdir(pages)
+                if f.endswith(".parquet")
+            )
+        return [pages]
+    return list(pages)

@@ -184,34 +184,29 @@ def read_pages(path, columns=None, **kwargs):
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
-def write_bench_corpus(sf_dir: str, out_path: str, replication: int = 1) -> int:
-    """Materialize a larger pages corpus to Parquet for benching.
+def write_bench_corpus(sf_dir: str, out_dir: str, replication: int = 1) -> int:
+    """Materialize a larger pages corpus as a DIRECTORY of Parquet files
+    (one per replica) for benching.
 
-    Replicates the synthetic corpus ``replication`` times with distinct
-    urls per replica (deterministic — replica k shifts doc_id by
-    k * 10_000_000 in url/host derivation only, html payload reused).
-    Returns total rows.
+    One file per replica matters: Ray assigns read tasks per file/row
+    group, so a single giant file serializes the read (observed: 1 read
+    task = 9.6s for 200k rows). A directory layout mirrors how a real
+    100 TB corpus arrives — thousands of shards read in parallel.
+
+    Replicas get distinct urls (replica k shifts doc_id by k*10^7 in
+    the url only; html payload reused). Returns total rows.
     """
+    import os
+
     base = synth_pages_table(sf_dir)
     n = base.num_rows
-    writer = None
-    try:
-        for k in range(replication):
-            if k == 0:
-                tbl = base
-            else:
-                shift = k * 10_000_000
-                urls = [
-                    page_url(d + shift)
-                    for d in range(n)
-                ]
-                tbl = base.set_column(
-                    0, "url", pa.array(urls, pa.string())
-                )
-            if writer is None:
-                writer = pq.ParquetWriter(out_path, tbl.schema)
-            writer.write_table(tbl)
-    finally:
-        if writer is not None:
-            writer.close()
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(replication):
+        if k == 0:
+            tbl = base
+        else:
+            shift = k * 10_000_000
+            urls = [page_url(d + shift) for d in range(n)]
+            tbl = base.set_column(0, "url", pa.array(urls, pa.string()))
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{k:05d}.parquet"))
     return n * replication

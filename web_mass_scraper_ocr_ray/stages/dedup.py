@@ -132,36 +132,62 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
     )
 
 
-def _pairs_from_groups(group: "pa.Table") -> pa.Table:
-    """Within one (band_id, band_hash) bucket → unordered candidate pairs."""
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    # bucket sizes are tiny unless data is degenerate; cap guards a
-    # pathological all-equal bucket from exploding quadratically
-    cap = 200
-    ids = ids[:cap]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+# Number of coarse buckets for pair generation. Grouping directly by
+# (band_id, band_hash) means one Python map_groups call per bucket —
+# ~16 buckets/doc → observed 6 ms/doc of pure per-group overhead.
+# Instead shuffle by a COARSE key (band_hash % N_COARSE) and run a
+# vectorized pandas groupby over the fine key inside each group: the
+# Python-call count drops from O(docs×bands) to O(N_COARSE).
+N_COARSE_BUCKETS = 512
 
 
-def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 16,
+def _pairs_from_coarse_group(df) -> pa.Table:
+    """One coarse bucket → pairs from every fine (band_id, band_hash)
+    bucket inside it. Vectorized size-filter; Python loops touch only
+    buckets with ≥2 members (rare by construction)."""
+    a_out: List[int] = []
+    b_out: List[int] = []
+    sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+    multi = df[sizes > 1]
+    cap = 200  # guard: a degenerate all-equal bucket must not go O(n²)
+    for _, grp in multi.groupby(["band_id", "band_hash"]):
+        ids = sorted(grp["doc_id"].tolist())[:cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64())})
+
+
+def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 8,
                            shingle_k: int = 5):
-    """documents → distinct candidate pairs via banded LSH (one shuffle)."""
+    """documents → distinct candidate pairs via banded LSH (one shuffle).
+
+    8 bands × 8 rows: P(candidate) = 1-(1-j^8)^8 — steep around j≈0.8
+    (j=0.5 → 3%, j=0.95 → ~1.0). A 16×4 banding fires at j≈0.5 and
+    floods the verify stage on vocabulary-dense corpora (observed 337k
+    candidates on 10k synthetic docs vs ~6k with 8×8)."""
     from ray.data.aggregate import Count
 
     sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
         batch_format="pyarrow", concurrency=2,
     ).select_columns(["doc_id", "minhash"])
-    bands = sigs.map_batches(
-        lambda t, nb=n_bands: explode_bands(t, nb), batch_format="pyarrow"
-    )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_groups, batch_format="pyarrow"
+    def _explode_with_coarse(t: pa.Table) -> pa.Table:
+        out = explode_bands(t, n_bands)
+        import pyarrow.compute as pc
+
+        coarse = pc.cast(
+            pc.bit_wise_and(out.column("band_hash"),
+                            pa.scalar(N_COARSE_BUCKETS - 1, pa.uint64())),
+            pa.int32(),
+        )
+        return out.append_column("coarse", coarse)
+
+    bands = sigs.map_batches(_explode_with_coarse, batch_format="pyarrow")
+    pairs = bands.groupby("coarse").map_groups(
+        _pairs_from_coarse_group, batch_format="pandas"
     )
     # distinct pairs (a pair can collide in several bands)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
@@ -182,7 +208,7 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
-                        n_bands: int = 16, shingle_k: int = 5,
+                        n_bands: int = 8, shingle_k: int = 5,
                         verify: str = "exact"):
     """Near-dup pairs with Jaccard ≥ threshold.
 
@@ -240,17 +266,31 @@ class SimHasher:
     def __init__(self, seed: int = 11):
         rng = np.random.RandomState(seed)
         self.mix = np.uint64(rng.randint(1, 2**63 - 1))
+        # actor-level token-hash cache: natural-language token streams
+        # are Zipfian, so the hit rate approaches 1 — this is the state
+        # an actor pool exists to amortize (cap bounds the heap)
+        self._cache: dict = {}
+        self._cache_cap = 1 << 20
+
+    @staticmethod
+    def _fnv64(data: bytes) -> int:
+        h = 14695981039346656037
+        for ch in data:
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h
 
     def _token_hashes(self, text: str) -> np.ndarray:
         toks = text.split()
         if not toks:
             return np.zeros(0, dtype=np.uint64)
+        cache = self._cache
         out = np.zeros(len(toks), dtype=np.uint64)
         for i, tok in enumerate(toks):
-            h = np.uint64(14695981039346656037)
-            with np.errstate(over="ignore"):
-                for ch in tok.encode("utf-8"):
-                    h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
+            h = cache.get(tok)
+            if h is None:
+                h = self._fnv64(tok.encode("utf-8"))
+                if len(cache) < self._cache_cap:
+                    cache[tok] = h
             out[i] = h
         return out
 
@@ -287,42 +327,50 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
     def _explode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         sg = t.column("simhash").to_pylist()
-        band_ids, band_vals, doc_ids, full = [], [], [], []
+        band_ids, band_vals, doc_ids, full, coarse = [], [], [], [], []
         for did, s in zip(ids, sg):
             for b in range(4):
+                v = (s >> (16 * b)) & 0xFFFF
                 band_ids.append(b)
-                band_vals.append((s >> (16 * b)) & 0xFFFF)
+                band_vals.append(v)
                 doc_ids.append(did)
                 full.append(s)
+                coarse.append((b * 65536 + v) % N_COARSE_BUCKETS)
         return pa.table({
             "band_id": pa.array(band_ids, pa.int32()),
             "band_val": pa.array(band_vals, pa.int32()),
             "doc_id": pa.array(doc_ids, pa.int64()),
             "simhash": pa.array(full, pa.uint64()),
+            "coarse": pa.array(coarse, pa.int32()),
         })
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sgs = group.column("simhash").to_pylist()
-        order = np.argsort(ids)
+    def _pairs_coarse(df) -> pa.Table:
+        # vectorized fine-group filter; Python touches only multi-member
+        # buckets (same shape as _pairs_from_coarse_group above)
         a, b_, ham = [], [], []
         cap = 200
-        order = order[:cap]
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                x, y = order[ii], order[jj]
-                h = int(bin(sgs[x] ^ sgs[y]).count("1"))
-                if h <= max_hamming and ids[x] != ids[y]:
-                    a.append(min(ids[x], ids[y]))
-                    b_.append(max(ids[x], ids[y]))
-                    ham.append(h)
+        sizes = df.groupby(["band_id", "band_val"])["doc_id"].transform("size")
+        multi = df[sizes > 1]
+        for _, grp in multi.groupby(["band_id", "band_val"]):
+            rows = sorted(zip(grp["doc_id"].tolist(),
+                              grp["simhash"].tolist()))[:cap]
+            for ii in range(len(rows)):
+                for jj in range(ii + 1, len(rows)):
+                    (ida, sa), (idb, sb) = rows[ii], rows[jj]
+                    if ida == idb:
+                        continue
+                    h = int(bin(int(sa) ^ int(sb)).count("1"))
+                    if h <= max_hamming:
+                        a.append(ida)
+                        b_.append(idb)
+                        ham.append(h)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b_, pa.int64()),
                          "hamming": pa.array(ham, pa.int64())})
 
     pairs = sigs.map_batches(_explode, batch_format="pyarrow").groupby(
-        ["band_id", "band_val"]
-    ).map_groups(_pairs, batch_format="pyarrow")
+        "coarse"
+    ).map_groups(_pairs_coarse, batch_format="pandas")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands_hit"),
     )

@@ -90,6 +90,34 @@ def extract_row(url: str, html) -> dict:
     }
 
 
+def extract_batch_sliced(batch: pa.Table,
+                         byte_budget: int = 8 * 1024 * 1024) -> pa.Table:
+    """Skew/memory-bounded extract (§4.4): process the batch in slices
+    whose summed html bytes stay under ``byte_budget``, so a batch that
+    happens to contain several multi-MB pages never materializes all
+    their parse output at once. One output table per input batch.
+
+    Straggler bounding comes from block sizing (a task = a block ≤
+    DataContext.target_max_block_size of html bytes); this wrapper
+    bounds the *heap*, which row-count batching alone cannot (512 rows
+    × 100 MB pages = 50 GB)."""
+    lens = pc.binary_length(batch.column("html")).to_pylist()
+    out_parts = []
+    start = 0
+    acc = 0
+    n = batch.num_rows
+    for i in range(n):
+        acc += (lens[i] or 0)
+        if acc >= byte_budget and i + 1 > start:
+            out_parts.append(extract_batch(batch.slice(start, i + 1 - start)))
+            start, acc = i + 1, 0
+    if start < n:
+        out_parts.append(extract_batch(batch.slice(start, n - start)))
+    if len(out_parts) == 1:
+        return out_parts[0]
+    return pa.concat_tables(out_parts)
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """pyarrow Table (url, warc_ts, html, ...) → extracted table.
 

@@ -3,26 +3,30 @@
 Replaces the reference's Postgres state machine
 (pending→completed/failed rows in ``scraping_logs`` — db_utils.py:125-170
 mark-pending, db_utils.py:251-295 commit, db_utils.py:76-123
-skip-if-completed, main.py:598-606 pending drain):
+skip-if-completed, main.py:598-606 pending drain). Two mechanisms:
 
-  - every page row gets ``part_id = hash64(url) % P`` — a stable,
-    input-independent shard key (url is the unit of work, §4.3);
-  - output Parquet is laid out ``out/part_id=<k>/...`` (one directory
-    per partition — resumable, never one giant file);
-  - after the data for the run lands, one ``_manifest/part-<k>.json``
-    commit record per partition is written (tmp+rename, atomic on POSIX)
-    carrying row/status counts and the associative session counters
-    (main.py:30-44) for that partition;
-  - on restart: committed part_ids are read back, uncommitted partition
-    directories are deleted (a partial write without its commit record
-    is garbage — idempotent replay), and the input is anti-join-filtered
-    to uncommitted parts only (J2: ``check_url_scraped`` analog, as a
-    broadcast-set filter — no shuffle).
+**Commit groups (physical resume unit).** The input FILE list is split
+deterministically into G groups (``split_file_groups``); each group is
+one streaming pipeline writing ``out/group-<g>/...`` then one atomic
+commit record ``_manifest/part-<g>.json`` (tmp+rename) carrying the
+group's input files and the associative session counters
+(main.py:30-44). On restart: committed groups are skipped entirely at
+the read (their input files never leave storage), uncommitted group
+dirs are deleted (partial output without its commit record is garbage
+— replay is idempotent because the group→files mapping is
+deterministic). This is the only layout whose output-file count scales
+with DATA SIZE, not tasks×partitions — a partitioned-column write was
+measured at 12,800 files / 52 s where plain block writes cost 5 s.
 
-Scale note: P is fixed per job; the committed-set is O(P) integers —
-trivially broadcastable at any corpus size. Manifest writes are one
-small JSON per partition, not a central lock (§4.2: no driver-side
-bottleneck).
+**part_id column (logical url shard).** Every row also gets
+``part_id = hash64(url) % P`` — the stable url-keyed shard for
+dedup/anti-join ops (J2) and per-shard counters. Logical sharding and
+physical commit grouping are deliberately decoupled: the first is a
+property of the ROW, the second of the RUN.
+
+Scale note: the committed-set is O(G) integers — trivially
+broadcastable at any corpus size; manifests are one small JSON per
+group, not a central lock (§4.2: no driver-side bottleneck).
 """
 
 from __future__ import annotations
@@ -101,21 +105,41 @@ def read_manifests(output_dir: str, dirname: str = "_manifest") -> List[Dict]:
     return out
 
 
+GROUP_DIR_PREFIX = "group-"
+
+
+def group_dir(output_dir: str, group_id: int) -> str:
+    return os.path.join(output_dir, f"{GROUP_DIR_PREFIX}{group_id:05d}")
+
+
+def split_file_groups(paths: List[str], n_groups: int) -> List[List[str]]:
+    """Deterministic round-robin assignment of input files to commit
+    groups (sorted first so the grouping is stable across runs — the
+    resume correctness hinges on group g always meaning the same input
+    files)."""
+    ordered = sorted(paths)
+    n_groups = max(1, min(n_groups, len(ordered)))
+    groups: List[List[str]] = [[] for _ in range(n_groups)]
+    for i, p in enumerate(ordered):
+        groups[i % n_groups].append(p)
+    return groups
+
+
 def clean_uncommitted(output_dir: str, committed: Set[int]) -> List[str]:
-    """Delete partition dirs that have data but no commit record —
-    partial output from a crashed run; replay is idempotent because the
-    partition's input set is a pure function of url (keyed output)."""
+    """Delete commit-group dirs that have data but no commit record —
+    partial output from a crashed run; replay is idempotent because a
+    group's input file set is deterministic (split_file_groups)."""
     removed: List[str] = []
     if not os.path.isdir(output_dir):
         return removed
     for name in os.listdir(output_dir):
-        if not name.startswith(f"{PART_COL}="):
+        if not name.startswith(GROUP_DIR_PREFIX):
             continue
         try:
-            pid = int(name.split("=", 1)[1])
+            gid = int(name[len(GROUP_DIR_PREFIX):])
         except ValueError:
             continue
-        if pid not in committed:
+        if gid not in committed:
             full = os.path.join(output_dir, name)
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
