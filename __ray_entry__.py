@@ -226,6 +226,37 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
+        "ordered_range": f"""
+WITH {_EXT_CTE}
+SELECT url, TIMESTAMP '2024-01-01' + to_seconds(doc_id) AS warc_ts
+FROM ext ORDER BY warc_ts, url LIMIT 30 OFFSET 10
+""",
+        "lang_distribution": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""",
+        "source_rollup": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_qty_centi,
+  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_price_centi
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "order_customer_join": """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_price_centi
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+""",
         "events_tumbling": """
 SELECT user_id,
   date_trunc('hour', ts) AS window_start,

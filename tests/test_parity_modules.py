@@ -1,0 +1,264 @@
+"""Parity modules: retry, rate limiter, error taxonomy, URL sources,
+fetch-stage seam, byte-bounded extract slicing, CLI."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from web_mass_scraper_ocr_ray.functions.errors import (
+    error_type_for_http_status,
+    truncate_error_message,
+)
+from web_mass_scraper_ocr_ray.functions.rate_limiter import (
+    RateLimiterRegistry,
+    TokenBucket,
+)
+from web_mass_scraper_ocr_ray.functions.retry import retry_with_backoff
+
+
+class TestRetry:
+    def test_succeeds_after_failures(self):
+        calls = []
+
+        @retry_with_backoff(max_retries=3, initial_delay=0.01,
+                            sleep=lambda s: calls.append(s),
+                            retry_on_exceptions=(ValueError,))
+        def flaky():
+            if len(calls) < 2:
+                raise ValueError("transient")
+            return "ok"
+
+        assert flaky() == "ok"
+        assert len(calls) == 2
+
+    def test_raises_after_max_retries(self):
+        @retry_with_backoff(max_retries=2, initial_delay=0.0,
+                            sleep=lambda s: None,
+                            retry_on_exceptions=(ValueError,))
+        def always():
+            raise ValueError("nope")
+
+        with pytest.raises(ValueError):
+            always()
+
+    def test_unlisted_exception_not_retried(self):
+        n = {"c": 0}
+
+        @retry_with_backoff(max_retries=5, sleep=lambda s: None,
+                            retry_on_exceptions=(ValueError,))
+        def boom():
+            n["c"] += 1
+            raise KeyError("different")
+
+        with pytest.raises(KeyError):
+            boom()
+        assert n["c"] == 1
+
+    def test_backoff_schedule_capped(self):
+        delays = []
+
+        @retry_with_backoff(max_retries=5, initial_delay=1.0,
+                            backoff_factor=2.0, max_delay=3.0, jitter=0.0,
+                            sleep=lambda s: delays.append(s),
+                            retry_on_exceptions=(ValueError,))
+        def always():
+            raise ValueError
+
+        with pytest.raises(ValueError):
+            always()
+        assert delays == [1.0, 2.0, 3.0, 3.0, 3.0]
+
+
+class TestTokenBucket:
+    def test_burst_then_throttle(self):
+        clock = {"t": 0.0}
+        slept = []
+
+        def sleeper(s):
+            slept.append(s)
+            clock["t"] += s
+
+        tb = TokenBucket(rate=2.0, burst=3, clock=lambda: clock["t"],
+                         sleep=sleeper)
+        for _ in range(3):  # burst capacity — no waiting
+            assert tb.wait() == 0.0
+        assert slept == []
+        tb.wait()  # empty → must wait 1/rate = 0.5s
+        assert pytest.approx(sum(slept), rel=1e-6) == 0.5
+
+    def test_try_acquire(self):
+        tb = TokenBucket(rate=1.0, burst=1, clock=lambda: 0.0,
+                         sleep=lambda s: None)
+        assert tb.try_acquire() is True
+        assert tb.try_acquire() is False
+
+    def test_registry_per_resource(self):
+        reg = RateLimiterRegistry(default_rate=2.0,
+                                  overrides={"slowhost": 0.5})
+        assert reg.get("a") is reg.get("a")
+        assert reg.get("a") is not reg.get("b")
+        assert reg.get("slowhost").rate == 0.5
+
+
+class TestErrors:
+    def test_http_status_mapping(self):
+        # scraper.py:193-196 branch order
+        assert error_type_for_http_status(503) == "ServiceUnavailable"
+        assert error_type_for_http_status(429) == "RateLimit"
+        assert error_type_for_http_status(500) == "Server"
+        assert error_type_for_http_status(404) == "Connection"
+
+    def test_truncate(self):
+        assert len(truncate_error_message("x" * 2000)) == 1023
+
+
+class TestUrlSources:
+    def test_pages_from_urls(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.urls import pages_from_urls
+
+        ds = pages_from_urls(["https://a.com/x", "https://b.com/y"],
+                             client_ids=["c1", "c2"])
+        rows = ds.take_all()
+        assert [r["url"] for r in rows] == ["https://a.com/x", "https://b.com/y"]
+        assert rows[0]["client_id"] == "c1"
+
+    def test_read_url_file(self, ray_session, tmp_path):
+        from web_mass_scraper_ocr_ray.sources.urls import read_url_file
+
+        f = tmp_path / "urls.txt"
+        f.write_text("https://a.com/x\n\n  https://b.com/y  \n\n")
+        urls = sorted(r["url"] for r in read_url_file(str(f)).take_all())
+        assert urls == ["https://a.com/x", "https://b.com/y"]
+
+
+class TestFetchStage:
+    def test_requires_fetcher(self):
+        from web_mass_scraper_ocr_ray.sources.urls import FetchStage
+
+        with pytest.raises(NotImplementedError):
+            FetchStage()
+
+    def test_fake_fetcher_routing(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.urls import (
+            FetchStage,
+            pages_from_urls,
+        )
+
+        def fake_fetch(url):
+            if "ok" in url:
+                return 200, b"<p>hi</p>"
+            if "busy" in url:
+                return 503, b""
+            if "limited" in url:
+                return 429, b""
+            raise ConnectionError("refused")
+
+        ds = pages_from_urls([
+            "https://ok.example.com/a",
+            "https://busy.example.com/b",
+            "https://limited.example.com/c",
+            "https://down.example.com/d",
+        ])
+        out = {r["url"].split("//")[1].split(".")[0]: r
+               for r in ds.map_batches(
+                   FetchStage,
+                   fn_constructor_kwargs={"fetcher": fake_fetch, "rate": 1e9},
+                   batch_format="pyarrow", concurrency=1,
+               ).take_all()}
+        assert out["ok"]["fetch_status"] == "completed"
+        assert out["ok"]["html"] == b"<p>hi</p>"
+        assert out["busy"]["fetch_error_type"] == "ServiceUnavailable"
+        assert out["limited"]["fetch_error_type"] == "RateLimit"
+        assert out["down"]["fetch_error_type"] == "Connection"
+
+    def test_fetched_pages_flow_into_extract(self, ray_session):
+        """Seam test: url source → fetch → extract pipeline end-to-end."""
+        from web_mass_scraper_ocr_ray import PipelineConfig, build_pipeline
+        from web_mass_scraper_ocr_ray.sources.urls import (
+            FetchStage,
+            pages_from_urls,
+        )
+
+        pages = pages_from_urls(["https://a.example.com/x"]).map_batches(
+            FetchStage,
+            fn_constructor_kwargs={
+                "fetcher": lambda u: (200, b"<h1>t</h1><p>body</p>"),
+                "rate": 1e9,
+            },
+            batch_format="pyarrow", concurrency=1,
+        )
+        rows = build_pipeline(
+            pages, PipelineConfig(num_partitions=0, skew_enabled=False)
+        ).take_all()
+        assert rows[0]["text"] == "t body"
+
+
+class TestExtractBatchSliced:
+    def test_slicing_matches_unsliced(self):
+        from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+        from web_mass_scraper_ocr_ray.stages.extract import (
+            extract_batch,
+            extract_batch_sliced,
+        )
+
+        tbl = synth_pages_table("/root/testdata/sf0.001").select(
+            ["url", "warc_ts", "html"]
+        )
+        a = extract_batch(tbl)
+        b = extract_batch_sliced(tbl, byte_budget=4096)  # forces many slices
+        assert a.column("text").to_pylist() == b.column("text").to_pylist()
+        assert a.num_rows == b.num_rows
+
+    def test_single_huge_row_is_own_slice(self):
+        import datetime
+
+        from web_mass_scraper_ocr_ray.stages.extract import extract_batch_sliced
+
+        big = b"<p>" + b"x" * 100_000 + b"</p>"
+        tbl = pa.table({
+            "url": [f"https://a.com/{i}" for i in range(5)],
+            "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * 5,
+                                pa.timestamp("us")),
+            "html": pa.array([big, b"<p>s</p>", big, b"<p>s</p>", big],
+                             pa.binary()),
+        })
+        out = extract_batch_sliced(tbl, byte_budget=50_000)
+        assert out.num_rows == 5
+        assert out.column("text").to_pylist()[1] == "s"
+
+
+class TestCLI:
+    def test_run_and_summary(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+
+        src = tmp_path / "pages"
+        src.mkdir()
+        tbl = synth_pages_table("/root/testdata/sf0.001")
+        pq.write_table(tbl.slice(0, 100), str(src / "p0.parquet"))
+        pq.write_table(tbl.slice(100, 100), str(src / "p1.parquet"))
+        out = tmp_path / "out"
+
+        r = subprocess.run(
+            [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli", "run",
+             "--input", str(src), "--output", str(out),
+             "--commit-groups", "2", "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        assert summary["urls_total"] == 200
+        assert summary["partitions_committed"] == 2
+
+        r2 = subprocess.run(
+            [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli", "summary",
+             "--output", str(out)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r2.returncode == 0
+        s2 = json.loads(r2.stdout)
+        assert s2["urls_total"] == 200

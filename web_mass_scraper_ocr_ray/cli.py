@@ -1,0 +1,103 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Replaces the reference's ``python -m src.scraper_app.main`` + .env
+surface (main.py:483-649, config.py:17-56) with explicit flags::
+
+    ray job submit -- python -m web_mass_scraper_ocr_ray.cli run \\
+        --input /data/pages --output /data/extracted \\
+        --mode both --commit-groups 64
+
+    python -m web_mass_scraper_ocr_ray.cli summary --output /data/extracted
+
+Owns its Ray session (guarded init — the ONLY library-adjacent code
+allowed to init; the driver-contract module never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = int(num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .config import PipelineConfig
+    from .pipelines.extract_pipeline import run_pipeline
+
+    cfg = PipelineConfig(
+        mode=args.mode,
+        output_dir=args.output,
+        commit_groups=args.commit_groups,
+        groups_in_flight=args.groups_in_flight,
+        ocr_engine=args.ocr_engine,
+        num_partitions=args.num_partitions,
+    )
+    summary = run_pipeline(args.input, cfg)
+    print(json.dumps(summary, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_summary(args) -> int:
+    """Print the merged session summary from committed manifests (S11)."""
+    from .functions.metadata import finalize_session_summary
+    from .pipelines.extract_pipeline import _SUM_COLS
+    from .state import manifest as mf
+
+    manifests = mf.read_manifests(args.output)
+    totals = {k: 0 for k in
+              ["total_urls", "successful_urls", "failed_urls", *_SUM_COLS]}
+    for m in manifests:
+        for k in totals:
+            totals[k] += int(m.get(k, 0))
+    out = finalize_session_summary(totals)
+    out["partitions_committed"] = len(manifests)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="web_mass_scraper_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run the extraction pipeline")
+    runp.add_argument("--input", required=True,
+                      help="pages Parquet dir/file (url, warc_ts, html, ...)")
+    runp.add_argument("--output", required=True, help="output directory")
+    runp.add_argument("--mode", default="both",
+                      choices=["text", "ocr", "both"])
+    runp.add_argument("--commit-groups", type=int, default=16)
+    runp.add_argument("--groups-in-flight", type=int, default=2)
+    runp.add_argument("--num-partitions", type=int, default=64)
+    runp.add_argument("--ocr-engine", default="stub",
+                      choices=["stub", "tesseract"])
+    runp.add_argument("--num-cpus", type=int, default=None)
+    runp.set_defaults(fn=cmd_run)
+
+    sump = sub.add_parser("summary", help="merged summary from manifests")
+    sump.add_argument("--output", required=True)
+    sump.set_defaults(fn=cmd_summary)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -315,6 +315,113 @@ def q_multimodal_decode(sf_dir: str):
     return mm.decode_media(mm.synth_media_dataset(sf_dir))
 
 
+# ---- ordered range / distinct / generic relational ----------------------
+
+def q_ordered_range(sf_dir: str):
+    """O1: deterministic ordered range slice — ORDER BY (warc_ts, url)
+    LIMIT 30 OFFSET 10 (db_utils.py:56 ordered offset/limit sharding).
+    Ray: global sort + limit(offset+k), offset applied on the (tiny)
+    materialized head — offset semantics need a total order anyway."""
+    ds = (
+        synth_pages_dataset(sf_dir)
+        .select_columns(["url", "warc_ts"])
+        .sort(["warc_ts", "url"])
+        .limit(40)
+    )
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=40)]
+    )
+    return tbl.slice(10, 30)
+
+
+def q_lang_distribution(sf_dir: str):
+    """A6 global distinct (+ counts): distinct lang values via groupby."""
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir).select_columns(["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def q_source_rollup(sf_dir: str):
+    """Grouped aggregate keyed by source (second shuffle-key demo)."""
+    from ray.data.aggregate import Count, Sum
+
+    return _docs(sf_dir).select_columns(
+        ["source", "n_chars"]
+    ).groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary — general relational capability.
+    Money columns are cast to integer cents per row BEFORE summing so
+    the result is order-independent (double sums are not associative
+    bit-for-bit across engines)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty_centi": pc.cast(pc.round(
+                pc.multiply(t.column("l_quantity"), 100.0)), pa.int64()),
+            "price_centi": pc.cast(pc.round(
+                pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()),
+        })
+
+    return ds.map_batches(_cents, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Count(alias_name="n_rows"),
+        Sum("qty_centi", alias_name="sum_qty_centi"),
+        Sum("price_centi", alias_name="sum_price_centi"),
+    )
+
+
+def q_order_customer_join(sf_dir: str):
+    """Broadcast join: orders ⋈ customer (small side ray.put once) →
+    per-mktsegment rollup. The join never shuffles the big side."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_by_key = dict(zip(cust.column("c_custkey").to_pylist(),
+                          cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg_by_key)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def _join(t: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        keys = t.column("o_custkey").to_pylist()
+        return pa.table({
+            "c_mktsegment": pa.array(
+                [seg.get(k, "UNKNOWN") for k in keys], pa.string()),
+            "price_centi": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64()),
+        })
+
+    return orders.map_batches(_join, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_centi", alias_name="sum_price_centi"),
+    )
+
+
 # ---- streaming-shaped (events) ------------------------------------------
 
 def q_events_tumbling(sf_dir: str):
@@ -366,4 +473,9 @@ QUERIES: Dict[str, callable] = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
+    "ordered_range": q_ordered_range,
+    "lang_distribution": q_lang_distribution,
+    "source_rollup": q_source_rollup,
+    "lineitem_pricing": q_lineitem_pricing,
+    "order_customer_join": q_order_customer_join,
 }
