@@ -299,6 +299,18 @@ def q_knn_lsh(sf_dir: str):
     return sim.knn_lsh(_emb(sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    return sim.knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: LSH+Jaccard-verified pairs → connected
+    components (driver union-find; distributed label-propagation
+    variant asserted equal in tests)."""
+    pairs = dd.minhash_dedup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
+    return dd.cluster_pairs_driver(pairs)
+
+
 def q_embedding_neardup(sf_dir: str):
     # pairs only: the raw cosine is float32 in the DuckDB oracle vs
     # float64 here (~1e-7 apart) — comparing a rounded value would flap
@@ -470,6 +482,8 @@ QUERIES: Dict[str, callable] = {
     "dedup_simhash": q_dedup_simhash,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,

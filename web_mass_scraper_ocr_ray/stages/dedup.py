@@ -277,6 +277,15 @@ class SimHasher:
         h = 14695981039346656037
         for ch in data:
             h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        # murmur3 fmix64 finalizer: raw FNV-1a has poor high-bit
+        # avalanche on short similar keys ('token0'/'token1' share the
+        # top 40 bits), which collapses simhash votes into structure
+        # bits; the finalizer restores per-bit uniformity
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 33
         return h
 
     def _token_hashes(self, text: str) -> np.ndarray:
@@ -299,7 +308,9 @@ class SimHasher:
         if len(hs) == 0:
             return 0
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes
+        # int64: a uint64 sum would wrap negative votes to huge values
+        # and set nearly every signature bit
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)  # ±1 votes
         sig = 0
         for b in np.nonzero(votes > 0)[0]:
             sig |= 1 << int(b)
@@ -374,3 +385,100 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands_hit"),
     )
+
+
+# ---------- near-dup clustering (connected components) --------------------
+
+def cluster_pairs_driver(pairs) -> "pa.Table":
+    """(doc_a, doc_b) pairs → (doc_id, cluster_id) via union-find on the
+    driver. Valid while the candidate-pair set is small — which banded
+    LSH guarantees for sane thresholds (ray_guide: 'union-find on the
+    driver only if the candidate set is provably small'). cluster_id =
+    min doc_id in the component (deterministic representative)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root keeps the representative deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = pairs.select_columns(["doc_a", "doc_b"])
+    for b in rows.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for a_, b_ in zip(b.column("doc_a").to_pylist(),
+                          b.column("doc_b").to_pylist()):
+            union(a_, b_)
+    nodes = sorted(set(parent) | {find(x) for x in parent})
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+    })
+
+
+def cluster_pairs_label_propagation(pairs, max_rounds: int = 10):
+    """Distributed alternative: iterative min-label propagation —
+    each round every node adopts the min label among itself and its
+    neighbors (two shuffles per round: label join by node, min-agg by
+    node). Converges in O(component diameter) rounds; this is the
+    cluster-scale path when the pair set cannot sit on the driver.
+    Returns the same (doc_id, cluster_id) table as the driver variant
+    (asserted equal in tests)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        # symmetric closure + self-loops: node -> candidate label
+        a = t.column("doc_a").to_pylist()
+        b = t.column("doc_b").to_pylist()
+        node = a + b + a + b
+        lab = b + a + a + b
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "label": pa.array(lab, pa.int64())})
+
+    labels = edges.map_batches(_sym, batch_format="pyarrow").groupby(
+        "node"
+    ).aggregate(Min("label", alias_name="label")).materialize()
+
+    for _ in range(max_rounds):
+        import ray
+
+        lmap = {r["node"]: r["label"] for r in labels.iter_rows()}
+        ref = ray.put(lmap)
+
+        def _relabel(t: pa.Table) -> pa.Table:
+            lm = ray.get(ref)
+            a = t.column("doc_a").to_pylist()
+            b = t.column("doc_b").to_pylist()
+            node, lab = [], []
+            for x, y in zip(a, b):
+                lx, ly = lm.get(x, x), lm.get(y, y)
+                m = min(lx, ly)
+                node.extend((x, y))
+                lab.extend((m, m))
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "label": pa.array(lab, pa.int64())})
+
+        new_labels = edges.map_batches(_relabel, batch_format="pyarrow").groupby(
+            "node"
+        ).aggregate(Min("label", alias_name="label")).materialize()
+        new_map = {r["node"]: r["label"] for r in new_labels.iter_rows()}
+        if new_map == {r["node"]: r["label"] for r in labels.iter_rows()}:
+            labels = new_labels
+            break
+        labels = new_labels
+
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "label": "cluster_id"}
+    ).sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

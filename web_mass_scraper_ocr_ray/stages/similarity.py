@@ -173,6 +173,101 @@ def knn_lsh(emb_ds, query_ids, k: int = 5, n_bits: int = 8,
     )
 
 
+class IVFIndexParams:
+    """Deterministic IVF coarse quantizer: k-means (few Lloyd rounds)
+    over a seeded sample — built ONCE on the driver, broadcast to all
+    tasks. At cluster scale the sample is a `random_sample` pushdown;
+    centroid count ~ sqrt(N) keeps probe lists balanced."""
+
+    def __init__(self, vecs: np.ndarray, n_clusters: int = 16,
+                 iters: int = 5, seed: int = 31):
+        rng = np.random.RandomState(seed)
+        n = len(vecs)
+        idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+        cents = vecs[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(vecs @ cents.T, axis=1)  # cosine (normalized)
+            for c in range(len(cents)):
+                members = vecs[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 0:
+                        cents[c] = m / norm
+        self.centroids = cents
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return np.argmax(vecs @ self.centroids.T, axis=1)
+
+
+def knn_ivf(emb_ds, query_ids, k: int = 5, n_clusters: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 31):
+    """IVF approximate top-k: coarse k-means quantizer; each query
+    probes its ``nprobe`` nearest centroids; only vectors assigned to a
+    probed cluster are scored. One map_batches pass; no shuffle (the
+    probe set is broadcast). Recall vs brute force asserted in tests."""
+    import ray
+
+    ids_all, vecs_all = [], []
+    sample = emb_ds.select_columns([id_col, vec_col])
+    for b in sample.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_all.extend(b.column(id_col).to_pylist())
+        vecs_all.append(_matrix(b.column(vec_col)))
+    full = _normalize(np.concatenate(vecs_all))
+    index = IVFIndexParams(full, n_clusters=n_clusters, seed=seed)
+
+    qset = sorted(int(q) for q in query_ids)
+    pos = {v: i for i, v in enumerate(ids_all)}
+    qm = np.stack([full[pos[q]] for q in qset])
+    # per-query probed clusters: nprobe nearest centroids
+    sims_qc = qm @ index.centroids.T
+    probes = np.argsort(-sims_qc, axis=1)[:, :nprobe]
+    cluster_to_qs: dict = {}
+    for qi, q in enumerate(qset):
+        for c in probes[qi]:
+            cluster_to_qs.setdefault(int(c), []).append(q)
+    ref = ray.put((index.centroids, cluster_to_qs,
+                   {q: qm[i] for i, q in enumerate(qset)}))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        cents, c2q, qvecs = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(_matrix(batch.column(vec_col)))
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(ids)):
+            qs = c2q.get(int(assign[i]))
+            if not qs:
+                continue
+            for q in qs:
+                if ids[i] == q:
+                    continue
+                out_q.append(q)
+                out_n.append(int(ids[i]))
+                out_s.append(float(vecs[i] @ qvecs[q]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    def _final_topk(group: pa.Table) -> pa.Table:
+        q = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        cos = np.asarray(group.column("cosine").to_pylist())
+        order = np.lexsort((nid, -cos))[:k]
+        return pa.table({
+            "query_id": pa.array([q] * len(order), pa.int64()),
+            "rank": pa.array(list(range(1, len(order) + 1)), pa.int64()),
+            "neighbor_id": pa.array([int(nid[i]) for i in order], pa.int64()),
+        })
+
+    return emb_ds.map_batches(_score, batch_format="pyarrow").groupby(
+        "query_id"
+    ).map_groups(_final_topk, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding"):
     """All pairs with cosine ≥ threshold (a < b), as
