@@ -147,7 +147,7 @@ def run_scaling() -> dict:
     32-CPU run is kernel-dominated: scaling efficiency on a job whose
     wall time is mostly fixed latency measures the overhead, not the
     engine."""
-    rep = str(_env_int("GRAFT_SCALING_REPLICATION", 400))
+    rep = str(_env_int("GRAFT_SCALING_REPLICATION", 2000))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

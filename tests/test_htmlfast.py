@@ -1,0 +1,132 @@
+"""Fast scanner ≡ stdlib-parser reference — equality is the contract.
+
+htmlfast.extract_visible_text_fast is the production kernel;
+htmltext.extract_visible_text is the independent reference. Any
+divergence on any input is a bug in the fast path.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from web_mass_scraper_ocr_ray.functions.htmlfast import extract_visible_text_fast
+from web_mass_scraper_ocr_ray.functions.htmltext import extract_visible_text
+
+
+def _assert_equal(html: bytes):
+    r, f = extract_visible_text(html), extract_visible_text_fast(html)
+    assert f.text == r.text, html
+    assert f.images == r.images, html
+    assert [(s.start, s.end) for s in f.spans] == [
+        (s.start, s.end) for s in r.spans
+    ], html
+
+
+FIXTURES = [
+    b"", b"just text", b"<html><p>hi</p></html>",
+    b"<body><p>one</p><p>two</p></body>",
+    b"<p>a \t\n  b</p>", "<p>a&nbsp;&nbsp;b</p>".encode(),
+    b"<html><head><title>T</title><style>p{}</style>"
+    b"<script>var x='<p>S</p>';</script></head>"
+    b"<body><template><p>tpl</p></template><noscript>ns</noscript>ok</body>",
+    b"<p>a<!-- c -->b</p>", b"<div hidden>x</div><div>y</div>",
+    b'a<span style="display: NONE">x</span>b',
+    b'<div style="visibility:hidden">x</div>y',
+    b"<svg><text>sv</text></svg>ok<iframe>if</iframe>",
+    b"a<b>b</b><i>c</i>d", b"a<br>b<br/>c", b"a<hr>b",
+    b"<ul><li>a</li><li>b</li></ul>",
+    b"<table><tr><td>a</td><td>b</td></tr></table>",
+    b"<p>a<p>b", b"a</div>b", b"<div/>after", b"<p>unclosed",
+    "<p>grüße 😀 中文</p>".encode(), b"<p>a\xff\xfeb</p>",
+    b"<p>&lt;x&gt; &amp; &#65;</p>",
+    b'<img src="1.png"><p><img src=""></p><img src="2.png"/><img>',
+    b'<div hidden><img src="h.png"></div><img src="v.png">',
+    b'<template><img src="t.png"></template><img src="v.png">',
+    b'a<img src="x.png" alt="ALT">b',
+    b"<!DOCTYPE html><html><body>doc</body></html>",
+    b"<![CDATA[ raw ]]>x",
+    b"<script>never closed",
+    b"<p>amp & lone</p>",
+    b"<img src=unquoted.png >x",
+    b"<IMG SRC='caps.png'>x",
+    b"<DIV>UPPER</DIV>",
+]
+
+
+def test_fixture_equality():
+    for html in FIXTURES:
+        _assert_equal(html)
+
+
+def test_full_corpus_equality():
+    from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+
+    tbl = synth_pages_table("/root/testdata/sf0.001")
+    for html in tbl.column("html").to_pylist():
+        _assert_equal(html)
+
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="<>&"),
+    max_size=20,
+)
+_tags = st.sampled_from(
+    ["p", "div", "span", "b", "li", "h2", "td", "section", "em"]
+)
+
+
+@st.composite
+def _docs(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 10))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(_texts))
+        elif kind == 1:
+            tag = draw(_tags)
+            parts.append(f"<{tag}>{draw(_texts)}</{tag}>")
+        elif kind == 2:
+            parts.append(f"<img src=\"{draw(st.integers(0, 99))}.png\">")
+        elif kind == 3:
+            parts.append("<br>")
+        elif kind == 4:
+            parts.append(f"<!--{draw(_texts)}-->")
+        else:
+            tag = draw(_tags)
+            inner = draw(_tags)
+            parts.append(
+                f"<{tag}>{draw(_texts)}<{inner}>{draw(_texts)}</{inner}>"
+                f"{draw(_texts)}</{tag}>"
+            )
+    return "".join(parts).encode()
+
+
+@settings(max_examples=300, deadline=None)
+@given(_docs())
+def test_property_equality(html):
+    _assert_equal(html)
+
+
+def test_entities_in_src():
+    r = extract_visible_text(b'<img src="a&amp;b.png">')
+    f = extract_visible_text_fast(b'<img src="a&amp;b.png">')
+    assert r.images == f.images == ["a&b.png"]
+
+
+def test_speedup_exists():
+    """The fast path must actually be faster (>=2x) on the corpus."""
+    import time
+
+    from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+
+    htmls = synth_pages_table("/root/testdata/sf0.001").column(
+        "html"
+    ).to_pylist()[:200]
+    t0 = time.perf_counter()
+    for h in htmls:
+        extract_visible_text(h)
+    t_ref = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for h in htmls:
+        extract_visible_text_fast(h)
+    t_fast = time.perf_counter() - t0
+    assert t_fast < t_ref / 2

@@ -37,13 +37,17 @@ def extracted_rows(ray_session):
 
 
 def test_byte_identical_text_vs_oracle(extracted_rows):
-    """Every url's pipeline text equals the Ray-free oracle's, byte for byte."""
+    """Every url's pipeline text equals the Ray-free oracle's, byte for
+    byte. The oracle runs the INDEPENDENT stdlib-parser implementation
+    (htmltext), not the production fast scanner — no shared hot path."""
+    from web_mass_scraper_ocr_ray.functions.htmltext import extract_visible_text
+
     tbl = synth_pages_table(SF)
     urls = tbl.column("url").to_pylist()
     htmls = tbl.column("html").to_pylist()
     assert len(extracted_rows) == len(urls)
     for url, html in zip(urls, htmls):
-        golden = extract_row(url, html)
+        golden = extract_row(url, html, extractor=extract_visible_text)
         got = extracted_rows[url]
         assert got["text"] == golden["text"], url
         assert got["hostname"] == golden["hostname"]

@@ -1,0 +1,194 @@
+"""Fast visible-text scanner — the production extract kernel.
+
+Same contract as ``htmltext.extract_visible_text`` (which stays as the
+in-repo REFERENCE implementation): cleaned text, per-segment spans,
+DOM-order image srcs. This one is a single compiled-regex tokenizer
+instead of stdlib ``html.parser``'s per-character state machine —
+~2-4× less CPU per document, which multiplies directly into pipeline
+throughput (the DOM walk is the dominant cost at scale, BASELINE.md).
+
+Equality with the reference implementation is enforced by
+``tests/test_htmlfast.py``: every unit fixture family runs against both,
+plus a hypothesis property test and full-corpus comparisons. Any
+divergence is a bug in THIS file.
+
+Simplifications that are safe under the contract:
+  - raw containers (script/style/template/noscript) are skipped by
+    jumping to their first closing tag — nested same-name containers
+    (invalid HTML anyway) are not specially handled;
+  - attributes are parsed only where observed: ``img src``,
+    ``hidden``/``style`` for visibility;
+  - entity decoding (html.unescape) runs only on text chunks containing
+    '&' — identical semantics to HTMLParser(convert_charrefs=True),
+    which uses the same table.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from typing import List, Optional
+
+from .htmltext import (
+    _BLOCK_TAGS,
+    _RAW_SKIP_TAGS,
+    _TEXT_SKIP_TAGS,
+    _VOID_TAGS,
+    ExtractResult,
+    Span,
+)
+from .textclean import clean_text
+
+# One pass: comments / CDATA / doctype / processing instrs / tags.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|<\s*(/?)([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.S,
+)
+
+_SRC_RE = re.compile(r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_HIDDEN_RE = re.compile(r"\bhidden\b(?!\s*=\s*[\"']?\s*false)", re.I)
+_STYLE_RE = re.compile(r"""\bstyle\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_DISPLAY_NONE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+
+_RAW_CLOSERS = {
+    tag: re.compile(rf"</\s*{tag}\s*>", re.I) for tag in _RAW_SKIP_TAGS
+}
+
+
+def _is_hidden_attrs(attrs: str) -> bool:
+    if not attrs:
+        return False
+    if _HIDDEN_RE.search(attrs):
+        return True
+    m = _STYLE_RE.search(attrs)
+    if m:
+        style = m.group(2) or m.group(3) or m.group(4) or ""
+        if _DISPLAY_NONE_RE.search(style):
+            return True
+    return False
+
+
+def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
+    """Drop-in replacement for htmltext.extract_visible_text."""
+    if not html:
+        return ExtractResult(text="")
+    if isinstance(html, memoryview):
+        html = html.tobytes()
+    s = html.decode("utf-8", errors="replace")
+
+    stack: List[str] = []
+    hidden_deltas: List[int] = []
+    text_skip = 0
+    buf: List[str] = []
+    buf_path: Optional[str] = None
+    segments: List[tuple] = []
+    images: List[str] = []
+
+    def flush():
+        nonlocal buf, buf_path
+        if buf:
+            segments.append(("".join(buf), buf_path or "body"))
+            buf = []
+            buf_path = None
+
+    def add_text(chunk: str):
+        nonlocal buf_path
+        if not chunk or text_skip:
+            return
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        if buf_path is None:
+            buf_path = "/".join(stack) if stack else "body"
+        buf.append(chunk)
+
+    pos = 0
+    n = len(s)
+    while pos < n:
+        m = _TOKEN_RE.search(s, pos)
+        if m is None:
+            add_text(s[pos:])
+            break
+        if m.start() > pos:
+            add_text(s[pos : m.start()])
+        pos = m.end()
+        closing, tag, attrs = m.group(1), m.group(2), m.group(3)
+        if tag is None:
+            continue  # comment / doctype / cdata / PI
+        tag = tag.lower()
+
+        if not closing:
+            if tag == "img":
+                # inside raw containers img is not DOM-visible; raw
+                # containers never reach here (skipped below)
+                sm = _SRC_RE.search(attrs or "")
+                if sm:
+                    src = sm.group(2) or sm.group(3) or sm.group(4)
+                    if src:
+                        images.append(unescape(src) if "&" in src else src)
+                continue
+            if tag == "br":
+                if not text_skip:
+                    buf.append("\n")
+                continue
+            if tag == "hr":
+                if not text_skip:
+                    flush()
+                continue
+            if tag in _VOID_TAGS:
+                continue
+            if tag in _RAW_SKIP_TAGS:
+                # jump to the closing tag; content contributes nothing
+                cm = _RAW_CLOSERS[tag].search(s, pos)
+                pos = cm.end() if cm else n
+                continue
+
+            hidden = _is_hidden_attrs(attrs)
+            self_closing = bool(attrs) and attrs.rstrip().endswith("/")
+
+            if tag == "p" and stack and stack[-1] == "p":
+                # HTML5 implicit </p> before a new <p>
+                stack.pop()
+                d_p = hidden_deltas.pop()
+                if not text_skip:
+                    flush()
+                text_skip -= d_p
+            if tag in _BLOCK_TAGS and not text_skip and not hidden:
+                flush()
+            if self_closing:
+                continue  # empty element: no content, no stack entry
+            d = 1 if (tag in _TEXT_SKIP_TAGS or hidden) else 0
+            text_skip += d
+            stack.append(tag)
+            hidden_deltas.append(d)
+        else:
+            if tag in _VOID_TAGS or tag not in stack:
+                continue
+            while stack:
+                top = stack.pop()
+                d = hidden_deltas.pop()
+                if top in _BLOCK_TAGS and not text_skip:
+                    flush()
+                text_skip -= d
+                if top == tag:
+                    break
+
+    flush()
+
+    pieces: List[str] = []
+    spans: List[Span] = []
+    out_pos = 0
+    for raw, path in segments:
+        cleaned = clean_text(raw)
+        if not cleaned:
+            continue
+        if pieces:
+            out_pos += 1
+        spans.append(Span(start=out_pos, end=out_pos + len(cleaned), path=path))
+        pieces.append(cleaned)
+        out_pos += len(cleaned)
+    return ExtractResult(text=" ".join(pieces), spans=spans, images=images)

@@ -8,8 +8,10 @@ Scale design (the part that matters at 100 TB):
     IS the result (hash, keeper, dup_count).
   - **MinHash+LSH**: per-batch numpy minhash signatures → explode to
     (band_id, band_hash, doc_id) rows (b small ints per doc — tiny vs
-    the documents) → groupby the band key → candidate pairs within
-    buckets → verify. The only all-to-all moves b×8-byte keys per doc.
+    the documents) → groupby a COARSE key (band_hash % 512, see
+    N_COARSE_BUCKETS) with a vectorized fine-key groupby inside each
+    group → candidate pairs → verify. The only all-to-all moves
+    b×8-byte keys per doc.
   - **SimHash**: 64-bit signature per doc → 4×16-bit band blocking for
     hamming ≤ 3 candidates → verify hamming on the 8-byte sigs.
   - **n-gram Jaccard**: exact verification on candidate pairs only —
