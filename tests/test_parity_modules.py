@@ -262,3 +262,23 @@ class TestCLI:
         assert r2.returncode == 0
         s2 = json.loads(r2.stdout)
         assert s2["urls_total"] == 200
+
+
+class TestUrlAntiJoinUtil:
+    def test_filter_uncommitted_batch(self):
+        """url-hash part anti-join utility (J2 broadcast-set filter)."""
+        import pyarrow as pa
+
+        from web_mass_scraper_ocr_ray.state.manifest import (
+            assign_part_id,
+            filter_uncommitted_batch,
+        )
+
+        batch = pa.table({"url": [f"https://a.com/{i}" for i in range(100)]})
+        batch = assign_part_id(batch, num_partitions=4)
+        parts = batch.column("part_id").to_pylist()
+        kept = filter_uncommitted_batch(batch, committed={0, 1})
+        assert kept.num_rows == sum(1 for p in parts if p not in (0, 1))
+        assert all(p in (2, 3) for p in kept.column("part_id").to_pylist())
+        # empty committed set → passthrough
+        assert filter_uncommitted_batch(batch, committed=set()).num_rows == 100

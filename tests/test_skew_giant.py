@@ -1,0 +1,72 @@
+"""Giant-page family (FIXTURES.md §1 'giant'): multi-MB pages with
+hundreds of images must flow through the full pipeline with bounded
+memory — the skew story end-to-end."""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+
+def _giant_corpus(n_small=50, n_giant=3):
+    """Mixed corpus: small pages + multi-MB pages with 200 images."""
+    rows = {"url": [], "warc_ts": [], "html": []}
+    ts = datetime.datetime(2024, 1, 1)
+    for i in range(n_small):
+        rows["url"].append(f"https://small.example.com/{i}")
+        rows["warc_ts"].append(ts)
+        rows["html"].append(f"<p>small doc {i}</p>".encode())
+    import base64
+
+    img = (
+        '<img src="data:image/png;base64,'
+        + base64.b64encode(b"STUB1:giant image text").decode()
+        + '"/>'
+    )
+    for i in range(n_giant):
+        body = "<div>" + ("lorem ipsum " * 200_000) + "</div>"  # ~2.4 MB
+        html = f"<html><body><h1>giant {i}</h1>{body}{img * 200}</body></html>"
+        rows["url"].append(f"https://giant.example.com/{i}")
+        rows["warc_ts"].append(ts)
+        rows["html"].append(html.encode())
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(rows["html"], pa.binary()),
+        }
+    )
+
+
+def test_giant_pages_end_to_end(ray_session):
+    import ray.data as rd
+
+    from web_mass_scraper_ocr_ray import PipelineConfig, build_pipeline
+
+    tbl = _giant_corpus()
+    # small byte budget → giants must be sliced into their own units
+    cfg = PipelineConfig(skew_bucket_bytes=1 * 1024 * 1024)
+    rows = build_pipeline(rd.from_arrow(tbl), cfg).take_all()
+    by_url = {r["url"]: r for r in rows}
+    assert len(rows) == 53
+    g0 = by_url["https://giant.example.com/0"]
+    assert g0["status"] == "completed"
+    assert g0["text"].startswith("giant 0 lorem ipsum")
+    assert g0["text_length"] > 2_000_000
+    assert g0["ocr_attempts"] == 200
+    assert g0["ocr_successes"] == 200
+    assert g0["ocr"]["total_ocr_text"].count("giant image text") == 200
+    assert by_url["https://small.example.com/0"]["text"] == "small doc 0"
+
+
+def test_giant_pages_byte_budget_slicing():
+    """Unit check: the sliced batch path splits around the giants."""
+    from web_mass_scraper_ocr_ray.stages.extract import (
+        extract_batch,
+        extract_batch_sliced,
+    )
+
+    tbl = _giant_corpus(n_small=10, n_giant=2)
+    a = extract_batch(tbl)
+    b = extract_batch_sliced(tbl, byte_budget=1 * 1024 * 1024)
+    assert a.column("text").to_pylist() == b.column("text").to_pylist()

@@ -59,6 +59,11 @@ class PipelineConfig:
     # input column pruning at the read
     input_columns: tuple = ("url", "warc_ts", "html")
 
+    # Ray Data block sizing (None → Ray default 128 MiB). Lower it for
+    # corpora of very large pages so one task never holds an unbounded
+    # html byte budget (a task = a block; §4.4 straggler bounding).
+    target_max_block_size: Optional[int] = None
+
     # keep raw html bytes in the output? (reference writes page.html —
     # S8; prod default drops it: raw html already lives in the input)
     keep_html: bool = False

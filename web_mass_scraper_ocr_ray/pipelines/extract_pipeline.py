@@ -237,6 +237,12 @@ def run_pipeline(pages, cfg: Optional[PipelineConfig] = None) -> Dict:
     from .._compat import ensure_threadsafe_fsspec_http
 
     ensure_threadsafe_fsspec_http()
+    if cfg.target_max_block_size:
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = (
+            cfg.target_max_block_size
+        )
 
     # resolve input → list of (group_id, files-or-dataset)
     if isinstance(pages, (str, list, tuple)):

@@ -15,8 +15,7 @@ None of these call ray.init(): the driver owns the session.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List
+from typing import Dict
 
 import pyarrow as pa
 import pyarrow.compute as pc

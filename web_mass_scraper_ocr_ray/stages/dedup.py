@@ -26,7 +26,7 @@ shingles (`np.frombuffer` sliding-window hashing).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import pyarrow as pa

@@ -19,7 +19,6 @@ the LSH buckets (candidates within buckets only).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

@@ -35,7 +35,7 @@ import hashlib
 import json
 import os
 import shutil
-from typing import Dict, Iterable, List, Optional, Set
+from typing import Dict, List, Set
 
 import pyarrow as pa
 
