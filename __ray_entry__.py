@@ -265,6 +265,53 @@ SELECT user_id,
   max(value) AS max_value
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """,
+        "events_sliding": """
+WITH ev AS (
+  SELECT user_id, value,
+    time_bucket(INTERVAL 30 MINUTE, ts) AS w0
+  FROM events
+),
+expanded AS (
+  SELECT user_id, value, w0 AS window_start FROM ev
+  UNION ALL
+  SELECT user_id, value, w0 - INTERVAL 30 MINUTE AS window_start FROM ev
+)
+SELECT user_id, window_start,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM expanded GROUP BY user_id, window_start
+""",
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 12 HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS start_ts,
+  max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+""",
+        "top_events_per_user": """
+SELECT user_id,
+  CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id ASC) AS BIGINT)
+    AS rank,
+  event_id
+FROM events
+QUALIFY rank <= 3
+""",
         # doc_langid, doc_fingerprint, dedup_minhash, dedup_ngram_jaccard,
         # dedup_simhash, knn_lsh, multimodal_decode: not SQL-expressible
         # (heuristic models / signature algorithms / stub decoding) —

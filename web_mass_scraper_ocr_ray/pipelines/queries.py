@@ -460,6 +460,93 @@ def q_events_tumbling(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding window (1h size, 30min slide) per user: every event maps
+    to exactly two windows — emitted as two rows per event in one
+    map_batches (no per-row Python), then one grouped aggregate. This
+    is the streaming-batch expression of overlapping windows: expansion
+    factor = size/slide, shuffle key = (user, window)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def _expand(t: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
+        w_prev = pc.subtract(
+            w0, pa.scalar(1_800_000_000, pa.duration("us"))
+        )
+        base = pa.table({
+            "user_id": t.column("user_id"),
+            "value": t.column("value"),
+        })
+        first = base.append_column("window_start", w0)
+        second = base.append_column("window_start", w_prev)
+        return pa.concat_tables([first, second])
+
+    return ev.map_batches(_expand, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h — sized to the corpus's
+# median inter-event gap (~7.7h) so sessions actually merge events
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (gap-based) per user — the classic stateful
+    streaming op as a batch groupby: partition by user, sort by ts
+    within the group, break sessions where the gap exceeds the
+    threshold. Ordering assumption: per-user event order is total
+    (no duplicate (user, ts) — holds for this corpus)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff()
+        brk = (gap.isna()) | (gap > pd.Timedelta(microseconds=SESSION_GAP_US))
+        g["session_id"] = brk.cumsum().astype("int64")
+        out = g.groupby("session_id").agg(
+            n_events=("ts", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Grouped top-k: 3 highest-value events per user (tie-break
+    event_id). Partial top-k per batch would be the at-scale shape;
+    with 15 users a direct groupby.map_groups is the simple form."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["user_id", "rank", "event_id"]]
+
+    return ev.groupby("user_id").map_groups(_topk, batch_format="pandas")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -486,6 +573,9 @@ QUERIES: Dict[str, callable] = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "top_events_per_user": q_top_events_per_user,
     "ordered_range": q_ordered_range,
     "lang_distribution": q_lang_distribution,
     "source_rollup": q_source_rollup,
