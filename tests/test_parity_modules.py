@@ -282,3 +282,70 @@ class TestUrlAntiJoinUtil:
         assert all(p in (2, 3) for p in kept.column("part_id").to_pylist())
         # empty committed set → passthrough
         assert filter_uncommitted_batch(batch, committed=set()).num_rows == 100
+
+
+class TestTwoPhaseAggregate:
+    def test_matches_direct_groupby(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        from web_mass_scraper_ocr_ray.stages.shuffle import two_phase_aggregate
+
+        tbl = pa.table({
+            "k": [f"key{i % 7}" for i in range(1000)],
+            "v": [float(i % 13) for i in range(1000)],
+            "w": list(range(1000)),
+        })
+        ds = rd.from_arrow(tbl).repartition(8)
+        direct = rd.from_arrow(tbl).groupby("k").aggregate(
+            Count(alias_name="n"),
+            Sum("w", alias_name="sum_w"),
+            Min("v", alias_name="min_v"),
+            Max("v", alias_name="max_v"),
+        ).to_pandas().sort_values("k", ignore_index=True)
+        two = two_phase_aggregate(ds, "k", {
+            "n": (None, "count"),
+            "sum_w": ("w", "sum"),
+            "min_v": ("v", "min"),
+            "max_v": ("v", "max"),
+        }).to_pandas().sort_values("k", ignore_index=True)
+        assert direct[["k", "n", "sum_w", "min_v", "max_v"]].equals(
+            two[["k", "n", "sum_w", "min_v", "max_v"]]
+        )
+
+    def test_salted_group_sizes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.shuffle import salted_group_sizes
+
+        tbl = pa.table({"k": ["hot"] * 900 + ["cold"] * 100})
+        out = salted_group_sizes(rd.from_arrow(tbl), "k", n_salts=4).take_all()
+        hot = sum(r["n"] for r in out if r["k"] == "hot")
+        assert hot == 900
+        assert max(r["n"] for r in out if r["k"] == "hot") <= 900  # split
+        assert len({r["_salt"] for r in out if r["k"] == "hot"}) == 4
+
+
+class TestMultimodalPdf:
+    def test_pdf_routes_to_document_kind(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.multimodal import decode_media
+
+        tbl = pa.table({
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [b"STUB1:pdf text", b"%PDF-1.7 raw", b"not a pdf"],
+                pa.binary(),
+            ),
+            "mime": pa.array(["application/pdf"] * 3, pa.string()),
+        })
+        rows = {r["media_id"]: r for r in
+                decode_media(rd.from_arrow(tbl), concurrency=1).take_all()}
+        assert all(r["meta"]["kind"] == "document" for r in rows.values())
+        assert rows[1]["meta"]["ok"] and rows[2]["meta"]["ok"]
+        assert not rows[3]["meta"]["ok"]
+        assert rows[1]["meta"]["width"] == 612

@@ -188,15 +188,26 @@ def session_summary(ds) -> Dict:
 
 def hostname_rollup(ds):
     """Per-host aggregate (A5) — shuffle key = hostname (SURVEY.md §4.3),
-    mirroring the reference's per-hostname artifact tree (main.py:133-138)."""
-    from ray.data.aggregate import Count, Sum
+    mirroring the reference's per-hostname artifact tree (main.py:133-138).
 
-    return ds.groupby("hostname").aggregate(
-        Count(alias_name="pages"),
-        Sum("text_length", alias_name="sum_text_length"),
-        Sum("word_count", alias_name="sum_word_count"),
-        Sum("n_images", alias_name="sum_images"),
-        Sum("ocr_successes", alias_name="sum_ocr_successes"),
+    Two-phase: each batch collapses to one row per host before the
+    shuffle (stages/shuffle.py) — pages repeat hosts heavily, so the
+    all-to-all moves per-host partials, not per-page rows."""
+    from ..stages.shuffle import two_phase_aggregate
+
+    return two_phase_aggregate(
+        ds.select_columns(
+            ["hostname", "text_length", "word_count", "n_images",
+             "ocr_successes"]
+        ),
+        "hostname",
+        {
+            "pages": (None, "count"),
+            "sum_text_length": ("text_length", "sum"),
+            "sum_word_count": ("word_count", "sum"),
+            "sum_images": ("n_images", "sum"),
+            "sum_ocr_successes": ("ocr_successes", "sum"),
+        },
     )
 
 

@@ -59,8 +59,12 @@ class MediaDecoder:
         if payload is None or not mime:
             return meta
         meta["n_bytes"] = len(payload)
-        kind = mime.split("/", 1)[0]
-        if kind not in ("image", "audio", "video"):
+        if mime == "application/pdf":
+            kind = "document"  # PDF/layout-parse route (north_star);
+            # real impl: layout-block extraction per actor, order kept
+        else:
+            kind = mime.split("/", 1)[0]
+        if kind not in ("image", "audio", "video", "document"):
             return meta
         meta["kind"] = kind
         if self.strict and not payload.startswith(b"STUB1:"):
@@ -71,6 +75,16 @@ class MediaDecoder:
         if kind == "image":
             w, h = _stub_dims(payload)
             meta["width"], meta["height"] = w, h
+        elif kind == "document":
+            # stub layout parse: deterministic page count from size;
+            # real path: per-actor PDF engine emitting layout blocks in
+            # reading order (the OCRStage pattern, same plumbing)
+            meta["width"], meta["height"] = 612, 792  # US-Letter pts
+            meta["duration_ms"] = 0
+            meta["ok"] = payload.startswith(b"STUB1:") or payload.startswith(
+                b"%PDF"
+            )
+            return meta
         else:
             meta["duration_ms"] = 1 + len(payload) % 60_000
         meta["ok"] = True

@@ -1,0 +1,88 @@
+"""Shuffle-reduction utilities — two-phase aggregation (combiner).
+
+A bare ``groupby(key).aggregate(...)`` shuffles EVERY row to its key's
+reducer. For algebraic aggregates (sum/count/min/max) the canonical
+fix is a map-side combine: collapse each batch to one row per key
+first, then shuffle only the partials — the all-to-all moves
+O(distinct keys × batches) rows instead of O(rows). This is the
+difference between a 100 TB shuffle and a few-GB one when keys repeat
+heavily (hostnames do: a CC-scale crawl has ~10⁸ hosts for 10¹² pages).
+
+For non-algebraic per-group logic with HOT keys, the companion pattern
+is salting: group by (key, hash(row) % n_salts), reduce within salt,
+then merge per key — bounded group size at the cost of a second tiny
+aggregate. ``salted_group_sizes`` below is the probe used to decide.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+# spec: out_col -> (in_col | None for count, op in sum|count|min|max)
+AggSpec = Dict[str, Tuple[str, str]]
+
+
+def _combine_batch(df: pd.DataFrame, key, spec: AggSpec) -> pd.DataFrame:
+    agg_kwargs = {}
+    for out, (col, op) in spec.items():
+        if op == "count":
+            # count partials are SUMs of per-batch counts downstream;
+            # materialize as a countable column
+            agg_kwargs[out] = (key[0] if col is None else col, "size" if col is None else "count")
+        else:
+            agg_kwargs[out] = (col, op)
+    g = df.groupby(list(key), as_index=False).agg(**agg_kwargs)
+    return g
+
+
+def two_phase_aggregate(ds, key, spec: AggSpec):
+    """Map-side combine + small final aggregate.
+
+    ``spec``: {out_col: (in_col_or_None, 'sum'|'count'|'min'|'max')}.
+    Count partials merge by SUM; sum/min/max merge by themselves.
+    Returns a Dataset with columns [key..., *spec].
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if isinstance(key, str):
+        key = (key,)
+    key = tuple(key)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _combine_batch(df, key, spec)
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+
+    merge_aggs = []
+    for out, (col, op) in spec.items():
+        if op in ("sum", "count"):
+            merge_aggs.append(Sum(out, alias_name=out))
+        elif op == "min":
+            merge_aggs.append(Min(out, alias_name=out))
+        elif op == "max":
+            merge_aggs.append(Max(out, alias_name=out))
+        else:
+            raise ValueError(f"unsupported op {op!r} (algebraic ops only)")
+    return partials.groupby(list(key)).aggregate(*merge_aggs)
+
+
+def salted_group_sizes(ds, key, n_salts: int = 16):
+    """Diagnostic: per-(key, salt) sizes — the probe for deciding
+    whether a hot key needs salting before a per-group map_groups."""
+    import numpy as np
+
+    def _salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_salt"] = np.arange(len(df)) % n_salts
+        return df.groupby([key, "_salt"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(_salt, batch_format="pandas").groupby(
+        [key, "_salt"]
+    ).aggregate(Sum("n", alias_name="n"))
