@@ -7,23 +7,63 @@ batches, actor pools for stateful stages).
 
 Reference semantics (what to compute, not how) are taken from
 ``EmiliosRichards/Web-Mass-Scraper-OCR`` — see SURVEY.md; each module
-cites the reference ``file:line`` it reproduces.
+cites the reference ``file:line`` it reproduces. COVERAGE.md maps the
+full operator inventory to implementations, tests and oracle queries.
 
-Public API (reference analog: ``src/scraper_app/__init__.py:34-53``):
-  - ``build_pipeline(cfg)`` / ``run_pipeline(cfg)`` — flagship pipeline
-  - ``extract_batch(tbl)`` — HTML → text/spans/images, pyarrow in/out
-  - ``OCRStage`` — stateful actor-pool OCR stage
+Public API (reference analog: ``src/scraper_app/__init__.py:34-53``).
 """
 
 from .config import PipelineConfig
-from .stages.extract import extract_batch
-from .stages.ocr_stage import OCRStage
-from .pipelines.extract_pipeline import build_pipeline, run_pipeline
+from .functions.htmlfast import extract_visible_text_fast
+from .functions.htmltext import ExtractResult, Span, extract_visible_text
+from .functions.retry import retry_with_backoff
+from .functions.textclean import clean_text, create_text_metadata
+from .functions.urltools import (
+    construct_absolute_url,
+    get_safe_filename,
+    get_url_specific_safe_dirname,
+    normalize_hostname,
+    validate_url,
+)
+from .ocr.engine import OCREngine, StubOCREngine, make_engine, parse_data_url
+from .pipelines.extract_pipeline import (
+    build_pipeline,
+    hostname_rollup,
+    run_pipeline,
+    session_summary,
+)
+from .stages.extract import extract_batch, extract_batch_sliced, extract_row
+from .stages.ocr_stage import OCRStage, ocr_batch_fused
 
 __all__ = [
+    # pipeline surface
     "PipelineConfig",
-    "extract_batch",
-    "OCRStage",
     "build_pipeline",
     "run_pipeline",
+    "session_summary",
+    "hostname_rollup",
+    # batch kernels
+    "extract_batch",
+    "extract_batch_sliced",
+    "extract_row",
+    "OCRStage",
+    "ocr_batch_fused",
+    # pure functions (utils.py analog surface)
+    "clean_text",
+    "create_text_metadata",
+    "validate_url",
+    "construct_absolute_url",
+    "normalize_hostname",
+    "get_safe_filename",
+    "get_url_specific_safe_dirname",
+    "extract_visible_text",
+    "extract_visible_text_fast",
+    "ExtractResult",
+    "Span",
+    "retry_with_backoff",
+    # OCR engines
+    "OCREngine",
+    "StubOCREngine",
+    "make_engine",
+    "parse_data_url",
 ]
