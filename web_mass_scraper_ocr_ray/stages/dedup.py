@@ -111,25 +111,37 @@ class MinHasher:
 
 
 def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
-    """(doc_id, minhash) → b rows (band_id, band_hash, doc_id)."""
-    ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    band_ids, band_hashes, doc_ids = [], [], []
-    r = len(sigs[0]) // n_bands if sigs else 0
-    for did, sig in zip(ids, sigs):
-        arr = np.asarray(sig, dtype=np.uint64).reshape(n_bands, r)
-        with np.errstate(over="ignore"):
-            bh = (
-                arr * np.uint64(0x9E3779B97F4A7C15)
-            ).sum(axis=1)  # cheap band mix
-        band_ids.extend(range(n_bands))
-        band_hashes.extend(int(x) for x in bh)
-        doc_ids.extend([did] * n_bands)
+    """(doc_id, minhash) → b rows (band_id, band_hash, doc_id).
+
+    One numpy op over the whole batch: the fixed-size-list minhash
+    column views as an (n_docs, n_perm) matrix; band hashes are a
+    single reshape+multiply+sum, and the output columns are built with
+    repeat/tile — no per-doc Python."""
+    n_rows = batch.num_rows
+    if n_rows == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+    ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    col = batch.column("minhash").combine_chunks()
+    n_perm = col.type.list_size
+    flat = np.asarray(col.values, dtype=np.uint64)
+    sig_matrix = flat.reshape(n_rows, n_perm)
+    r = n_perm // n_bands
+    with np.errstate(over="ignore"):
+        bh = (
+            sig_matrix.reshape(n_rows, n_bands, r)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ).sum(axis=2)  # (n_docs, n_bands)
     return pa.table(
         {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.uint64()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), n_rows)
+            ),
+            "band_hash": pa.array(bh.reshape(-1)),
+            "doc_id": pa.array(np.repeat(ids, n_bands)),
         }
     )
 
@@ -222,7 +234,11 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
     """
     import ray
 
-    cands = minhash_lsh_candidates(docs_ds, n_perm, n_bands, shingle_k)
+    # materialize: the candidate set is consumed twice (driver peek for
+    # the text fetch + the verify map) — without this the whole
+    # signature+shuffle pipeline re-executes for each consumer
+    cands = minhash_lsh_candidates(docs_ds, n_perm, n_bands,
+                                   shingle_k).materialize()
     cand_tbl = cands.to_pandas()
     if len(cand_tbl) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
