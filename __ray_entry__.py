@@ -200,6 +200,11 @@ SELECT doc_id,
   CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_len
 FROM documents
 """,
+        "dedup_exact_rows": """
+SELECT doc_id, md5(text) AS text_hash, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
         "dedup_exact_docs": """
 SELECT md5(text) AS text_hash,
   CAST(min(doc_id) AS BIGINT) AS keep_doc_id,

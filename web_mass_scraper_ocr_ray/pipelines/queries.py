@@ -256,6 +256,26 @@ def q_dedup_exact_docs(sf_dir: str):
     return dd.dedup_exact(_docs(sf_dir))
 
 
+def q_dedup_exact_rows(sf_dir: str):
+    """Exact dedup returning the SURVIVOR ROWS (first-wins by doc_id
+    within each content-hash group) — the groupby().map_groups(head(1))
+    form (ray_guide exact-dedup pattern), vs the aggregate form above."""
+    import pandas as pd
+
+    from ..stages.dedup import add_text_hash
+
+    hashed = _docs(sf_dir).map_batches(
+        lambda t: add_text_hash(t), batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_hash", "n_chars"])
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    return hashed.groupby("text_hash").map_groups(
+        _first, batch_format="pandas"
+    )
+
+
 def _docs_with_neardups(sf_dir: str):
     """documents ∪ mutated copies (id+1e6, ' xqz' appended) — every doc
     gains exactly one near-duplicate; used by the near-dup queries so
@@ -563,6 +583,7 @@ QUERIES: Dict[str, callable] = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
