@@ -200,6 +200,12 @@ SELECT doc_id,
   CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_len
 FROM documents
 """,
+        "doc_size_histogram": """
+SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(n_chars) AS BIGINT) AS sum_bytes
+FROM documents GROUP BY 1
+""",
         "dedup_exact_rows": """
 SELECT doc_id, md5(text) AS text_hash, n_chars
 FROM documents

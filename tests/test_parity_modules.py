@@ -349,3 +349,44 @@ class TestMultimodalPdf:
         assert rows[1]["meta"]["ok"] and rows[2]["meta"]["ok"]
         assert not rows[3]["meta"]["ok"]
         assert rows[1]["meta"]["width"] == 612
+
+
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        from web_mass_scraper_ocr_ray.stages.sketches import HyperLogLog
+
+        h1 = HyperLogLog(12)
+        h1.add_many([f"u{i}" for i in range(20_000)])
+        assert abs(h1.estimate() - 20_000) / 20_000 < 0.05
+        h2 = HyperLogLog(12)
+        h2.add_many([f"u{i}" for i in range(10_000, 30_000)])
+        h1.merge(h2)
+        assert abs(h1.estimate() - 30_000) / 30_000 < 0.05
+        # serialization round-trip preserves the estimate
+        h3 = HyperLogLog.from_bytes(h1.to_bytes())
+        assert h3.estimate() == h1.estimate()
+
+    def test_approx_distinct_vs_exact(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import synth_pages_dataset
+        from web_mass_scraper_ocr_ray.stages.sketches import approx_distinct
+
+        pages = synth_pages_dataset("/root/testdata/sf0.001", with_dups=True)
+        exact = 500  # dups share urls — distinct = base corpus size
+        est = approx_distinct(pages, "url")
+        assert abs(est - exact) / exact < 0.05
+
+    def test_size_histogram_conserves_totals(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sketches import size_histogram
+
+        docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = size_histogram(docs, "n_chars").take_all()
+        assert sum(r["n_pages"] for r in rows) == 500
+        import pyarrow.parquet as pq
+
+        total = sum(
+            pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["n_chars"]).column("n_chars").to_pylist()
+        )
+        assert sum(r["sum_bytes"] for r in rows) == total

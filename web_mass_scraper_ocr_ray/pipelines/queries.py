@@ -567,6 +567,26 @@ def q_top_events_per_user(sf_dir: str):
     return ev.groupby("user_id").map_groups(_topk, batch_format="pandas")
 
 
+def q_approx_distinct_urls(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT url) over the dup-injected corpus
+    — the mergeable-sketch pattern: one 4 KiB sketch per batch crosses
+    the wire, never the url column. Accuracy bound asserted in tests
+    (±5%); exact answer needs a full key shuffle."""
+    from ..stages.sketches import approx_distinct
+
+    pages = synth_pages_dataset(sf_dir, with_dups=True)
+    est = approx_distinct(pages, "url")
+    return pa.table({"approx_distinct_urls": pa.array([int(round(est))],
+                                                      pa.int64())})
+
+
+def q_doc_size_histogram(sf_dir: str):
+    """Deterministic log2-bucket size histogram (skew diagnosis, §4.4)."""
+    from ..stages.sketches import size_histogram
+
+    return size_histogram(_docs(sf_dir), column="n_chars")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -582,6 +602,8 @@ QUERIES: Dict[str, callable] = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "approx_distinct_urls": q_approx_distinct_urls,
+    "doc_size_histogram": q_doc_size_histogram,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash": q_dedup_minhash,

@@ -1,0 +1,118 @@
+"""Mergeable sketches — approximate aggregates for 100 TB-scale stats.
+
+The guide's sketch pattern: emit ONE serialized sketch per batch, merge
+in a second tiny stage — sketches are designed to be associative, so
+the shuffle moves O(batches × sketch_size) bytes, never the data.
+
+``HyperLogLog``: dense HLL (Flajolet et al. 2007) with the standard
+bias-corrected estimator. Register array = 2^p bytes (p=12 → 4 KiB,
+~1.6% standard error) — per-batch sketches are trivially broadcastable
+at any corpus size. Used for approx distinct counts (urls, hostnames)
+where an exact ``unique`` would be a full shuffle of the key column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @staticmethod
+    def _hash64(values) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.uint64)
+        for i, v in enumerate(values):
+            out[i] = int.from_bytes(
+                hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big"
+            )
+        return out
+
+    def add_many(self, values) -> "HyperLogLog":
+        if len(values) == 0:
+            return self
+        h = self._hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1, vectorized via
+        # bit-length: rank = 64 - p - floor(log2(rest_without_top)) ...
+        # simpler: count leading zeros on the shifted value
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        # leading-zero count via 64 - bit_length(v) (v has low bits set
+        # as sentinel so rank ≤ 64 - p + 1)
+        for i in range(len(v)):
+            ranks[i] = 64 - int(v[i]).bit_length() + 1
+        np.maximum.at(self.registers, idx, ranks)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:  # small-range correction
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column): one HLL sketch per batch
+    (the only thing that crosses the wire), merged on the driver."""
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        h.add_many(t.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for batch in ds.select_columns([column]).map_batches(
+        _sketch, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=1024):
+        for raw in batch.column("sketch").to_pylist():
+            merged.merge(HyperLogLog.from_bytes(raw, p))
+    return merged.estimate()
+
+
+def size_histogram(ds, column: str = "html_len"):
+    """Deterministic log2-bucket histogram of a size column — the
+    skew-diagnosis operator (§4.4): which byte decades dominate, exact
+    (not sampled), one tiny grouped aggregate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        vals = t.column(column).to_pylist()
+        buckets = [max(int(v).bit_length() - 1, 0) if v and v > 0 else 0
+                   for v in vals]
+        return pa.table({
+            "log2_bucket": pa.array(buckets, pa.int64()),
+            column: t.column(column),
+        })
+
+    return ds.select_columns([column]).map_batches(
+        _bucket, batch_format="pyarrow"
+    ).groupby("log2_bucket").aggregate(
+        Count(alias_name="n_pages"),
+        Sum(column, alias_name="sum_bytes"),
+    )
