@@ -246,3 +246,12 @@ def test_skew_routing_equivalence(ray_session):
     ta = {r["url"]: r["text"] for r in a}
     tb = {r["url"]: r["text"] for r in b}
     assert ta == tb
+
+
+def test_empty_input_dir_is_vacuous_run(ray_session, tmp_path):
+    empty = tmp_path / "empty_pages"
+    empty.mkdir()
+    s = run_pipeline(str(empty), PipelineConfig(output_dir=str(tmp_path / "o")))
+    assert s["urls_total"] == 0
+    assert s["groups_executed"] == 0
+    assert s["average_success_rate_on_processable"] == 0.0

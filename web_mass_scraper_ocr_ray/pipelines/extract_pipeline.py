@@ -258,6 +258,18 @@ def run_pipeline(pages, cfg: Optional[PipelineConfig] = None) -> Dict:
     # resolve input → list of (group_id, files-or-dataset)
     if isinstance(pages, (str, list, tuple)):
         paths = _expand_parquet_paths(pages)
+        if not paths:
+            # empty input: a valid (if vacuous) run — zero-count summary,
+            # nothing written, no manifests (nothing to commit)
+            summary = finalize_session_summary(
+                {k: 0 for k in [
+                    "total_urls", "successful_urls", "failed_urls",
+                    *_SUM_COLS.keys()]}
+            )
+            summary["duration_seconds"] = time.monotonic() - start
+            summary["partitions_committed"] = 0
+            summary["groups_executed"] = 0
+            return summary
         groups = mf.split_file_groups(list(paths), cfg.commit_groups)
         jobs = [(gid, files) for gid, files in enumerate(groups)]
         make_ds = lambda files: rd.read_parquet(
