@@ -118,6 +118,10 @@ def run_bench() -> dict:
         "embedding_neardup",
         "doc_quality",
         "events_tumbling",
+        "events_sessionize",
+        "knn_ivf",
+        "dedup_clusters",
+        "approx_distinct_urls",
     )
     for name in query_names:
         t0 = time.monotonic()
