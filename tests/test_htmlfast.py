@@ -48,6 +48,22 @@ FIXTURES = [
     b"<img src=unquoted.png >x",
     b"<IMG SRC='caps.png'>x",
     b"<DIV>UPPER</DIV>",
+    # attribute-NAME-based visibility (ADVICE r1): substrings of other
+    # attr names/values must not trigger hidden detection
+    b'<div class="hidden">x</div>y',
+    b'<span title="a hidden gem">x</span>y',
+    b'<div data-style="display:none">x</div>y',
+    b'<div data-hidden="1">x</div>y',
+    b'<div hidden="false">x</div>y',   # boolean attr: still hidden
+    b'<div hidden="">x</div>y',
+    b"<DIV HIDDEN>x</DIV>y",
+    b"<div style=display:none>x</div>y",
+    b'<div style="color:red" hidden>x</div>y',
+    b"<div style>x</div>y",            # bare style attr, no value
+    b'<div style="display : none">x</div>y',
+    b'<img data-src="d.png" src="r.png">',
+    b'<img alt="src is decoy" src="real.png">',
+    b'<img srcset="a.png 2x" src="b.png">',
 ]
 
 

@@ -188,6 +188,36 @@ class TestResume:
         assert s2["partitions_committed"] == 4
         assert s2["urls_total"] == 500  # counters merged incl. resumed groups
 
+    def test_resume_rejects_changed_lineage(
+        self, ray_session, tmp_path, pages_files
+    ):
+        """A committed group may be skipped ONLY if its recorded
+        input_files still match the recomputed group — changing
+        commit_groups or the input file set must fail loudly, not
+        silently skip/double-process (ADVICE r1)."""
+        out = str(tmp_path / "out_lineage")
+        run_pipeline(pages_files, PipelineConfig(output_dir=out,
+                                                 commit_groups=4))
+        # regrouping the same files changes every group's lineage
+        with pytest.raises(RuntimeError, match="lineage mismatch"):
+            run_pipeline(pages_files, PipelineConfig(output_dir=out,
+                                                     commit_groups=2))
+        # adding an input file changes group membership too
+        files = sorted(glob.glob(f"{pages_files}/*.parquet"))
+        import pyarrow.parquet as pq
+
+        extra = synth_pages_table(SF).slice(0, 10)
+        pq.write_table(extra, f"{pages_files}/pages-900.parquet")
+        with pytest.raises(RuntimeError, match="lineage mismatch"):
+            run_pipeline(pages_files, PipelineConfig(output_dir=out,
+                                                     commit_groups=4))
+        # unchanged config + files still resumes cleanly
+        os.remove(f"{pages_files}/pages-900.parquet")
+        s = run_pipeline(pages_files, PipelineConfig(output_dir=out,
+                                                     commit_groups=4))
+        assert s["groups_executed"] == 0
+        assert s["partitions_committed"] == 4
+
     def test_manifest_counters_sum_to_session(
         self, ray_session, tmp_path, pages_files
     ):

@@ -50,27 +50,71 @@ _TOKEN_RE = re.compile(
     re.S,
 )
 
-_SRC_RE = re.compile(r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
-_HIDDEN_RE = re.compile(r"\bhidden\b(?!\s*=\s*[\"']?\s*false)", re.I)
-_STYLE_RE = re.compile(r"""\bstyle\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
-_DISPLAY_NONE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+# Attribute tokenizer mirroring stdlib html.parser's attrfind_tolerant:
+# the visibility and src checks below must see the same (name, value)
+# pairs the reference parser sees — substring regexes over the raw
+# attrs chunk diverge (class="hidden", title="a hidden gem",
+# data-src=..., hidden="false" all mis-detect).
+_ATTRFIND = re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+    r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
+)
+_ATTR_LEAD = re.compile(r"(?:\s|/(?!>))*")
+# cheap gate: full attr parsing only runs when a relevant name can occur
+_VIS_PRECHECK = re.compile(r"hidden|style", re.I)
+_SRC_PRECHECK = re.compile(r"src", re.I)
 
 _RAW_CLOSERS = {
     tag: re.compile(rf"</\s*{tag}\s*>", re.I) for tag in _RAW_SKIP_TAGS
 }
 
 
+def _iter_attrs(attrs: str):
+    """(name_lower, value_or_None) pairs, tokenized exactly like
+    HTMLParser.parse_starttag (quotes stripped, entities decoded)."""
+    s = " " + attrs  # the space stands in for the gap after the tag name
+    k = _ATTR_LEAD.match(s, 1).end()
+    end = len(s)
+    while k < end:
+        m = _ATTRFIND.match(s, k)
+        if not m:
+            break
+        name, rest, value = m.group(1), m.group(2), m.group(3)
+        if not rest:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value:
+            value = unescape(value)
+        yield name.lower(), value
+        k = m.end()
+
+
 def _is_hidden_attrs(attrs: str) -> bool:
-    if not attrs:
+    """hidden iff an attribute NAMED 'hidden' exists (any value — the
+    HTML spec makes hidden a boolean attribute, so hidden="false" still
+    hides) or an attribute NAMED 'style' contains display:none /
+    visibility:hidden. Matches htmltext._VisibleTextParser._is_hidden."""
+    if not attrs or not _VIS_PRECHECK.search(attrs):
         return False
-    if _HIDDEN_RE.search(attrs):
-        return True
-    m = _STYLE_RE.search(attrs)
-    if m:
-        style = m.group(2) or m.group(3) or m.group(4) or ""
-        if _DISPLAY_NONE_RE.search(style):
+    for name, value in _iter_attrs(attrs):
+        if name == "hidden":
             return True
+        if name == "style" and value:
+            style = value.replace(" ", "").lower()
+            if "display:none" in style or "visibility:hidden" in style:
+                return True
     return False
+
+
+def _first_src(attrs: str) -> Optional[str]:
+    """Value of the first attribute NAMED src, entity-decoded."""
+    if not attrs or not _SRC_PRECHECK.search(attrs):
+        return None
+    for name, value in _iter_attrs(attrs):
+        if name == "src":
+            return value
+    return None
 
 
 def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
@@ -125,11 +169,9 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
             if tag == "img":
                 # inside raw containers img is not DOM-visible; raw
                 # containers never reach here (skipped below)
-                sm = _SRC_RE.search(attrs or "")
-                if sm:
-                    src = sm.group(2) or sm.group(3) or sm.group(4)
-                    if src:
-                        images.append(unescape(src) if "&" in src else src)
+                src = _first_src(attrs or "")
+                if src:
+                    images.append(src)
                 continue
             if tag == "br":
                 if not text_skip:

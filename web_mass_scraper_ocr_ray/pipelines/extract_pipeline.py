@@ -326,6 +326,26 @@ def run_pipeline(pages, cfg: Optional[PipelineConfig] = None) -> Dict:
     # semantics are untouched — each group still commits atomically.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Resume-lineage validation: a committed manifest is only a valid
+    # skip if its recorded input_files match the group recomputed from
+    # TODAY's input + commit_groups — otherwise the resume would
+    # silently skip new files or double-process rows (ADVICE r1).
+    for gid, job in jobs:
+        if gid not in committed:
+            continue
+        recorded = (manifests.get(gid) or {}).get("input_files")
+        current = list(job) if isinstance(job, (list, tuple)) else None
+        if recorded is not None and current is not None and \
+                list(recorded) != current:
+            raise RuntimeError(
+                f"resume lineage mismatch for commit group {gid}: the "
+                f"manifest was written for input_files={recorded} but the "
+                f"recomputed group is {current} — the input file set or "
+                f"commit_groups changed since the committed run. Delete "
+                f"'{cfg.output_dir}' (or restore the original input/config) "
+                f"before resuming."
+            )
+
     groups_run = 0
     pending = [(gid, job) for gid, job in jobs if gid not in committed]
     results: Dict[int, Dict] = {

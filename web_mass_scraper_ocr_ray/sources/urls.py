@@ -85,12 +85,16 @@ class FetchStage:
                 "live fetching requires network access not present in "
                 "this container; inject a fetcher callable"
             )
+        import time
+
         self.limiters = RateLimiterRegistry(rate, burst)
         self._fetch = retry_with_backoff(
             max_retries=max_retries,
             initial_delay=retry_delay,
             retry_on_exceptions=(ConnectionError, TimeoutError),
-            sleep=lambda s: None if retry_delay == 0 else None,
+            # retry_delay == 0 keeps tests instant; any positive delay
+            # must actually back off between attempts
+            sleep=time.sleep if retry_delay else (lambda s: None),
         )(fetcher)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

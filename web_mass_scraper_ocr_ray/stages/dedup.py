@@ -15,10 +15,10 @@ Scale design (the part that matters at 100 TB):
   - **SimHash**: 64-bit signature per doc → 4×16-bit band blocking for
     hamming ≤ 3 candidates → verify hamming on the 8-byte sigs.
   - **n-gram Jaccard**: exact verification on candidate pairs only —
-    never all-pairs. Here the shingle sets for verification come from a
-    broadcast signature/text map (fine at test scale); at cluster scale
-    the documented path is a hash-partition join of candidate pair ids
-    back to the documents table (same band-key partitioning reused).
+    never all-pairs. The candidate pair ids are hash-join'd back to the
+    documents table on doc_id (one join per pair side), so verification
+    is partitioned like everything else: no driver scan, no text
+    broadcast.
 
 All signature math is numpy over batches; Python never loops over
 shingles (`np.frombuffer` sliding-window hashing).
@@ -30,8 +30,30 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _join_partitions(requested=None) -> int:
+    """Partition count for hash joins. Ray's join operator pins one
+    aggregator ACTOR per partition (each holding a CPU by default), so
+    num_partitions must stay below the cluster's CPU count or the join
+    deadlocks against its own upstream map tasks. On a real multi-node
+    cluster pass the requested value explicitly (~2-4× total cores)."""
+    if requested:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if (
+        ray.is_initialized()
+    ) else 4
+    return max(2, min(16, cpus // 2))
+
+
+# aggregator actors mostly wait on shuffled input; half a CPU each lets
+# the pool coexist with the map tasks feeding it on small clusters
+_JOIN_AGG_ARGS = {"num_cpus": 0.5}
 
 
 # ---------- exact dedup ---------------------------------------------------
@@ -131,10 +153,16 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
     sig_matrix = flat.reshape(n_rows, n_perm)
     r = n_perm // n_bands
     with np.errstate(over="ignore"):
-        bh = (
-            sig_matrix.reshape(n_rows, n_bands, r)
-            * np.uint64(0x9E3779B97F4A7C15)
-        ).sum(axis=2)  # (n_docs, n_bands)
+        # position-sensitive mix: each of the r positions gets its own
+        # odd multiplier — a single shared constant makes the band hash
+        # equal to const*sum(band), i.e. permutation-invariant within
+        # the band, colliding distinct signatures (ADVICE r1)
+        pos_mix = (
+            (np.arange(1, r + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+            | np.uint64(1)
+        )
+        bh = (sig_matrix.reshape(n_rows, n_bands, r) * pos_mix).sum(axis=2)
     return pa.table(
         {
             "band_id": pa.array(
@@ -223,45 +251,51 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                         n_bands: int = 8, shingle_k: int = 5,
-                        verify: str = "exact"):
+                        num_partitions: int = 0):
     """Near-dup pairs with Jaccard ≥ threshold.
 
     Candidate generation is fully distributed (see module docstring);
-    verification joins texts back via a driver-broadcast id→text map —
-    valid while the candidate set is small (LSH guarantees that for
-    sane thresholds); the cluster-scale path is a partitioned join on
-    doc_id, same key as the band shuffle.
+    verification is too: the candidate pair ids are hash-join'd back to
+    the documents table on doc_id (twice — once per side), so each
+    verify task sees only its partition's (text_a, text_b) rows. No
+    driver-side scan, no unbounded broadcast — the only things that
+    move are the candidate pairs plus exactly the texts they need,
+    partitioned by doc_id (the same key the band shuffle used).
     """
-    import ray
-
-    # materialize: the candidate set is consumed twice (driver peek for
-    # the text fetch + the verify map) — without this the whole
-    # signature+shuffle pipeline re-executes for each consumer
-    cands = minhash_lsh_candidates(docs_ds, n_perm, n_bands,
-                                   shingle_k).materialize()
-    cand_tbl = cands.to_pandas()
-    if len(cand_tbl) == 0:
+    num_partitions = _join_partitions(num_partitions)
+    cands = minhash_lsh_candidates(
+        docs_ds, n_perm, n_bands, shingle_k
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard_pct": pa.array([], pa.int64())})
-    need = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow", batch_size=4096
-    ):
-        for did, t in zip(b.column("doc_id").to_pylist(),
-                          b.column("text").to_pylist()):
-            if did in need:
-                texts[did] = t
-    texts_ref = ray.put(texts)
+    # repartition scrubs the empty-SCHEMA 0-row blocks the hash
+    # aggregator can emit — they crash the hash join below
+    cands = cands.repartition(
+        max(1, min(num_partitions, (n_cands + 65535) // 65536))
+    )
+    texts = docs_ds.select_columns(["doc_id", "text"])
+    with_a = cands.join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+    ).rename_columns({"text": "text_a"})
+    with_ab = with_a.join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
         a = t.column("doc_a").to_pylist()
         b_ = t.column("doc_b").to_pylist()
+        ta = t.column("text_a").to_pylist()
+        tb = t.column("text").to_pylist()
         keep_a, keep_b, jac = [], [], []
-        for x, y in zip(a, b_):
-            j = exact_jaccard(tx[x], tx[y], shingle_k)
+        for x, y, tx, ty in zip(a, b_, ta, tb):
+            j = exact_jaccard(tx, ty, shingle_k)
             if j >= threshold:
                 keep_a.append(x)
                 keep_b.append(y)
@@ -270,9 +304,7 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                          "doc_b": pa.array(keep_b, pa.int64()),
                          "jaccard_pct": pa.array(jac, pa.int64())})
 
-    return cands.select_columns(["doc_a", "doc_b"]).map_batches(
-        _verify, batch_format="pyarrow"
-    )
+    return with_ab.map_batches(_verify, batch_format="pyarrow")
 
 
 # ---------- simhash -------------------------------------------------------
@@ -292,6 +324,7 @@ class SimHasher:
 
     @staticmethod
     def _fnv64(data: bytes) -> int:
+        """Scalar reference for the bulk kernel below (kept for tests)."""
         h = 14695981039346656037
         for ch in data:
             h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
@@ -306,37 +339,125 @@ class SimHasher:
         h ^= h >> 33
         return h
 
-    def _token_hashes(self, text: str) -> np.ndarray:
-        toks = text.split()
-        if not toks:
-            return np.zeros(0, dtype=np.uint64)
-        cache = self._cache
-        out = np.zeros(len(toks), dtype=np.uint64)
-        for i, tok in enumerate(toks):
-            h = cache.get(tok)
-            if h is None:
-                h = self._fnv64(tok.encode("utf-8"))
-                if len(cache) < self._cache_cap:
-                    cache[tok] = h
-            out[i] = h
+    # tokens longer than this take the scalar path — the padded matrix
+    # in the bulk kernel is n_tokens × max_len bytes, and one megabyte
+    # "token" must not inflate it
+    _BULK_MAX_LEN = 256
+
+    @classmethod
+    def _fnv64_bulk(cls, tokens: list) -> np.ndarray:
+        """Vectorized FNV-1a + fmix64 over a list of str tokens —
+        bit-identical to ``_fnv64`` (asserted in tests). The byte loop
+        runs over PADDED COLUMNS (≤ max token length iterations of full-
+        width numpy ops), not over tokens."""
+        n = len(tokens)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        data = [t.encode("utf-8") for t in tokens]
+        lens = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
+        big = lens > cls._BULK_MAX_LEN
+        if big.any():
+            for i in np.nonzero(big)[0]:
+                out[i] = cls._fnv64(data[i])
+        small = ~big
+        idx = np.nonzero(small)[0]
+        if len(idx) == 0:
+            return out
+        sl = lens[idx]
+        max_len = int(sl.max())
+        if max_len == 0:
+            base = np.uint64(14695981039346656037)
+            h = np.full(len(idx), base, dtype=np.uint64)
+        else:
+            flat = np.frombuffer(
+                b"".join(data[i] for i in idx), dtype=np.uint8
+            ).astype(np.uint64)
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(sl[:-1], out=starts[1:])
+            # padded (n, max_len) byte matrix: columns past a token's end
+            # re-read its last byte but are masked out of the update
+            cols = np.minimum(np.arange(max_len), np.maximum(sl - 1, 0)[:, None])
+            # out-of-range reads (empty tokens) are masked out below —
+            # clamp so the gather stays in bounds
+            buf = flat[np.minimum(starts[:, None] + cols, len(flat) - 1)]
+            h = np.full(len(idx), 14695981039346656037, dtype=np.uint64)
+            prime = np.uint64(1099511628211)
+            with np.errstate(over="ignore"):
+                for j in range(max_len):
+                    live = sl > j
+                    hl = h[live]
+                    h[live] = (hl ^ buf[live, j]) * prime
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        out[idx] = h
         return out
 
+    def _resolve_hashes(self, flat_tokens: list) -> np.ndarray:
+        """token strs → uint64 hashes via the actor cache + bulk kernel."""
+        cache = self._cache
+        misses = [t for t in dict.fromkeys(flat_tokens) if t not in cache]
+        local: dict = {}
+        if misses:
+            hs = self._fnv64_bulk(misses).tolist()
+            local = dict(zip(misses, hs))
+            room = self._cache_cap - len(cache)  # cap bounds the heap
+            if room > 0:
+                cache.update(zip(misses[:room], hs[:room]))
+        if local:
+            return np.fromiter(
+                (local[t] if t in local else cache[t] for t in flat_tokens),
+                dtype=np.uint64, count=len(flat_tokens),
+            )
+        return np.fromiter((cache[t] for t in flat_tokens),
+                           dtype=np.uint64, count=len(flat_tokens))
+
     def signature(self, text: str) -> int:
-        hs = self._token_hashes(text)
-        if len(hs) == 0:
-            return 0
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        # int64: a uint64 sum would wrap negative votes to huge values
-        # and set nearly every signature bit
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)  # ±1 votes
-        sig = 0
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= 1 << int(b)
-        return sig
+        sigs = self._signatures([text])
+        return int(sigs[0])
+
+    def _signatures(self, texts: list) -> np.ndarray:
+        """Batch signature kernel: one unpackbits + one reduceat for the
+        whole batch — Python touches only the str.split calls."""
+        toks_per_doc = [t.split() for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per_doc),
+                             dtype=np.int64, count=len(texts))
+        flat_tokens = [tok for toks in toks_per_doc for tok in toks]
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        nz = np.nonzero(counts)[0]
+        if len(nz) == 0:
+            return sigs
+        hvals = self._resolve_hashes(flat_tokens)
+        # (T, 64) bit matrix straight from the uint64 byte view —
+        # little-endian byte+bit order puts bit j at column j
+        bits = np.unpackbits(
+            hvals.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        nz_counts = counts[nz]
+        # per-doc bit counts: 64 bincounts over the token→doc index —
+        # np.add.reduceat (generic per-element loop) and np.cumsum
+        # (inherently serial) are 10–40× slower on this shape
+        doc_idx = np.repeat(np.arange(len(nz)), nz_counts)
+        ones = np.empty((len(nz), 64), dtype=np.int64)
+        for b in range(64):
+            ones[:, b] = np.bincount(
+                doc_idx, weights=bits[:, b], minlength=len(nz)
+            )
+        # bit set iff strict majority of ±1 votes: 2*ones - T > 0
+        positive = (2 * ones) > nz_counts[:, None]
+        weights = np.left_shift(
+            np.uint64(1), np.arange(64, dtype=np.uint64)
+        )
+        sigs[nz] = (positive.astype(np.uint64) * weights).sum(axis=1)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t) for t in texts]
+        sigs = self._signatures(texts)
         return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
 
 
@@ -442,61 +563,114 @@ def cluster_pairs_driver(pairs) -> "pa.Table":
     })
 
 
-def cluster_pairs_label_propagation(pairs, max_rounds: int = 10):
+def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
+                                    num_partitions: int = 0,
+                                    strict: bool = True,
+                                    as_dataset: bool = False):
     """Distributed alternative: iterative min-label propagation —
     each round every node adopts the min label among itself and its
-    neighbors (two shuffles per round: label join by node, min-agg by
-    node). Converges in O(component diameter) rounds; this is the
+    neighbors. Converges in O(component diameter) rounds; this is the
     cluster-scale path when the pair set cannot sit on the driver.
+
+    Fully join-based: per round, ONE hash join of the (static,
+    materialized) symmetric edge list against the current label table
+    keyed by node, then ONE min-aggregate by node. Labels never touch
+    the driver — convergence is detected by a scalar aggregate:
+    per-node labels are monotonically non-increasing (the min always
+    includes the node's own label), so sum(label) strictly decreases
+    every non-converged round and is a fixed-point witness when equal.
+
+    ``strict=True`` raises if ``max_rounds`` rounds pass without
+    reaching the fixed point (a silent exit would return wrong cluster
+    ids for any component whose diameter exceeds the budget);
+    ``strict=False`` returns the partial labels for callers that
+    checkpoint-and-continue.
+
     Returns the same (doc_id, cluster_id) table as the driver variant
     (asserted equal in tests)."""
-    import ray.data as rd
     from ray.data.aggregate import Min
 
-    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    num_partitions = _join_partitions(num_partitions)
 
     def _sym(t: pa.Table) -> pa.Table:
-        # symmetric closure + self-loops: node -> candidate label
-        a = t.column("doc_a").to_pylist()
-        b = t.column("doc_b").to_pylist()
-        node = a + b + a + b
-        lab = b + a + a + b
-        return pa.table({"node": pa.array(node, pa.int64()),
-                         "label": pa.array(lab, pa.int64())})
+        # symmetric closure: each edge propagates labels both ways
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+            "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+        })
 
-    labels = edges.map_batches(_sym, batch_format="pyarrow").groupby(
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        _sym, batch_format="pyarrow"
+    ).materialize()
+
+    # round 0: label(node) = min(node, neighbors)
+    def _self_min(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("src"),
+            "label": pc.min_element_wise(t.column("src"), t.column("dst")),
+        })
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def _norm_labels(t: pa.Table) -> pa.Table:
+        # union/join finalization can emit 0-row blocks with an EMPTY
+        # schema; feeding one into the next round's hash join fails
+        # with "no match for key field node" — pin the schema here
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return label_schema.empty_table()
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "label": t.column("label").cast(pa.int64())})
+
+    labels = edges.map_batches(_self_min, batch_format="pyarrow").groupby(
         "node"
-    ).aggregate(Min("label", alias_name="label")).materialize()
+    ).aggregate(Min("label", alias_name="label")).map_batches(
+        _norm_labels, batch_format="pyarrow"
+    ).repartition(num_partitions).materialize()
+    prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_rounds):
-        import ray
-
-        lmap = {r["node"]: r["label"] for r in labels.iter_rows()}
-        ref = ray.put(lmap)
-
-        def _relabel(t: pa.Table) -> pa.Table:
-            lm = ray.get(ref)
-            a = t.column("doc_a").to_pylist()
-            b = t.column("doc_b").to_pylist()
-            node, lab = [], []
-            for x, y in zip(a, b):
-                lx, ly = lm.get(x, x), lm.get(y, y)
-                m = min(lx, ly)
-                node.extend((x, y))
-                lab.extend((m, m))
-            return pa.table({"node": pa.array(node, pa.int64()),
-                             "label": pa.array(lab, pa.int64())})
-
-        new_labels = edges.map_batches(_relabel, batch_format="pyarrow").groupby(
-            "node"
-        ).aggregate(Min("label", alias_name="label")).materialize()
-        new_map = {r["node"]: r["label"] for r in new_labels.iter_rows()}
-        if new_map == {r["node"]: r["label"] for r in labels.iter_rows()}:
-            labels = new_labels
-            break
+        # neighbor labels arrive via the edge join; the node's own label
+        # rides along in the union so labels never increase
+        incoming = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+            aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "label": t.column("label")})
+            if t.num_rows else label_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        # repartition scrubs the 0-row empty-SCHEMA blocks the hash
+        # aggregator emits (map_batches never sees 0-row blocks, so a
+        # schema-pinning map can't) — they crash the next round's join
+        new_labels = incoming.union(labels).groupby("node").aggregate(
+            Min("label", alias_name="label")
+        ).map_batches(
+            _norm_labels, batch_format="pyarrow"
+        ).repartition(num_partitions).materialize()
+        new_sum = new_labels.sum("label")
         labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged and strict:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(a component's diameter exceeds the budget); raise "
+            "max_rounds or pass strict=False for partial labels"
+        )
 
-    out = labels.to_pandas().rename(
-        columns={"node": "doc_id", "label": "cluster_id"}
-    ).sort_values("doc_id", ignore_index=True)
+    labels = labels.rename_columns(
+        {"node": "doc_id", "label": "cluster_id"}
+    )
+    if as_dataset:
+        # cluster-scale callers keep the labels distributed (write or
+        # join downstream); only the pa.Table compat path materializes
+        return labels
+    out = labels.to_pandas().sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)

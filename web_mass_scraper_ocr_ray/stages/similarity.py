@@ -37,6 +37,33 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _fetch_rows_by_id(ds, id_col: str, ids) -> list:
+    """Fetch a small set of rows by id — vectorized ``pc.is_in`` inside
+    map_batches (a per-row Python ``filter(lambda)`` scans the whole
+    dataset through the interpreter; this one stays in Arrow kernels).
+    Only the matching rows (≤ len(ids)) ever reach the driver."""
+    import pyarrow.compute as pc
+
+    idset = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col), value_set=idset))
+
+    return ds.map_batches(_f, batch_format="pyarrow").take_all()
+
+
+def _query_matrix(emb_ds, query_ids, id_col: str, vec_col: str):
+    """(sorted qids, normalized Q×d matrix) for a small query id set."""
+    qset = sorted(int(q) for q in query_ids)
+    q_rows = _fetch_rows_by_id(
+        emb_ds.select_columns([id_col, vec_col]), id_col, qset
+    )
+    q_by_id = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+               for r in q_rows}
+    qm = _normalize(np.stack([q_by_id[q] for q in qset]))
+    return qset, qm
+
+
 def knn_bruteforce(emb_ds, query_ids, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact cosine top-k for each query id. Returns
@@ -47,11 +74,7 @@ def knn_bruteforce(emb_ds, query_ids, k: int = 5,
     """
     import ray
 
-    qset = sorted(int(q) for q in query_ids)
-    q_rows = emb_ds.filter(lambda r, s=frozenset(qset): r[id_col] in s).take_all()
-    q_by_id = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
-               for r in q_rows}
-    qm = _normalize(np.stack([q_by_id[q] for q in qset]))
+    qset, qm = _query_matrix(emb_ds, query_ids, id_col, vec_col)
     q_ref = ray.put((qset, qm))
 
     def _partial_topk(batch: pa.Table) -> pa.Table:
@@ -117,14 +140,8 @@ def knn_lsh(emb_ds, query_ids, k: int = 5, n_bits: int = 8,
     shuffles only matching buckets (groupby bucket)."""
     import ray
 
-    first = emb_ds.take(1)[0]
-    dim = len(first[vec_col])
-    hasher = HyperplaneHasher(dim, n_bits, seed)
-    qset = sorted(int(q) for q in query_ids)
-    q_rows = emb_ds.filter(lambda r, s=frozenset(qset): r[id_col] in s).take_all()
-    q_by_id = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
-               for r in q_rows}
-    qm = _normalize(np.stack([q_by_id[q] for q in qset]))
+    qset, qm = _query_matrix(emb_ds, query_ids, id_col, vec_col)
+    hasher = HyperplaneHasher(qm.shape[1], n_bits, seed)
     q_buckets = hasher.bucket(qm)
     bucket_to_qs = {}
     for q, b in zip(qset, q_buckets):
@@ -174,9 +191,11 @@ def knn_lsh(emb_ds, query_ids, k: int = 5, n_bits: int = 8,
 
 class IVFIndexParams:
     """Deterministic IVF coarse quantizer: k-means (few Lloyd rounds)
-    over a seeded sample — built ONCE on the driver, broadcast to all
-    tasks. At cluster scale the sample is a `random_sample` pushdown;
-    centroid count ~ sqrt(N) keeps probe lists balanced."""
+    over a bounded training sample — built ONCE on the driver,
+    broadcast to all tasks. The sample is the dataset's first
+    ``train_cap`` rows (deterministic; swap for ``random_sample`` when
+    input order is adversarial); centroid count ~ sqrt(N) keeps probe
+    lists balanced."""
 
     def __init__(self, vecs: np.ndarray, n_clusters: int = 16,
                  iters: int = 5, seed: int = 31):
@@ -201,24 +220,26 @@ class IVFIndexParams:
 
 def knn_ivf(emb_ds, query_ids, k: int = 5, n_clusters: int = 16,
             nprobe: int = 4, id_col: str = "vec_id",
-            vec_col: str = "embedding", seed: int = 31):
+            vec_col: str = "embedding", seed: int = 31,
+            train_cap: int = 4096):
     """IVF approximate top-k: coarse k-means quantizer; each query
     probes its ``nprobe`` nearest centroids; only vectors assigned to a
     probed cluster are scored. One map_batches pass; no shuffle (the
-    probe set is broadcast). Recall vs brute force asserted in tests."""
+    probe set is broadcast). Recall vs brute force asserted in tests.
+
+    The quantizer trains on a BOUNDED sample (``limit(train_cap)`` —
+    the driver never materializes the full table); assignment happens
+    per batch against the broadcast centroids."""
     import ray
 
-    ids_all, vecs_all = [], []
-    sample = emb_ds.select_columns([id_col, vec_col])
-    for b in sample.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids_all.extend(b.column(id_col).to_pylist())
-        vecs_all.append(_matrix(b.column(vec_col)))
-    full = _normalize(np.concatenate(vecs_all))
-    index = IVFIndexParams(full, n_clusters=n_clusters, seed=seed)
+    cap = max(train_cap, 64 * n_clusters)
+    sample_rows = emb_ds.select_columns([vec_col]).limit(cap).take_all()
+    train = _normalize(np.asarray(
+        [r[vec_col] for r in sample_rows], dtype=np.float64
+    ))
+    index = IVFIndexParams(train, n_clusters=n_clusters, seed=seed)
 
-    qset = sorted(int(q) for q in query_ids)
-    pos = {v: i for i, v in enumerate(ids_all)}
-    qm = np.stack([full[pos[q]] for q in qset])
+    qset, qm = _query_matrix(emb_ds, query_ids, id_col, vec_col)
     # per-query probed clusters: nprobe nearest centroids
     sims_qc = qm @ index.centroids.T
     probes = np.argsort(-sims_qc, axis=1)[:, :nprobe]
@@ -268,44 +289,142 @@ def knn_ivf(emb_ds, query_ids, k: int = 5, n_clusters: int = 16,
 
 
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
-                            id_col: str = "vec_id", vec_col: str = "embedding"):
-    """All pairs with cosine ≥ threshold (a < b), as
-    (vec_a, vec_b, cosine_pct int).
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            n_blocks: int = 8):
+    """EXACT all pairs with cosine ≥ threshold (a < b), as
+    (vec_a, vec_b, cosine_pm int).
 
-    Test-scale implementation: the (small) embedding table is broadcast
-    once; each batch matmuls against it and keeps only above-threshold
-    pairs with a<b. At cluster scale this becomes LSH-bucketed
-    candidate generation (hyperplane bands) + the same verify — the
-    batch kernel is unchanged."""
-    import ray
+    Triangular block self-join: each vector lands in block
+    ``id % n_blocks`` and is replicated to every block-PAIR cell
+    containing its block (n_blocks cells per vector); ONE groupby
+    shuffle co-locates each (i, j) cell; the in-cell matmul emits only
+    above-threshold pairs. Every unordered pair occurs in exactly one
+    cell, so no driver materialization, no full-matrix broadcast, no
+    dedup pass. Replication factor = n_blocks; cell size ≈ 2N/n_blocks
+    vectors (pick n_blocks so a cell fits a worker heap). Exact
+    all-pairs is inherently O(N²) compute — the approximate scale path
+    is ``embedding_neardup_lsh``."""
 
-    all_ids, all_vecs = [], []
-    for b in emb_ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        all_ids.extend(b.column(id_col).to_pylist())
-        all_vecs.append(_matrix(b.column(vec_col)))
-    full_ids = np.asarray(all_ids, dtype=np.int64)
-    full = _normalize(np.concatenate(all_vecs)) if all_vecs else np.zeros((0, 1))
-    ref = ray.put((full_ids, full))
+    def _explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                vec_col: pa.array([], t.column(vec_col).type),
+                "block": pa.array([], pa.int32()),
+                "cell": pa.array([], pa.int32()),
+            })
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        blk = (ids % n_blocks).astype(np.int64)
+        other = np.arange(n_blocks, dtype=np.int64)
+        lo = np.minimum(blk[:, None], other)
+        hi = np.maximum(blk[:, None], other)
+        cells = (lo * n_blocks + hi).reshape(-1)
+        idx = np.repeat(np.arange(len(ids)), n_blocks)
+        rep = t.select([id_col, vec_col]).take(pa.array(idx, pa.int64()))
+        return rep.append_column(
+            "block", pa.array(blk[idx], pa.int32())
+        ).append_column("cell", pa.array(cells, pa.int32()))
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids_all, mat_all = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(_matrix(batch.column(vec_col)))
-        sims = vecs @ mat_all.T
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            hits = np.nonzero(sims[i] >= threshold)[0]
-            for h in hits:
-                if ids[i] < ids_all[h]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids_all[h]))
-                    out_c.append(int(round(float(sims[i, h]) * 1000)))
+    def _cell_pairs(g: pa.Table) -> pa.Table:
+        cell = g.column("cell")[0].as_py()
+        i, j = cell // n_blocks, cell % n_blocks
+        ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
+        blocks = np.asarray(g.column("block").to_pylist(), dtype=np.int64)
+        vecs = _normalize(_matrix(g.column(vec_col)))
+        if i == j:
+            sims = vecs @ vecs.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            xa, xb = ids[ia], ids[ib]
+        else:
+            mi, mj = blocks == i, blocks == j
+            sims = vecs[mi] @ vecs[mj].T
+            ia, ib = np.nonzero(sims >= threshold)
+            xa, xb = ids[mi][ia], ids[mj][ib]
+        cos = sims[ia, ib] if len(ia) else np.zeros(0)
+        lo_ids = np.minimum(xa, xb)
+        hi_ids = np.maximum(xa, xb)
         return pa.table({
-            "vec_a": pa.array(out_a, pa.int64()),
-            "vec_b": pa.array(out_b, pa.int64()),
-            "cosine_pm": pa.array(out_c, pa.int64()),
+            "vec_a": pa.array(lo_ids, pa.int64()),
+            "vec_b": pa.array(hi_ids, pa.int64()),
+            "cosine_pm": pa.array(
+                np.round(cos * 1000).astype(np.int64), pa.int64()
+            ),
         })
 
-    return emb_ds.map_batches(_pairs, batch_format="pyarrow")
+    exploded = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    return exploded.groupby("cell").map_groups(
+        _cell_pairs, batch_format="pyarrow"
+    )
+
+
+def embedding_neardup_lsh(emb_ds, threshold: float = 0.9,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_bits: int = 4, n_bands: int = 12, seed: int = 23):
+    """Approximate near-dup pairs: hyperplane-banded LSH candidates +
+    exact in-bucket cosine verify — the linear-replication scale path
+    (replication = n_bands, vs O(N²) compute for the exact block join).
+
+    Each vector gets ``n_bands`` independent ``n_bits``-bit hyperplane
+    signatures; vectors sharing any (band, signature) bucket are
+    candidates; the verify matmul runs inside the bucket group. A true
+    pair at cosine c collides per band with prob (1-θ/π)^n_bits
+    (θ = arccos c), missing all bands with prob (1-p)^n_bands — recall
+    vs the exact path is asserted in tests. Duplicate hits across bands
+    are deduped by a (vec_a, vec_b) groupby."""
+    from ray.data.aggregate import Max
+
+    def _explode(t: pa.Table) -> pa.Table:
+        hasher = _band_hashers(t, vec_col, n_bits, n_bands, seed)
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(_matrix(t.column(vec_col)))
+        band_col, sig_col, idx_col = [], [], []
+        for band in range(n_bands):
+            sigs = hasher[band].bucket(vecs)
+            band_col.append(np.full(len(ids), band, dtype=np.int64))
+            sig_col.append(sigs.astype(np.int64))
+            idx_col.append(np.arange(len(ids)))
+        band_all = np.concatenate(band_col) if band_col else np.zeros(0, np.int64)
+        sig_all = np.concatenate(sig_col) if sig_col else np.zeros(0, np.int64)
+        idx_all = np.concatenate(idx_col) if idx_col else np.zeros(0, np.int64)
+        rep = t.select([id_col, vec_col]).take(pa.array(idx_all, pa.int64()))
+        bucket = band_all * (1 << n_bits) + sig_all
+        return rep.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(_matrix(g.column(vec_col)))
+        sims = vecs @ vecs.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        xa, xb = ids[ia], ids[ib]
+        keep = xa != xb
+        xa, xb = xa[keep], xb[keep]
+        cos = sims[ia, ib][keep] if len(ia) else np.zeros(0)
+        return pa.table({
+            "vec_a": pa.array(np.minimum(xa, xb), pa.int64()),
+            "vec_b": pa.array(np.maximum(xa, xb), pa.int64()),
+            "cosine_pm": pa.array(
+                np.round(cos * 1000).astype(np.int64), pa.int64()
+            ),
+        })
+
+    exploded = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    pairs = exploded.groupby("bucket").map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    # a pair can collide in several bands — dedupe by key
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine_pm", alias_name="cosine_pm")
+    )
+
+
+def _band_hashers(t: pa.Table, vec_col: str, n_bits: int, n_bands: int,
+                  seed: int):
+    """Per-band hyperplane hashers (deterministic seeds)."""
+    col = t.column(vec_col)
+    dim = len(col[0].as_py()) if t.num_rows else 1
+    return [HyperplaneHasher(dim, n_bits, seed + 101 * b)
+            for b in range(n_bands)]
