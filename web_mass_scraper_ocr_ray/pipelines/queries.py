@@ -243,11 +243,28 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
+    """Marker-based language ID with integer evidence columns — the
+    whole decision (incl. lang_hits/lang_tokens) is recomputed by the
+    DuckDB oracle from the same marker sets."""
     return ts.langid_table(_docs(sf_dir))
 
 
 def q_doc_fingerprint(sf_dir: str):
-    return ts.fingerprint_table(_docs(sf_dir))
+    """Winnowing fingerprint flattened to the 4 smallest window hashes
+    (fp0..fp3 ascending) — the oracle recomputes the Rabin-Karp
+    polynomial (base 1000003 mod 2^64) per window in SQL."""
+    flat = ts.fingerprint_table(_docs(sf_dir))
+
+    def _flatten(t: pa.Table) -> pa.Table:
+        fps = t.column("fingerprint").to_pylist()
+        cols = {"doc_id": t.column("doc_id")}
+        for i in range(4):
+            cols[f"fp{i}"] = pa.array(
+                [fp[i] if len(fp) > i else 0 for fp in fps], pa.uint64()
+            )
+        return pa.table(cols)
+
+    return flat.map_batches(_flatten, batch_format="pyarrow")
 
 
 # ---- dedup queries -------------------------------------------------------
@@ -330,6 +347,32 @@ def q_dedup_clusters(sf_dir: str):
     return dd.cluster_pairs_driver(pairs)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Approximate (hyperplane-banded) embedding near-dup — the linear-
+    replication scale path; recall vs the exact block join is asserted
+    in tests (no SQL oracle: banding is signature-dependent)."""
+    return sim.embedding_neardup_lsh(
+        _emb(sf_dir), threshold=NEARDUP_COS_THRESHOLD
+    ).select_columns(["vec_a", "vec_b"])
+
+
+def q_salted_rollup(sf_dir: str):
+    """Per-source counts computed through the SALTED grouped path
+    (groupby (key, salt) → merge by key) — exercises the hot-key
+    splitting machinery end-to-end; the oracle is a plain GROUP BY
+    (salting must not change the aggregate)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import salted_group_sizes
+
+    per_salt = salted_group_sizes(
+        _docs(sf_dir).select_columns(["source"]), "source", n_salts=8
+    )
+    return per_salt.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs")
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     # pairs only: the raw cosine is float32 in the DuckDB oracle vs
     # float64 here (~1e-7 apart) — comparing a rounded value would flap
@@ -343,7 +386,30 @@ def q_embedding_neardup(sf_dir: str):
 # ---- multimodal ----------------------------------------------------------
 
 def q_multimodal_decode(sf_dir: str):
-    return mm.decode_media(mm.synth_media_dataset(sf_dir))
+    """Actor-pool media decode, flattened to scalar columns — the stub
+    decode is deterministic arithmetic over the payload digest, so the
+    DuckDB oracle recomputes every field (incl. the md5-derived fake
+    dimensions) from the same synthesis contract."""
+    decoded = mm.decode_media(mm.synth_media_dataset(sf_dir))
+
+    def _flatten(t: pa.Table) -> pa.Table:
+        metas = t.column("meta").to_pylist()
+        offs = t.column("frame_offsets_ms").to_pylist()
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "kind": pa.array([m["kind"] for m in metas], pa.string()),
+            "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
+            "width": pa.array([m["width"] for m in metas], pa.int64()),
+            "height": pa.array([m["height"] for m in metas], pa.int64()),
+            "duration_ms": pa.array(
+                [m["duration_ms"] for m in metas], pa.int64()),
+            "ok": pa.array([m["ok"] for m in metas], pa.bool_()),
+            "n_frames": pa.array([len(o) for o in offs], pa.int64()),
+            "last_frame_ms": pa.array(
+                [o[-1] if o else 0 for o in offs], pa.int64()),
+        })
+
+    return decoded.map_batches(_flatten, batch_format="pyarrow")
 
 
 # ---- ordered range / distinct / generic relational ----------------------
@@ -570,14 +636,29 @@ def q_top_events_per_user(sf_dir: str):
 def q_approx_distinct_urls(sf_dir: str):
     """HLL approximate COUNT(DISTINCT url) over the dup-injected corpus
     — the mergeable-sketch pattern: one 4 KiB sketch per batch crosses
-    the wire, never the url column. Accuracy bound asserted in tests
-    (±5%); exact answer needs a full key shuffle."""
+    the wire, never the url column.
+
+    Oracle contract: the HLL estimate itself is engine-specific, so the
+    accuracy claim is encoded IN the output — (n_exact, bool within-5%)
+    — and the SQL oracle supplies (exact distinct, TRUE). A drifting
+    sketch flips the boolean and fails the value-hash compare. The
+    exact side runs as a distributed key shuffle (groupby url)."""
+    from ray.data.aggregate import Count
+
     from ..stages.sketches import approx_distinct
 
     pages = synth_pages_dataset(sf_dir, with_dups=True)
     est = approx_distinct(pages, "url")
-    return pa.table({"approx_distinct_urls": pa.array([int(round(est))],
-                                                      pa.int64())})
+    n_exact = (
+        synth_pages_dataset(sf_dir, with_dups=True)
+        .select_columns(["url"]).groupby("url")
+        .aggregate(Count(alias_name="n")).count()
+    )
+    ok = abs(est - n_exact) / max(n_exact, 1) < 0.05
+    return pa.table({
+        "n_exact": pa.array([int(n_exact)], pa.int64()),
+        "hll_rel_err_lt_5pct": pa.array([bool(ok)], pa.bool_()),
+    })
 
 
 def q_doc_size_histogram(sf_dir: str):
@@ -614,6 +695,8 @@ QUERIES: Dict[str, callable] = {
     "knn_ivf": q_knn_ivf,
     "dedup_clusters": q_dedup_clusters,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "salted_rollup": q_salted_rollup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,

@@ -249,6 +249,16 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(inter) / (len(sa) + len(sb) - len(inter))
 
 
+def jaccard_counts(text_a: str, text_b: str, k: int = 5):
+    """(|A∩B|, |A∪B|) of k-shingle sets — integer-exact, so threshold
+    checks and pct outputs can use rational arithmetic that a SQL
+    oracle reproduces bit-for-bit (float division can flip a borderline
+    >= threshold comparison between engines)."""
+    sa, sb = _shingle_hashes(text_a, k), _shingle_hashes(text_b, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter, len(sa) + len(sb) - inter
+
+
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                         n_bands: int = 8, shingle_k: int = 5,
                         num_partitions: int = 0):
@@ -288,6 +298,11 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
         aggregator_ray_remote_args=_JOIN_AGG_ARGS,
     )
 
+    # rational threshold: inter/union >= threshold ⟺ 100*inter >=
+    # pct*union in exact integer math (float j >= threshold can flip on
+    # borderline pairs vs the SQL oracle's rational comparison)
+    pct = int(round(threshold * 100))
+
     def _verify(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_pylist()
         b_ = t.column("doc_b").to_pylist()
@@ -295,11 +310,11 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
         tb = t.column("text").to_pylist()
         keep_a, keep_b, jac = [], [], []
         for x, y, tx, ty in zip(a, b_, ta, tb):
-            j = exact_jaccard(tx, ty, shingle_k)
-            if j >= threshold:
+            inter, union = jaccard_counts(tx, ty, shingle_k)
+            if 100 * inter >= pct * union:
                 keep_a.append(x)
                 keep_b.append(y)
-                jac.append(int(round(j * 100)))
+                jac.append(100 if union == 0 else (100 * inter) // union)
         return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
                          "doc_b": pa.array(keep_b, pa.int64()),
                          "jaccard_pct": pa.array(jac, pa.int64())})

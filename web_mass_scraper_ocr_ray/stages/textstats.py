@@ -94,28 +94,37 @@ class LangId:
         }
 
     def _predict(self, text: str):
+        """(lang, hits, tokens): hits/tokens are the INTEGER evidence —
+        integer outputs let a SQL oracle reproduce the decision
+        bit-for-bit; the float score is hits/tokens downstream."""
         cjk = sum(1 for ch in text[:500] if "一" <= ch <= "鿿")
         if cjk >= 5:
-            return "zh", float(cjk)
+            return "zh", cjk, cjk
         toks = [w.lower() for w in self.word.findall(text[:2000])]
         if not toks:
-            return "und", 0.0
+            return "und", 0, 0
         best, best_score = "und", 0
         for lang, marks in self.markers.items():
             score = sum(1 for w in toks if w in marks)
             if score > best_score:
                 best, best_score = lang, score
-        return best, float(best_score) / len(toks)
+        return best, best_score, len(toks)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        preds, scores = [], []
+        preds, hits, ntoks, scores = [], [], [], []
         for t in texts:
-            p, s = self._predict(t)
+            p, h, n = self._predict(t)
             preds.append(p)
-            scores.append(s)
+            hits.append(h)
+            ntoks.append(n)
+            scores.append(h / n if n else 0.0)
         return batch.append_column(
             "lang_pred", pa.array(preds, pa.string())
+        ).append_column(
+            "lang_hits", pa.array(hits, pa.int64())
+        ).append_column(
+            "lang_tokens", pa.array(ntoks, pa.int64())
         ).append_column("lang_score", pa.array(scores, pa.float64()))
 
 
@@ -177,9 +186,11 @@ def quality_table(docs_ds):
 
 
 def langid_table(docs_ds):
+    """(doc_id, lang_pred, lang_hits, lang_tokens) — integer evidence
+    columns so the DuckDB oracle can recompute the decision exactly."""
     return docs_ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=2
-    ).select_columns(["doc_id", "lang_pred", "lang_score"])
+    ).select_columns(["doc_id", "lang_pred", "lang_hits", "lang_tokens"])
 
 
 def fingerprint_table(docs_ds):
