@@ -192,3 +192,144 @@ class TestRollupMath:
                  total_ocr_no_text_found=1)
         assert finalize_session_summary(c)[
             "average_success_rate_on_processable"] == 75.0
+
+
+class _FakeImage:
+    """Minimal PIL.Image stand-in recording the preprocessing chain."""
+
+    def __init__(self, width, height, empty=False, mode="RGB", log=None):
+        self.width, self.height = width, height
+        self.size = (width, height)
+        self.empty = empty
+        self.mode = mode
+        self.log = log if log is not None else []
+
+    def convert(self, mode):
+        self.log.append(("convert", mode))
+        return _FakeImage(self.width, self.height, self.empty, mode, self.log)
+
+    def getbbox(self):
+        return None if self.empty else (0, 0, self.width, self.height)
+
+    def resize(self, size, resample):
+        self.log.append(("resize", size, resample))
+        return _FakeImage(size[0], size[1], self.empty, self.mode, self.log)
+
+    def filter(self, f):
+        self.log.append(("filter", f))
+        return self
+
+
+class _FakeContrast:
+    def __init__(self, img):
+        self.img = img
+
+    def enhance(self, factor):
+        self.img.log.append(("contrast", factor))
+        return self.img
+
+
+class _FakeUnidentified(Exception):
+    pass
+
+
+class _FakeTessError(Exception):
+    pass
+
+
+def _fake_modules(img, text="found text", raise_on_open=None,
+                  raise_on_ocr=None):
+    class _Image:
+        # no Resampling attr → the chain must fall back to the legacy
+        # LANCZOS constant 1 (ocr.py:60 hasattr branch)
+        @staticmethod
+        def open(fp):
+            if raise_on_open:
+                raise raise_on_open
+            return img
+
+    class _ImageEnhance:
+        Contrast = _FakeContrast
+
+    class _ImageFilter:
+        SHARPEN = "SHARPEN"
+
+    class _Tess:
+        TesseractError = _FakeTessError
+
+        @staticmethod
+        def image_to_string(g):
+            if raise_on_ocr:
+                raise raise_on_ocr
+            return text
+
+    return {"Image": _Image, "ImageEnhance": _ImageEnhance,
+            "ImageFilter": _ImageFilter,
+            "UnidentifiedImageError": _FakeUnidentified,
+            "pytesseract": _Tess}
+
+
+class TestTesseractPreprocessChain:
+    """The reference PIL chain (ocr.py:39-73) driven through a fake PIL
+    — order, conditions and knobs are pinned without the real libs."""
+
+    def _run(self, w, h, text="some words here", **engine_kw):
+        img = _FakeImage(w, h)
+        eng = TesseractOCREngine(
+            _modules=_fake_modules(img, text=text), **engine_kw
+        )
+        out = eng.ocr(b"bytes", "image/png")
+        return img.log, out
+
+    def test_small_image_full_chain_order(self):
+        log, out = self._run(100, 200)
+        assert log == [
+            ("convert", "RGB"),
+            ("convert", "L"),
+            ("resize", (200, 400), 1),   # 2x, legacy LANCZOS fallback
+            ("contrast", 2.0),
+            ("filter", "SHARPEN"),
+        ]
+        assert out.ocr_status == "success"
+        assert out.word_count == 3
+
+    def test_large_image_not_resized(self):
+        log, _ = self._run(500, 400)
+        assert not any(op[0] == "resize" for op in log)
+        assert any(op[0] == "contrast" for op in log)
+
+    def test_fast_processing_skips_resize_only_when_big(self):
+        # ≥1000 both sides + fast_processing → no resize branch at all
+        log, _ = self._run(1200, 1500, fast_processing=True)
+        assert not any(op[0] == "resize" for op in log)
+        # small image still upscaled even under fast_processing
+        log, _ = self._run(100, 100, fast_processing=True)
+        assert any(op[0] == "resize" for op in log)
+
+    def test_enhancement_off(self):
+        log, _ = self._run(100, 100, enhancement=False)
+        assert not any(op[0] in ("contrast", "filter") for op in log)
+
+    def test_empty_image_is_error_processing(self):
+        img = _FakeImage(50, 50, empty=True)
+        eng = TesseractOCREngine(_modules=_fake_modules(img))
+        assert eng.ocr(b"x", "image/png").ocr_status == "error_processing"
+
+    def test_no_text_found(self):
+        _, out = self._run(100, 100, text="")
+        assert out.ocr_status == "no_text_found"
+
+    def test_error_taxonomy_routing(self):
+        img = _FakeImage(100, 100)
+        cases = [
+            (dict(raise_on_open=FileNotFoundError("x")),
+             "error_file_not_found"),
+            (dict(raise_on_open=_FakeUnidentified("svg")),
+             "error_unsupported_format"),
+            (dict(raise_on_open=IOError("io")), "error_unsupported_format"),
+            (dict(raise_on_ocr=_FakeTessError("t")), "error_tesseract"),
+            (dict(raise_on_ocr=ValueError("v")), "error_processing"),
+        ]
+        for kw, status in cases:
+            eng = TesseractOCREngine(_modules=_fake_modules(img, **kw))
+            assert eng.ocr(b"x", "image/png").ocr_status == status, status

@@ -95,27 +95,97 @@ class StubOCREngine(OCREngine):
 
 
 class TesseractOCREngine(OCREngine):
-    """Real-engine seam: PIL preprocessing chain (grayscale, 2x LANCZOS
-    upscale if <300px, contrast 2.0, sharpen — ocr.py:54-73) + Tesseract.
+    """Real engine: the reference's deterministic PIL preprocessing
+    chain (ocr.py:39-73) + Tesseract, adapted from path input to the
+    bytes+mime engine interface.
 
-    Not available in this container; instantiation raises so the seam is
-    explicit and tested.
+    Chain (exact reference order): open → RGB convert → ``getbbox()``
+    empty/corrupt check → grayscale 'L' → 2× LANCZOS upscale when either
+    side < 300 px (skipped for ≥1000×1000 images under
+    ``fast_processing``) → contrast 2.0 → SHARPEN (both only when
+    ``enhancement``). Status taxonomy mirrors ocr.py:96-113.
+
+    PIL/pytesseract are absent from this container, so instantiation
+    raises unless the modules are injected (``_modules``) — the chain
+    itself is pure deterministic code and is unit-tested with a fake
+    PIL (tests/test_ocr.py).
     """
 
-    def __init__(self, enhancement: bool = True, fast_processing: bool = False):
-        try:
-            from PIL import Image  # noqa: F401
-            import pytesseract  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "TesseractOCREngine requires PIL + pytesseract; use "
-                "StubOCREngine in this environment"
-            ) from exc
+    def __init__(self, enhancement: bool = True, fast_processing: bool = False,
+                 _modules: Optional[dict] = None):
+        if _modules is None:
+            try:
+                from PIL import (  # noqa: F401
+                    Image,
+                    ImageEnhance,
+                    ImageFilter,
+                    UnidentifiedImageError,
+                )
+                import pytesseract  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "TesseractOCREngine requires PIL + pytesseract; use "
+                    "StubOCREngine in this environment"
+                ) from exc
+            _modules = {
+                "Image": Image, "ImageEnhance": ImageEnhance,
+                "ImageFilter": ImageFilter,
+                "UnidentifiedImageError": UnidentifiedImageError,
+                "pytesseract": pytesseract,
+            }
+        self._m = _modules
         self.enhancement = enhancement
         self.fast_processing = fast_processing
 
-    def ocr(self, payload: bytes, mime: str) -> OCROutput:  # pragma: no cover
-        raise NotImplementedError("real OCR path not available in this container")
+    def preprocess(self, img):
+        """RGB → empty-check → grayscale → conditional 2× upscale →
+        optional contrast+sharpen (ocr.py:42-73). Returns the processed
+        image, or None when the image is empty/corrupt (getbbox None →
+        the reference's error_processing early return, ocr.py:46-52)."""
+        Image = self._m["Image"]
+        img = img.convert("RGB")
+        if img.getbbox() is None:
+            return None
+        gray = img.convert("L")
+        # fast_processing skips the upscale only for large (≥1000 px
+        # both sides) images — ocr.py:58-63
+        if not self.fast_processing or (gray.width < 1000 and gray.height < 1000):
+            if gray.width < 300 or gray.height < 300:
+                resample = (Image.Resampling.LANCZOS
+                            if hasattr(Image, "Resampling") else 1)
+                gray = gray.resize(
+                    (gray.width * 2, gray.height * 2), resample
+                )
+        if self.enhancement:
+            gray = self._m["ImageEnhance"].Contrast(gray).enhance(2.0)
+            gray = gray.filter(self._m["ImageFilter"].SHARPEN)
+        return gray
+
+    def ocr(self, payload: bytes, mime: str) -> OCROutput:
+        """bytes+mime → OCROutput with the reference's 6-status
+        taxonomy (ocr.py:96-113: FileNotFound / IOError+Unidentified /
+        TesseractError / ValueError routing)."""
+        import io
+
+        m = self._m
+        pytesseract = m["pytesseract"]
+        try:
+            img = m["Image"].open(io.BytesIO(payload))
+            gray = self.preprocess(img)
+            if gray is None:
+                return OCROutput("", 0, 0, "error_processing")
+            text = pytesseract.image_to_string(gray)
+            if len(text) == 0:
+                return OCROutput("", 0, 0, "no_text_found")
+            return OCROutput(text, len(text), len(text.split()), "success")
+        except FileNotFoundError:
+            return OCROutput("", 0, 0, "error_file_not_found")
+        except (IOError, m["UnidentifiedImageError"]):
+            return OCROutput("", 0, 0, "error_unsupported_format")
+        except getattr(pytesseract, "TesseractError", ()):
+            return OCROutput("", 0, 0, "error_tesseract")
+        except ValueError:
+            return OCROutput("", 0, 0, "error_processing")
 
 
 def make_engine(kind: str = "stub", **kwargs) -> OCREngine:

@@ -72,8 +72,15 @@ OCR_FLAT_COLUMNS = (
 )
 
 
-def ocr_page_images(engine, image_refs: List[Dict[str, Any]]):
-    """Per-page image loop (DOM order). Returns (ocr_items, failed)."""
+def ocr_page_images(engine, image_refs: List[Dict[str, Any]],
+                    downloader=None):
+    """Per-page image loop (DOM order). Returns (ocr_items, failed).
+
+    ``downloader`` (sources/images.ImageDownloader or None): when set,
+    remote refs are fetched live (rate-limited, retried, size-capped)
+    and OCR'd; when None (default — no network in this container) they
+    take the reference's download-failure branch (scraper.py:241-245).
+    """
     ocr_items: List[Dict[str, Any]] = []
     failed: List[str] = []
     for ref in image_refs or []:
@@ -83,15 +90,20 @@ def ocr_page_images(engine, image_refs: List[Dict[str, Any]]):
             failed.append(ref["src"] or "unknown_src_on_failed_construct")
             continue
         if kind == "remote":
-            # No live network in a batch engine — the reference's
-            # download-failure branch (scraper.py:241-245).
-            failed.append(image_url)
-            continue
-        parsed = parse_data_url(image_url)
-        if parsed is None:
-            failed.append(image_url)
-            continue
-        mime, payload = parsed
+            if downloader is None:
+                failed.append(image_url)
+                continue
+            fetched = downloader.download(image_url)
+            if fetched is None:
+                failed.append(image_url)  # scraper.py:241-245
+                continue
+            mime, payload = fetched
+        else:
+            parsed = parse_data_url(image_url)
+            if parsed is None:
+                failed.append(image_url)
+                continue
+            mime, payload = parsed
         out = engine.ocr(payload, mime)
         ocr_items.append(
             {
@@ -111,11 +123,21 @@ class OCRStage:
     """Callable class for ``map_batches(OCRStage, concurrency=N, ...)``."""
 
     def __init__(self, engine: str = "stub", enhancement: bool = True,
-                 fast_processing: bool = False):
-        # once per actor — the state this pool exists for
+                 fast_processing: bool = False,
+                 fetch_remote_images: bool = False,
+                 image_transport=None, image_fetch_kwargs: dict = None):
+        # once per actor — the state this pool exists for (engine +
+        # the rate-limited downloader when the online path is enabled)
         self.engine = make_engine(
             engine, enhancement=enhancement, fast_processing=fast_processing
         )
+        self.downloader = None
+        if fetch_remote_images:
+            from ..sources.images import ImageDownloader
+
+            self.downloader = ImageDownloader(
+                transport=image_transport, **(image_fetch_kwargs or {})
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs_col = batch.column("images").to_pylist()
@@ -127,7 +149,9 @@ class OCRStage:
         rates = [0.0] * n
 
         for i in range(n):
-            items, failed = ocr_page_images(self.engine, refs_col[i])
+            items, failed = ocr_page_images(
+                self.engine, refs_col[i], downloader=self.downloader
+            )
             items_out[i] = items
             failed_out[i] = failed
             rollup = create_ocr_metadata(items)
