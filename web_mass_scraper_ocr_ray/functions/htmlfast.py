@@ -63,6 +63,12 @@ _ATTR_LEAD = re.compile(r"(?:\s|/(?!>))*")
 # cheap gate: full attr parsing only runs when a relevant name can occur
 _VIS_PRECHECK = re.compile(r"hidden|style", re.I)
 _SRC_PRECHECK = re.compile(r"src", re.I)
+# fast path for the overwhelmingly common shape — the WHOLE attrs chunk
+# is a single src attribute, so no other attr name can shadow it
+_SIMPLE_SRC_RE = re.compile(
+    r"""\A\s*src\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"'=]+))\s*/?\s*\Z""",
+    re.I,
+)
 
 _RAW_CLOSERS = {
     tag: re.compile(rf"</\s*{tag}\s*>", re.I) for tag in _RAW_SKIP_TAGS
@@ -111,6 +117,12 @@ def _first_src(attrs: str) -> Optional[str]:
     """Value of the first attribute NAMED src, entity-decoded."""
     if not attrs or not _SRC_PRECHECK.search(attrs):
         return None
+    m = _SIMPLE_SRC_RE.match(attrs)
+    if m:
+        value = m.group(2)
+        if value is None:
+            value = m.group(3) if m.group(3) is not None else m.group(4)
+        return unescape(value) if value else value
     for name, value in _iter_attrs(attrs):
         if name == "src":
             return value

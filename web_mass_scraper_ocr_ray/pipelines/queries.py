@@ -39,16 +39,28 @@ KNN_QUERY_IDS = (0, 1, 2, 3, 4)
 NEARDUP_COS_THRESHOLD = 0.4
 
 
+# The sf tables are single-file single-row-group Parquet, so a bare
+# read_parquet yields ONE block and zero downstream parallelism (every
+# stage shows '1 tasks used' in ds.stats()). A cheap repartition after
+# the pruned read restores parallel blocks; real corpora are multi-file
+# and split at the read instead.
+_SF_TABLE_BLOCKS = 16
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet"
+    ).repartition(_SF_TABLE_BLOCKS)
 
 
 def _emb(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).repartition(_SF_TABLE_BLOCKS)
 
 
 def _extracted(sf_dir: str, **cfg_kwargs):
@@ -296,18 +308,25 @@ def q_dedup_exact_rows(sf_dir: str):
 def _docs_with_neardups(sf_dir: str):
     """documents ∪ mutated copies (id+1e6, ' xqz' appended) — every doc
     gains exactly one near-duplicate; used by the near-dup queries so
-    their outputs are non-trivial on random text."""
+    their outputs are non-trivial on random text. The mutation is a
+    distributed map over the (repartitioned) read — no driver-side
+    table build."""
     import ray.data as rd
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-    ids = tbl.column("doc_id").to_pylist()
-    texts = tbl.column("text").to_pylist()
-    mut = pa.table({
-        "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
-        "text": pa.array([t + " xqz" for t in texts], pa.string()),
-    })
-    return rd.from_arrow(pa.concat_tables([tbl, mut]))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _mutate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(" xqz"), ""
+            ),
+        })
+
+    return docs.union(docs.map_batches(_mutate, batch_format="pyarrow"))
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -464,7 +483,7 @@ def q_lineitem_pricing(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"],
-    )
+    ).repartition(_SF_TABLE_BLOCKS)
 
     def _cents(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -499,7 +518,8 @@ def q_order_customer_join(sf_dir: str):
     ref = ray.put(seg_by_key)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"])
+                             columns=["o_custkey", "o_totalprice"]
+                             ).repartition(_SF_TABLE_BLOCKS)
 
     def _join(t: pa.Table) -> pa.Table:
         seg = ray.get(ref)
@@ -530,7 +550,8 @@ def q_events_tumbling(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+                         columns=["user_id", "ts", "value"]
+                         ).repartition(_SF_TABLE_BLOCKS)
 
     def _window(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -556,7 +577,8 @@ def q_events_sliding(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+                         columns=["user_id", "ts", "value"]
+                         ).repartition(_SF_TABLE_BLOCKS)
 
     def _expand(t: pa.Table) -> pa.Table:
         w0 = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
@@ -594,7 +616,8 @@ def q_events_sessionize(sf_dir: str):
     import ray.data as rd
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
+                         columns=["user_id", "ts"]
+                         ).repartition(_SF_TABLE_BLOCKS)
 
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -621,7 +644,8 @@ def q_top_events_per_user(sf_dir: str):
     import ray.data as rd
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_id", "value"])
+                         columns=["user_id", "event_id", "value"]
+                         ).repartition(_SF_TABLE_BLOCKS)
 
     def _topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"],

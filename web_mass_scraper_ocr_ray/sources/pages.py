@@ -164,14 +164,19 @@ def synth_pages_table(sf_dir: str, with_dups: bool = False) -> pa.Table:
 
 def synth_pages_dataset(sf_dir: str, with_dups: bool = False,
                         override_num_blocks: Optional[int] = None):
-    """`pages` as a ray.data.Dataset (small scale: in-memory from_arrow)."""
+    """`pages` as a ray.data.Dataset (small scale: in-memory from_arrow).
+
+    ``from_arrow`` of one table is ONE block — and every downstream
+    map_batches/groupby inherits that (zero parallelism, observed in
+    ds.stats() as '1 tasks used' end-to-end). Default to a modest split
+    so the small-scale correctness corpus still exercises the parallel
+    paths; production inputs are multi-file Parquet and split at the
+    read."""
     import ray.data as rd
 
     tbl = synth_pages_table(sf_dir, with_dups=with_dups)
-    if override_num_blocks:
-        ds = rd.from_arrow(tbl)
-        return ds.repartition(override_num_blocks)
-    return rd.from_arrow(tbl)
+    n_blocks = override_num_blocks or max(4, min(16, tbl.num_rows // 64))
+    return rd.from_arrow(tbl).repartition(n_blocks)
 
 
 def read_pages(path, columns=None, **kwargs):

@@ -124,12 +124,74 @@ class MinHasher:
             hv = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return hv.min(axis=1)
 
+    def _signatures(self, texts: list) -> np.ndarray:
+        """Whole-batch kernel: ONE (T, n_perm) universal-hash matrix
+        over the batch's concatenated shingles + a C-level grouped min
+        (pandas) per doc — the per-doc loop spent most of its time in
+        Python call overhead and tiny-array modulo."""
+        import pandas as pd
+
+        n = len(texts)
+        out = np.zeros((n, self.n_perm), dtype=np.uint64)
+        sh_per_doc = [_shingle_hashes(t, self.k) for t in texts]
+        counts = np.fromiter((len(s) for s in sh_per_doc),
+                             dtype=np.int64, count=n)
+        nz = np.nonzero(counts)[0]
+        if len(nz) == 0:
+            return out
+        all_sh = np.concatenate([sh_per_doc[i] for i in nz])
+        # one permutation at a time with SCALAR multipliers: numpy's
+        # uint64 broadcast (vector×vector) multiply runs a ~100×-slower
+        # generic loop than the scalar-SIMD path (measured 3.6 s vs
+        # 0.03 s on 17M elements)
+        # rows of (n_perm, T): contiguous writes; hv.T is column-major,
+        # so pandas takes it zero-copy for the grouped min. np.zeros,
+        # NOT np.empty: on this VM first-touch page faults during the
+        # assignment loop cost ~10× the arithmetic (2.9 s vs 0.3 s).
+        hv = np.zeros((self.n_perm, len(all_sh)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(self.n_perm):
+                hv[p] = (all_sh * self.a[p] + self.b[p]) % _MERSENNE
+        doc_idx = np.repeat(np.arange(len(nz)), counts[nz])
+        mins = pd.DataFrame(hv.T).groupby(doc_idx).min().to_numpy()
+        out[nz] = mins.astype(np.uint64)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t).tolist() for t in texts]
+        sigs = self._signatures(texts)
         return batch.append_column(
-            "minhash", pa.array(sigs, pa.list_(pa.uint64(), self.n_perm))
+            "minhash",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), self.n_perm
+            ),
         )
+
+
+# Process-global hasher cache for the task-based signature path: the
+# hasher state (permutation coefficients / token cache) amortizes per
+# long-lived Ray worker process exactly like an actor pool, but tasks
+# scale to every free CPU with no pool sizing and no actor startup —
+# the ocr_batch_fused pattern (stages/ocr_stage.py). Deterministic:
+# construction is seed-only.
+_HASHERS: dict = {}
+
+
+def _minhash_batch(t: pa.Table, n_perm: int = 64, shingle_k: int = 5,
+                   seed: int = 7) -> pa.Table:
+    key = ("minhash", n_perm, shingle_k, seed)
+    h = _HASHERS.get(key)
+    if h is None:
+        h = _HASHERS[key] = MinHasher(n_perm, shingle_k, seed)
+    return h(t)
+
+
+def _simhash_batch(t: pa.Table, seed: int = 11) -> pa.Table:
+    key = ("simhash", seed)
+    h = _HASHERS.get(key)
+    if h is None:
+        h = _HASHERS[key] = SimHasher(seed)
+    return h(t)
 
 
 def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
@@ -213,8 +275,9 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 8,
     from ray.data.aggregate import Count
 
     sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=2,
+        _minhash_batch,
+        fn_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
     ).select_columns(["doc_id", "minhash"])
     def _explode_with_coarse(t: pa.Table) -> pa.Table:
         out = explode_bands(t, n_bands)
@@ -287,11 +350,16 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
         max(1, min(num_partitions, (n_cands + 65535) // 65536))
     )
     texts = docs_ds.select_columns(["doc_id", "text"])
+    # materialize between the two joins: two hash-join operators in ONE
+    # streaming execution pin 2×num_partitions aggregator actors and
+    # deadlock against their upstream tasks on small clusters; the
+    # intermediate is bounded by the candidate count (the verify
+    # working set), so the barrier is cheap
     with_a = cands.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
         aggregator_ray_remote_args=_JOIN_AGG_ARGS,
-    ).rename_columns({"text": "text_a"})
+    ).rename_columns({"text": "text_a"}).materialize()
     with_ab = with_a.join(
         texts, join_type="inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=("doc_id",),
@@ -339,78 +407,22 @@ class SimHasher:
 
     @staticmethod
     def _fnv64(data: bytes) -> int:
-        """Scalar reference for the bulk kernel below (kept for tests)."""
-        h = 14695981039346656037
-        for ch in data:
-            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        # murmur3 fmix64 finalizer: raw FNV-1a has poor high-bit
-        # avalanche on short similar keys ('token0'/'token1' share the
-        # top 40 bits), which collapses simhash votes into structure
-        # bits; the finalizer restores per-bit uniformity
-        h ^= h >> 33
-        h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
-        h ^= h >> 33
-        h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
-        h ^= h >> 33
-        return h
+        """FNV-1a + fmix64 — scalar reference (functions/hashing.py).
+        The fmix64 finalizer matters here: raw FNV-1a has poor high-bit
+        avalanche on short similar keys ('token0'/'token1' share the
+        top 40 bits), which collapses simhash votes into structure
+        bits."""
+        from ..functions.hashing import fnv64
 
-    # tokens longer than this take the scalar path — the padded matrix
-    # in the bulk kernel is n_tokens × max_len bytes, and one megabyte
-    # "token" must not inflate it
-    _BULK_MAX_LEN = 256
+        return fnv64(data)
 
-    @classmethod
-    def _fnv64_bulk(cls, tokens: list) -> np.ndarray:
-        """Vectorized FNV-1a + fmix64 over a list of str tokens —
-        bit-identical to ``_fnv64`` (asserted in tests). The byte loop
-        runs over PADDED COLUMNS (≤ max token length iterations of full-
-        width numpy ops), not over tokens."""
-        n = len(tokens)
-        out = np.zeros(n, dtype=np.uint64)
-        if n == 0:
-            return out
-        data = [t.encode("utf-8") for t in tokens]
-        lens = np.fromiter((len(d) for d in data), dtype=np.int64, count=n)
-        big = lens > cls._BULK_MAX_LEN
-        if big.any():
-            for i in np.nonzero(big)[0]:
-                out[i] = cls._fnv64(data[i])
-        small = ~big
-        idx = np.nonzero(small)[0]
-        if len(idx) == 0:
-            return out
-        sl = lens[idx]
-        max_len = int(sl.max())
-        if max_len == 0:
-            base = np.uint64(14695981039346656037)
-            h = np.full(len(idx), base, dtype=np.uint64)
-        else:
-            flat = np.frombuffer(
-                b"".join(data[i] for i in idx), dtype=np.uint8
-            ).astype(np.uint64)
-            starts = np.zeros(len(idx), dtype=np.int64)
-            np.cumsum(sl[:-1], out=starts[1:])
-            # padded (n, max_len) byte matrix: columns past a token's end
-            # re-read its last byte but are masked out of the update
-            cols = np.minimum(np.arange(max_len), np.maximum(sl - 1, 0)[:, None])
-            # out-of-range reads (empty tokens) are masked out below —
-            # clamp so the gather stays in bounds
-            buf = flat[np.minimum(starts[:, None] + cols, len(flat) - 1)]
-            h = np.full(len(idx), 14695981039346656037, dtype=np.uint64)
-            prime = np.uint64(1099511628211)
-            with np.errstate(over="ignore"):
-                for j in range(max_len):
-                    live = sl > j
-                    hl = h[live]
-                    h[live] = (hl ^ buf[live, j]) * prime
-        with np.errstate(over="ignore"):
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xFF51AFD7ED558CCD)
-            h ^= h >> np.uint64(33)
-            h *= np.uint64(0xC4CEB9FE1A85EC53)
-            h ^= h >> np.uint64(33)
-        out[idx] = h
-        return out
+    @staticmethod
+    def _fnv64_bulk(tokens: list) -> np.ndarray:
+        """Vectorized _fnv64 over a token list (functions/hashing.py:
+        padded-column byte loop, bit-identical to the scalar)."""
+        from ..functions.hashing import fnv64_bulk
+
+        return fnv64_bulk(tokens)
 
     def _resolve_hashes(self, flat_tokens: list) -> np.ndarray:
         """token strs → uint64 hashes via the actor cache + bulk kernel."""
@@ -457,7 +469,7 @@ class SimHasher:
         # np.add.reduceat (generic per-element loop) and np.cumsum
         # (inherently serial) are 10–40× slower on this shape
         doc_idx = np.repeat(np.arange(len(nz)), nz_counts)
-        ones = np.empty((len(nz), 64), dtype=np.int64)
+        ones = np.zeros((len(nz), 64), dtype=np.int64)
         for b in range(64):
             ones[:, b] = np.bincount(
                 doc_idx, weights=bits[:, b], minlength=len(nz)
@@ -478,7 +490,7 @@ class SimHasher:
 
 def simhash_table(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=2
+        _simhash_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "simhash"])
 
 
@@ -490,23 +502,21 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
     sigs = simhash_table(docs_ds)
 
     def _explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sg = t.column("simhash").to_pylist()
-        band_ids, band_vals, doc_ids, full, coarse = [], [], [], [], []
-        for did, s in zip(ids, sg):
-            for b in range(4):
-                v = (s >> (16 * b)) & 0xFFFF
-                band_ids.append(b)
-                band_vals.append(v)
-                doc_ids.append(did)
-                full.append(s)
-                coarse.append((b * 65536 + v) % N_COARSE_BUCKETS)
+        n = t.num_rows
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        sg = np.asarray(t.column("simhash").to_pylist(), dtype=np.uint64)
+        # (n, 4) 16-bit bands via one shift/mask — no per-doc Python
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        vals = ((sg[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        flat_vals = vals.reshape(-1)
+        coarse = (band * 65536 + flat_vals) % N_COARSE_BUCKETS
         return pa.table({
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_val": pa.array(band_vals, pa.int32()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "simhash": pa.array(full, pa.uint64()),
-            "coarse": pa.array(coarse, pa.int32()),
+            "band_id": pa.array(band.astype(np.int32)),
+            "band_val": pa.array(flat_vals.astype(np.int32)),
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "simhash": pa.array(np.repeat(sg, 4)),
+            "coarse": pa.array(coarse.astype(np.int32)),
         })
 
     def _pairs_coarse(df) -> pa.Table:

@@ -13,10 +13,10 @@ where an exact ``unique`` would be a full shuffle of the key column.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..functions.hashing import bit_length_u64, fnv64_bulk
 
 
 class HyperLogLog:
@@ -27,28 +27,21 @@ class HyperLogLog:
 
     @staticmethod
     def _hash64(values) -> np.ndarray:
-        out = np.empty(len(values), dtype=np.uint64)
-        for i, v in enumerate(values):
-            out[i] = int.from_bytes(
-                hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big"
-            )
-        return out
+        # vectorized fnv64+fmix64 (functions/hashing.py) — the per-value
+        # md5 loop was the sketch stage's only Python hot loop
+        return fnv64_bulk([v if isinstance(v, str) else str(v)
+                           for v in values])
 
     def add_many(self, values) -> "HyperLogLog":
         if len(values) == 0:
             return self
         h = self._hash64(values)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # low bits set as sentinel so rank ≤ 64 - p + 1
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rank = leading zeros of the remaining bits + 1, vectorized via
-        # bit-length: rank = 64 - p - floor(log2(rest_without_top)) ...
-        # simpler: count leading zeros on the shifted value
-        ranks = np.zeros(len(h), dtype=np.uint8)
-        v = rest.copy()
-        # leading-zero count via 64 - bit_length(v) (v has low bits set
-        # as sentinel so rank ≤ 64 - p + 1)
-        for i in range(len(v)):
-            ranks[i] = 64 - int(v[i]).bit_length() + 1
+        # rank = leading zeros of the remaining bits + 1, via exact
+        # vectorized bit_length
+        ranks = (64 - bit_length_u64(rest) + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, ranks)
         return self
 
@@ -102,9 +95,12 @@ def size_histogram(ds, column: str = "html_len"):
     from ray.data.aggregate import Count, Sum
 
     def _bucket(t: pa.Table) -> pa.Table:
-        vals = t.column(column).to_pylist()
-        buckets = [max(int(v).bit_length() - 1, 0) if v and v > 0 else 0
-                   for v in vals]
+        vals = np.asarray(
+            [0 if v is None else v for v in t.column(column).to_pylist()],
+            dtype=np.int64,
+        )
+        pos = np.maximum(vals, 1).astype(np.uint64)  # null/v<=0 → bucket 0
+        buckets = np.maximum(bit_length_u64(pos) - 1, 0)
         return pa.table({
             "log2_bucket": pa.array(buckets, pa.int64()),
             column: t.column(column),
