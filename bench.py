@@ -122,6 +122,11 @@ def run_bench() -> dict:
         "knn_ivf",
         "dedup_clusters",
         "approx_distinct_urls",
+        "dedup_ngram_jaccard",
+        "embedding_neardup_lsh",
+        "multimodal_decode",
+        "doc_fingerprint",
+        "salted_rollup",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -151,33 +151,68 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
     return ds
 
 
-def _session_counter_sums(ds):
-    """Associative partial sums over the output (A4) — ONE dataset
-    execution: each batch collapses to a single partial-counter row
-    (classic combiner), then one tiny global Sum. Two separate
-    aggregates here would scan the dataset twice per commit group."""
+_COUNTER_NAMES = ["total_urls", "successful_urls", *_SUM_COLS.keys()]
+
+
+def _counter_partials(t: pa.Table) -> pa.Table:
+    """One batch → one partial-counter row (classic combiner)."""
+    ok_n = pc.sum(
+        pc.cast(pc.equal(t.column("status"), "completed"), pa.int64())
+    ).as_py() or 0
+    row = {
+        "total_urls": [t.num_rows],
+        "successful_urls": [ok_n],
+    }
+    for out_name, col in _SUM_COLS.items():
+        row[out_name] = [pc.sum(t.column(col)).as_py() or 0]
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+
+def _merge_counter_partials(partials_ds):
     from ray.data.aggregate import Sum
 
-    names = ["total_urls", "successful_urls", *_SUM_COLS.keys()]
-
-    def _partials(t: pa.Table) -> pa.Table:
-        ok_n = pc.sum(
-            pc.cast(pc.equal(t.column("status"), "completed"), pa.int64())
-        ).as_py() or 0
-        row = {
-            "total_urls": [t.num_rows],
-            "successful_urls": [ok_n],
-        }
-        for out_name, col in _SUM_COLS.items():
-            row[out_name] = [pc.sum(t.column(col)).as_py() or 0]
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
-
-    merged = ds.map_batches(_partials, batch_format="pyarrow").aggregate(
-        *[Sum(n, alias_name=n) for n in names]
+    merged = partials_ds.aggregate(
+        *[Sum(n, alias_name=n) for n in _COUNTER_NAMES]
     )
-    counters = {k: int(merged.get(k) or 0) for k in names}
+    counters = {k: int(merged.get(k) or 0) for k in _COUNTER_NAMES}
     counters["failed_urls"] = counters["total_urls"] - counters["successful_urls"]
     return counters
+
+
+def _session_counter_sums(ds):
+    """Associative partial sums over the output (A4) — ONE dataset
+    execution: each batch collapses to a single partial-counter row,
+    then one tiny global Sum. Two separate aggregates here would scan
+    the dataset twice per commit group."""
+    return _merge_counter_partials(
+        ds.map_batches(_counter_partials, batch_format="pyarrow")
+    )
+
+
+def _write_block_and_count(t: pa.Table, gdir: str) -> pa.Table:
+    """Fused sink+combiner: write the block as one Parquet part AND
+    emit its counter-partial row — the whole commit group runs in ONE
+    dataset execution (the old write → re-read-stats → aggregate path
+    paid a second scan plus a second executor ramp per group).
+
+    The part filename derives from the block's (first url, last url,
+    row count): urls are unique within a group, so distinct blocks get
+    distinct names and a RETRIED task overwrites its own file instead
+    of appending a duplicate (uuid names would double-write on retry).
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    if t.num_rows:
+        u0 = t.column("url")[0].as_py()
+        u1 = t.column("url")[-1].as_py()
+        key = hashlib.md5(
+            f"{u0}|{u1}|{t.num_rows}".encode("utf-8")
+        ).hexdigest()[:20]
+        pq.write_table(t, os.path.join(gdir, f"part-{key}.parquet"))
+    return _counter_partials(t)
 
 
 def session_summary(ds) -> Dict:
@@ -298,19 +333,25 @@ def run_pipeline(pages, cfg: Optional[PipelineConfig] = None) -> Dict:
               ["total_urls", "successful_urls", "failed_urls", *_SUM_COLS.keys()]}
 
     def _run_group(gid, job) -> Dict:
+        import os
+
         gdir = mf.group_dir(cfg.output_dir, gid)
+        os.makedirs(gdir, exist_ok=True)
         with _DS_BUILD_LOCK:
             # serialize read_parquet CONSTRUCTION only: its lazy fsspec
             # probe is not thread-safe when aiohttp is absent (a failed
             # concurrent import surfaces as ImportError, which Ray's
             # ModuleNotFoundError guard misses). Execution runs parallel.
             ds = build_pipeline(make_ds(job), cfg)
-        ds.write_parquet(gdir)
-        # counters from the written output (column-pruned cheap scan);
-        # commit record written ONLY after data + stats land
-        with _DS_BUILD_LOCK:
-            stats_ds = _group_stats_dataset(gdir)
-        stats = _session_counter_sums(stats_ds)
+        # fused write+count: each block task writes its Parquet part and
+        # emits a counter partial — one execution per group, no separate
+        # stats re-read (was ~2s/group of ramp+scan). Commit record is
+        # written ONLY after every part + the counter aggregate land.
+        partials = ds.map_batches(
+            partial(_write_block_and_count, gdir=gdir),
+            batch_format="pyarrow", batch_size=None,
+        )
+        stats = _merge_counter_partials(partials)
         lineage = {"input_files": list(job)} if isinstance(
             job, (list, tuple)) else {"input_files": None}
         mf.commit_partition(

@@ -545,9 +545,14 @@ def q_events_tumbling(sf_dir: str):
     """Tumbling 1h window per user over the events log — the
     streaming-shaped aggregate (ray_guide: groupby + floor_temporal).
     Min/Max only (order-independent floats; Sum of doubles is
-    summation-order-dependent and would flap vs the oracle)."""
+    summation-order-dependent and would flap vs the oracle).
+
+    Two-phase: each batch collapses to one row per (user, window)
+    BEFORE the shuffle — events repeat their keys heavily, so the
+    all-to-all moves per-window partials, not per-event rows."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages.shuffle import two_phase_aggregate
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"]
@@ -558,12 +563,14 @@ def q_events_tumbling(sf_dir: str):
             "window_start", pc.floor_temporal(t.column("ts"), unit="hour")
         ).drop_columns(["ts"])
 
-    return ev.map_batches(_window, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(
-        Count(alias_name="n_events"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    return two_phase_aggregate(
+        ev.map_batches(_window, batch_format="pyarrow"),
+        ("user_id", "window_start"),
+        {
+            "n_events": (None, "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
     )
 
 
@@ -574,7 +581,6 @@ def q_events_sliding(sf_dir: str):
     is the streaming-batch expression of overlapping windows: expansion
     factor = size/slide, shuffle key = (user, window)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"]
@@ -593,12 +599,16 @@ def q_events_sliding(sf_dir: str):
         second = base.append_column("window_start", w_prev)
         return pa.concat_tables([first, second])
 
-    return ev.map_batches(_expand, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(
-        Count(alias_name="n_events"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    from ..stages.shuffle import two_phase_aggregate
+
+    return two_phase_aggregate(
+        ev.map_batches(_expand, batch_format="pyarrow"),
+        ("user_id", "window_start"),
+        {
+            "n_events": (None, "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
     )
 
 

@@ -245,21 +245,37 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
 N_COARSE_BUCKETS = 512
 
 
+def _bucket_runs(df, keys: list, cap: int):
+    """Sort rows so equal fine-keys are adjacent; return (sorted frame,
+    run starts, capped run lengths) for runs of size ≥ 2. Python never
+    loops over rows — only over multi-member runs."""
+    sizes = df.groupby(keys)["doc_id"].transform("size")
+    multi = df[sizes > 1]
+    if len(multi) == 0:
+        return multi, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    multi = multi.sort_values([*keys, "doc_id"], kind="stable")
+    grp = multi.groupby(keys, sort=False).ngroup().to_numpy()
+    starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+    lens = np.diff(np.r_[starts, len(grp)])
+    return multi, starts, np.minimum(lens, cap)
+
+
 def _pairs_from_coarse_group(df) -> pa.Table:
     """One coarse bucket → pairs from every fine (band_id, band_hash)
-    bucket inside it. Vectorized size-filter; Python loops touch only
-    buckets with ≥2 members (rare by construction)."""
-    a_out: List[int] = []
-    b_out: List[int] = []
-    sizes = df.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
-    multi = df[sizes > 1]
+    bucket inside it. Pair generation is numpy triu indices per run —
+    a degenerate all-equal bucket (cap² pairs) stays vectorized."""
     cap = 200  # guard: a degenerate all-equal bucket must not go O(n²)
-    for _, grp in multi.groupby(["band_id", "band_hash"]):
-        ids = sorted(grp["doc_id"].tolist())[:cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+    multi, starts, lens = _bucket_runs(df, ["band_id", "band_hash"], cap)
+    a_parts, b_parts = [], []
+    if len(multi):
+        ids = multi["doc_id"].to_numpy()
+        for s, ln in zip(starts, lens):
+            ia, ib = np.triu_indices(ln, k=1)
+            sub = ids[s:s + ln]
+            a_parts.append(sub[ia])
+            b_parts.append(sub[ib])
+    a_out = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+    b_out = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
     return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                      "doc_b": pa.array(b_out, pa.int64())})
 
@@ -520,28 +536,34 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
         })
 
     def _pairs_coarse(df) -> pa.Table:
-        # vectorized fine-group filter; Python touches only multi-member
-        # buckets (same shape as _pairs_from_coarse_group above)
-        a, b_, ham = [], [], []
+        # numpy pair generation per fine bucket + vectorized popcount
+        # (unpackbits over the xor'd signatures) — the Python double
+        # loop was the hot spot on collision-heavy corpora
         cap = 200
-        sizes = df.groupby(["band_id", "band_val"])["doc_id"].transform("size")
-        multi = df[sizes > 1]
-        for _, grp in multi.groupby(["band_id", "band_val"]):
-            rows = sorted(zip(grp["doc_id"].tolist(),
-                              grp["simhash"].tolist()))[:cap]
-            for ii in range(len(rows)):
-                for jj in range(ii + 1, len(rows)):
-                    (ida, sa), (idb, sb) = rows[ii], rows[jj]
-                    if ida == idb:
-                        continue
-                    h = int(bin(int(sa) ^ int(sb)).count("1"))
-                    if h <= max_hamming:
-                        a.append(ida)
-                        b_.append(idb)
-                        ham.append(h)
+        multi, starts, lens = _bucket_runs(df, ["band_id", "band_val"], cap)
+        a_parts, b_parts, h_parts = [], [], []
+        if len(multi):
+            ids = multi["doc_id"].to_numpy()
+            sigs = multi["simhash"].to_numpy().astype(np.uint64)
+            for s, ln in zip(starts, lens):
+                ia, ib = np.triu_indices(ln, k=1)
+                sub_ids = ids[s:s + ln]
+                sub_sig = sigs[s:s + ln]
+                xa, xb = sub_ids[ia], sub_ids[ib]
+                x = sub_sig[ia] ^ sub_sig[ib]
+                ham = np.unpackbits(
+                    x.view(np.uint8).reshape(-1, 8), axis=1
+                ).sum(axis=1).astype(np.int64)
+                keep = (ham <= max_hamming) & (xa != xb)
+                a_parts.append(xa[keep])
+                b_parts.append(xb[keep])
+                h_parts.append(ham[keep])
+        a = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+        b_ = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+        hm = np.concatenate(h_parts) if h_parts else np.zeros(0, np.int64)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b_, pa.int64()),
-                         "hamming": pa.array(ham, pa.int64())})
+                         "hamming": pa.array(hm, pa.int64())})
 
     pairs = sigs.map_batches(_explode, batch_format="pyarrow").groupby(
         "coarse"

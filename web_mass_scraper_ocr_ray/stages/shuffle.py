@@ -25,17 +25,26 @@ import pyarrow as pa
 AggSpec = Dict[str, Tuple[str, str]]
 
 
-def _combine_batch(df: pd.DataFrame, key, spec: AggSpec) -> pd.DataFrame:
-    agg_kwargs = {}
+def _combine_batch(t: pa.Table, key, spec: AggSpec) -> pa.Table:
+    """Arrow-native per-batch combine (pyarrow group_by — C++ hash
+    aggregation). Emitting PANDAS partial blocks here made the final
+    Ray aggregate fall into a per-row path: 52 s vs 3 s on a 100k-row
+    events table with a timestamp key."""
+    aggs = []
+    renames = {}
     for out, (col, op) in spec.items():
-        if op == "count":
-            # count partials are SUMs of per-batch counts downstream;
-            # materialize as a countable column
-            agg_kwargs[out] = (key[0] if col is None else col, "size" if col is None else "count")
+        if op == "count" and col is None:
+            # count partials are SUMs of per-batch counts downstream
+            aggs.append(([], "count_all"))
+            renames["count_all"] = out
         else:
-            agg_kwargs[out] = (col, op)
-    g = df.groupby(list(key), as_index=False).agg(**agg_kwargs)
-    return g
+            op_name = "count" if op == "count" else op
+            aggs.append((col, op_name))
+            renames[f"{col}_{op_name}"] = out
+    res = t.group_by(list(key)).aggregate(aggs)
+    return res.rename_columns(
+        [renames.get(n, n) for n in res.column_names]
+    )
 
 
 def two_phase_aggregate(ds, key, spec: AggSpec):
@@ -51,10 +60,10 @@ def two_phase_aggregate(ds, key, spec: AggSpec):
         key = (key,)
     key = tuple(key)
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _combine_batch(df, key, spec)
+    def _partial(t: pa.Table) -> pa.Table:
+        return _combine_batch(t, key, spec)
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
 
     merge_aggs = []
     for out, (col, op) in spec.items():
