@@ -196,6 +196,98 @@ class TestFetchStage:
         assert rows[0]["text"] == "t body"
 
 
+class TestUrllibFetcher:
+    """Live-path test: the stdlib fetcher against a loopback HTTP server.
+
+    This exercises the real S5 wire path (socket → status routing →
+    retryable transport errors) without external network."""
+
+    @pytest.fixture()
+    def http_server(self):
+        import http.server
+        import threading
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                routes = {
+                    "/ok": (200, b"<h1>t</h1><p>live body</p>"),
+                    "/missing": (404, b"nope"),
+                    "/busy": (503, b""),
+                }
+                code, body = routes.get(self.path, (400, b""))
+                self.send_response(code)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_status_and_body(self, http_server):
+        from web_mass_scraper_ocr_ray.sources.urls import urllib_fetcher
+
+        fetch = urllib_fetcher(timeout=5.0)
+        assert fetch(f"{http_server}/ok") == (200, b"<h1>t</h1><p>live body</p>")
+        code, body = fetch(f"{http_server}/missing")
+        assert (code, body) == (404, b"nope")
+        assert fetch(f"{http_server}/busy")[0] == 503
+
+    def test_connection_refused_is_retryable(self):
+        from web_mass_scraper_ocr_ray.sources.urls import urllib_fetcher
+
+        fetch = urllib_fetcher(timeout=2.0)
+        # An unbound loopback port: URLError → ConnectionError, the type
+        # FetchStage's retry_with_backoff retries on.
+        with pytest.raises(ConnectionError):
+            fetch("http://127.0.0.1:9/never")
+
+    def test_max_bytes_caps_body(self, http_server):
+        from web_mass_scraper_ocr_ray.sources.urls import urllib_fetcher
+
+        fetch = urllib_fetcher(timeout=5.0, max_bytes=4)
+        assert fetch(f"{http_server}/ok") == (200, b"<h1>")
+
+    def test_live_fetch_through_pipeline(self, ray_session, http_server):
+        """url source → urllib fetch (Ray actor) → extract, end-to-end
+        over a real socket."""
+        from web_mass_scraper_ocr_ray import PipelineConfig, build_pipeline
+        from web_mass_scraper_ocr_ray.sources.urls import (
+            FetchStage,
+            pages_from_urls,
+            urllib_fetcher,
+        )
+
+        pages = pages_from_urls(
+            [f"{http_server}/ok", f"{http_server}/missing"]
+        ).map_batches(
+            FetchStage,
+            fn_constructor_kwargs={"fetcher": urllib_fetcher(timeout=5.0),
+                                   "rate": 1e9},
+            batch_format="pyarrow", concurrency=1,
+        )
+        fetched = {r["url"].rsplit("/", 1)[1]: r for r in pages.take_all()}
+        assert fetched["ok"]["fetch_status"] == "completed"
+        assert fetched["missing"]["fetch_status"] == "failed"
+        assert fetched["missing"]["fetch_error_type"] == "Connection"
+        rows = build_pipeline(
+            pages_from_urls([f"{http_server}/ok"]).map_batches(
+                FetchStage,
+                fn_constructor_kwargs={"fetcher": urllib_fetcher(timeout=5.0),
+                                       "rate": 1e9},
+                batch_format="pyarrow", concurrency=1,
+            ),
+            PipelineConfig(num_partitions=0, skew_enabled=False),
+        ).take_all()
+        assert rows[0]["text"] == "t live body"
+
+
 class TestExtractBatchSliced:
     def test_slicing_matches_unsliced(self):
         from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table

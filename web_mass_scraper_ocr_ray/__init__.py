@@ -26,6 +26,13 @@ from .functions.urltools import (
     validate_url,
 )
 from .ocr.engine import OCREngine, StubOCREngine, make_engine, parse_data_url
+from .sources.images import ImageDownloader
+from .sources.urls import (
+    FetchStage,
+    pages_from_urls,
+    read_url_file,
+    urllib_fetcher,
+)
 from .pipelines.extract_pipeline import (
     build_pipeline,
     hostname_rollup,
@@ -66,4 +73,10 @@ __all__ = [
     "StubOCREngine",
     "make_engine",
     "parse_data_url",
+    # live-fetch surface (S1/S2/S5/S6)
+    "FetchStage",
+    "urllib_fetcher",
+    "pages_from_urls",
+    "read_url_file",
+    "ImageDownloader",
 ]

@@ -37,6 +37,52 @@ from ..functions.urltools import normalize_hostname
 Fetcher = Callable[[str], Tuple[int, bytes]]
 
 
+def urllib_fetcher(timeout: float = 30.0, max_bytes: int = 32 * 2**20,
+                   user_agent: str = "web-mass-scraper-ocr-ray/1.0"
+                   ) -> Fetcher:
+    """Stdlib live fetcher for ``FetchStage`` (requires network).
+
+    Replaces the reference's Playwright page load (scraper.py:186-205,
+    default SCRAPER_PAGE_TIMEOUT_MS 30 s) with a plain HTTP GET — this
+    engine parses static HTML, so no JS rendering. Error routing keeps
+    the FetchStage contract:
+      - non-2xx → returned as (status, body); FetchStage maps the code
+        through ``error_type_for_http_status`` (RateLimit/Server/…),
+        mirroring scraper.py:193-196
+      - timeouts → TimeoutError, DNS/conn failures → ConnectionError,
+        both retryable by the stage's retry_with_backoff
+    ``max_bytes`` bounds the response body in worker memory — a batch
+    engine must cap per-row payloads (the reference streamed one page
+    at a time)."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    def _fetch(url: str) -> Tuple[int, bytes]:
+        req = urllib.request.Request(
+            url, headers={"User-Agent": user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                body = resp.read(max_bytes)
+                return getattr(resp, "status", 200), body
+        except urllib.error.HTTPError as exc:
+            # HTTP-level failure IS a response: status routes the error
+            try:
+                body = exc.read() or b""
+            except Exception:
+                body = b""
+            return exc.code, body
+        except socket.timeout as exc:
+            raise TimeoutError(f"timeout fetching {url}") from exc
+        except urllib.error.URLError as exc:
+            reason = getattr(exc, "reason", exc)
+            if isinstance(reason, socket.timeout):
+                raise TimeoutError(f"timeout fetching {url}") from exc
+            raise ConnectionError(str(reason)) from exc
+
+    return _fetch
+
+
 def pages_from_urls(urls: Iterable[str], client_ids: Optional[Iterable] = None):
     """S1: explicit URL list → url-only Dataset (html filled by fetch).
 
