@@ -338,72 +338,161 @@ def jaccard_counts(text_a: str, text_b: str, k: int = 5):
     return inter, len(sa) + len(sb) - inter
 
 
+def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
+                              n_coarse: int = N_COARSE_BUCKETS):
+    """Attach both texts to each candidate (doc_a, doc_b) pair and keep
+    pairs with exact Jaccard ≥ pct/100 — via two coarse-bucket groupby
+    shuffles instead of Ray's hash-join operator.
+
+    The join operator pins ``num_partitions`` aggregator actors per
+    join; at small candidate counts that is pure overhead (measured
+    23 s to join 6k pairs against 10k texts at sf0.1 vs 4.5 s for this
+    path), and on small clusters two joins in one streaming execution
+    deadlock against their own upstream. Shape:
+
+      pairs → 2 rows each (key=doc_a side=0, key=doc_b side=1)
+      texts → 1 row each (key=doc_id, side=-1, text)
+      groupby(key % n_coarse): map text onto its pairs' rows (vector-
+        ized reindex per bucket — no per-group Python calls)
+      groupby(pair % n_coarse): sort (doc_a, doc_b, side), adjacent
+        rows are the two sides; run the shingle kernel per pair
+
+    Data moved: texts once + pair rows twice — strictly less than the
+    two hash joins (texts twice). Each bucket holds ~N/n_coarse rows,
+    so worker memory stays bounded at cluster scale; raise ``n_coarse``
+    with the corpus."""
+    import pandas as pd
+
+    def _explode_sides(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").cast(pa.int64()).combine_chunks()
+        b = t.column("doc_b").cast(pa.int64()).combine_chunks()
+        n = t.num_rows
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "doc_a": pa.concat_arrays([a, a]),
+            "doc_b": pa.concat_arrays([b, b]),
+            "side": pa.array([0] * n + [1] * n, pa.int8()),
+            "text": pa.array([None] * (2 * n), pa.large_string()),
+        })
+
+    def _text_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        zero = pa.nulls(n, pa.int64())
+        return pa.table({
+            "key": t.column("doc_id").cast(pa.int64()),
+            "doc_a": zero,
+            "doc_b": zero,
+            "side": pa.array(np.full(n, -1, np.int8())),
+            "text": t.column("text").cast(pa.large_string()),
+        })
+
+    def _with_coarse(col):
+        def _f(t: pa.Table) -> pa.Table:
+            c = pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(t.column(col), pa.uint64()),
+                    pa.scalar(n_coarse - 1, pa.uint64()),
+                ),
+                pa.int32(),
+            )
+            return t.append_column("coarse", c)
+        return _f
+
+    rows = cands.map_batches(
+        _explode_sides, batch_format="pyarrow"
+    ).union(
+        texts.map_batches(_text_rows, batch_format="pyarrow")
+    ).map_batches(_with_coarse("key"), batch_format="pyarrow")
+
+    _empty_attached = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "side": pd.Series([], dtype="int8"),
+        "text": pd.Series([], dtype="object"),
+    })
+
+    def _attach(df):
+        is_src = df["side"].to_numpy() == -1
+        src = df[is_src]
+        dst = df[~is_src]
+        if len(src) == 0 or len(dst) == 0:
+            return _empty_attached
+        lookup = pd.Series(src["text"].to_numpy(),
+                           index=src["key"].to_numpy())
+        out = dst[["doc_a", "doc_b", "side"]].copy()
+        out["text"] = lookup.reindex(dst["key"].to_numpy()).to_numpy()
+        return out[out["text"].notna()]
+
+    attached = rows.groupby("coarse").map_groups(
+        _attach, batch_format="pandas"
+    ).map_batches(
+        # re-key the shuffle by the PAIR so both sides land together
+        lambda t: _with_coarse("doc_a")(
+            t.select(["doc_a", "doc_b", "side", "text"])
+        ),
+        batch_format="pyarrow",
+    )
+
+    _empty_verified = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard_pct": pd.Series([], dtype="int64"),
+    })
+
+    def _verify(df):
+        df = df.sort_values(["doc_a", "doc_b", "side"], kind="stable")
+        a = df["doc_a"].to_numpy()
+        b_ = df["doc_b"].to_numpy()
+        side = df["side"].to_numpy()
+        txt = df["text"].to_numpy()
+        if len(df) < 2:
+            return _empty_verified
+        both = np.flatnonzero(
+            (side[:-1] == 0) & (side[1:] == 1)
+            & (a[:-1] == a[1:]) & (b_[:-1] == b_[1:])
+        )
+        keep_a, keep_b, jac = [], [], []
+        for i in both:
+            inter, union = jaccard_counts(txt[i], txt[i + 1], shingle_k)
+            if 100 * inter >= pct * union:
+                keep_a.append(a[i])
+                keep_b.append(b_[i])
+                jac.append(100 if union == 0 else (100 * inter) // union)
+        return pd.DataFrame({
+            "doc_a": pd.Series(keep_a, dtype="int64"),
+            "doc_b": pd.Series(keep_b, dtype="int64"),
+            "jaccard_pct": pd.Series(jac, dtype="int64"),
+        })
+
+    return attached.groupby("coarse").map_groups(
+        _verify, batch_format="pandas"
+    )
+
+
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, n_perm: int = 64,
                         n_bands: int = 8, shingle_k: int = 5,
                         num_partitions: int = 0):
     """Near-dup pairs with Jaccard ≥ threshold.
 
     Candidate generation is fully distributed (see module docstring);
-    verification is too: the candidate pair ids are hash-join'd back to
-    the documents table on doc_id (twice — once per side), so each
-    verify task sees only its partition's (text_a, text_b) rows. No
-    driver-side scan, no unbounded broadcast — the only things that
-    move are the candidate pairs plus exactly the texts they need,
-    partitioned by doc_id (the same key the band shuffle used).
+    verification is too: candidate pair ids and document texts are
+    co-partitioned by doc_id (the same key the band shuffle used) via
+    ``_verify_pairs_copartition`` — no driver-side scan, no unbounded
+    broadcast, no pinned join-aggregator actors. The only things that
+    move are the candidate pairs plus each text once.
+
+    ``num_partitions`` is kept for API compatibility; the coarse-
+    bucket shuffle sizes itself.
     """
-    num_partitions = _join_partitions(num_partitions)
     cands = minhash_lsh_candidates(
         docs_ds, n_perm, n_bands, shingle_k
-    ).select_columns(["doc_a", "doc_b"]).materialize()
-    n_cands = cands.count()
-    if n_cands == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard_pct": pa.array([], pa.int64())})
-    # repartition scrubs the empty-SCHEMA 0-row blocks the hash
-    # aggregator can emit — they crash the hash join below
-    cands = cands.repartition(
-        max(1, min(num_partitions, (n_cands + 65535) // 65536))
-    )
+    ).select_columns(["doc_a", "doc_b"])
     texts = docs_ds.select_columns(["doc_id", "text"])
-    # materialize between the two joins: two hash-join operators in ONE
-    # streaming execution pin 2×num_partitions aggregator actors and
-    # deadlock against their upstream tasks on small clusters; the
-    # intermediate is bounded by the candidate count (the verify
-    # working set), so the barrier is cheap
-    with_a = cands.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
-    ).rename_columns({"text": "text_a"}).materialize()
-    with_ab = with_a.join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
-    )
-
     # rational threshold: inter/union >= threshold ⟺ 100*inter >=
     # pct*union in exact integer math (float j >= threshold can flip on
     # borderline pairs vs the SQL oracle's rational comparison)
     pct = int(round(threshold * 100))
-
-    def _verify(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_pylist()
-        b_ = t.column("doc_b").to_pylist()
-        ta = t.column("text_a").to_pylist()
-        tb = t.column("text").to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for x, y, tx, ty in zip(a, b_, ta, tb):
-            inter, union = jaccard_counts(tx, ty, shingle_k)
-            if 100 * inter >= pct * union:
-                keep_a.append(x)
-                keep_b.append(y)
-                jac.append(100 if union == 0 else (100 * inter) // union)
-        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
-                         "doc_b": pa.array(keep_b, pa.int64()),
-                         "jaccard_pct": pa.array(jac, pa.int64())})
-
-    return with_ab.map_batches(_verify, batch_format="pyarrow")
+    return _verify_pairs_copartition(cands, texts, pct, shingle_k)
 
 
 # ---------- simhash -------------------------------------------------------
