@@ -35,27 +35,6 @@ import pyarrow.compute as pc
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _join_partitions(requested=None) -> int:
-    """Partition count for hash joins. Ray's join operator pins one
-    aggregator ACTOR per partition (each holding a CPU by default), so
-    num_partitions must stay below the cluster's CPU count or the join
-    deadlocks against its own upstream map tasks. On a real multi-node
-    cluster pass the requested value explicitly (~2-4× total cores)."""
-    if requested:
-        return requested
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if (
-        ray.is_initialized()
-    ) else 4
-    return max(2, min(16, cpus // 2))
-
-
-# aggregator actors mostly wait on shuffled input; half a CPU each lets
-# the pool coexist with the map tasks feeding it on small clusters
-_JOIN_AGG_ARGS = {"num_cpus": 0.5}
-
-
 # ---------- exact dedup ---------------------------------------------------
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -708,10 +687,15 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
     neighbors. Converges in O(component diameter) rounds; this is the
     cluster-scale path when the pair set cannot sit on the driver.
 
-    Fully join-based: per round, ONE hash join of the (static,
-    materialized) symmetric edge list against the current label table
-    keyed by node, then ONE min-aggregate by node. Labels never touch
-    the driver — convergence is detected by a scalar aggregate:
+    Fully shuffle-based, no hash-join operator (the join pins one
+    aggregator actor per partition — measured seconds of pure setup
+    per round on small clusters): per round, the (static, materialized)
+    symmetric edge list and the current label table are co-partitioned
+    by ``node % n_coarse`` in ONE groupby shuffle that attaches each
+    node's label to its outgoing edges, then a second groupby shuffle
+    takes the per-node min. The per-bucket pandas min is globally exact
+    because the coarse key partitions nodes disjointly. Labels never
+    touch the driver — convergence is detected by a scalar aggregate:
     per-node labels are monotonically non-increasing (the min always
     includes the node's own label), so sum(label) strictly decreases
     every non-converged round and is a fixed-point witness when equal.
@@ -722,72 +706,123 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
     ``strict=False`` returns the partial labels for callers that
     checkpoint-and-continue.
 
+    ``num_partitions`` is kept for API compatibility; the coarse-
+    bucket shuffle sizes itself (N_COARSE_BUCKETS buckets).
+
     Returns the same (doc_id, cluster_id) table as the driver variant
     (asserted equal in tests)."""
-    from ray.data.aggregate import Min
+    import pandas as pd
 
-    num_partitions = _join_partitions(num_partitions)
+    n_coarse = N_COARSE_BUCKETS
+
+    def _coarse(arr: pa.ChunkedArray) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(pc.cast(arr, pa.uint64()),
+                            pa.scalar(n_coarse - 1, pa.uint64())),
+            pa.int32(),
+        )
 
     def _sym(t: pa.Table) -> pa.Table:
-        # symmetric closure: each edge propagates labels both ways
-        a = t.column("doc_a").combine_chunks()
-        b = t.column("doc_b").combine_chunks()
+        # symmetric closure: each edge propagates labels both ways;
+        # coarse is keyed by src (where the label will be looked up)
+        a = t.column("doc_a").combine_chunks().cast(pa.int64())
+        b = t.column("doc_b").combine_chunks().cast(pa.int64())
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
         return pa.table({
-            "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
-            "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            "key": src,
+            "dst": dst,
+            "label": pa.nulls(len(src), pa.int64()),
+            "coarse": _coarse(pa.chunked_array([src])),
         })
 
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         _sym, batch_format="pyarrow"
     ).materialize()
 
-    # round 0: label(node) = min(node, neighbors)
-    def _self_min(t: pa.Table) -> pa.Table:
+    def _label_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").cast(pa.int64())
         return pa.table({
-            "node": t.column("src"),
-            "label": pc.min_element_wise(t.column("src"), t.column("dst")),
+            "key": node,
+            "dst": pa.nulls(t.num_rows, pa.int64()),
+            "label": t.column("label").cast(pa.int64()),
+            "coarse": _coarse(node),
         })
 
-    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    _empty_labels = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "label": pd.Series([], dtype="int64"),
+    })
 
-    def _norm_labels(t: pa.Table) -> pa.Table:
-        # union/join finalization can emit 0-row blocks with an EMPTY
-        # schema; feeding one into the next round's hash join fails
-        # with "no match for key field node" — pin the schema here
-        if t.num_rows == 0 or "node" not in t.column_names:
-            return label_schema.empty_table()
-        return pa.table({"node": t.column("node").cast(pa.int64()),
-                         "label": t.column("label").cast(pa.int64())})
+    def _bucket_min(df):
+        # exact global per-node min: the coarse key partitions nodes
+        # disjointly, so every row for a node is in this bucket
+        if len(df) == 0:
+            return _empty_labels
+        g = df.groupby("node", sort=False)["label"].min().reset_index()
+        return g.astype({"node": "int64", "label": "int64"})
 
-    labels = edges.map_batches(_self_min, batch_format="pyarrow").groupby(
-        "node"
-    ).aggregate(Min("label", alias_name="label")).map_batches(
-        _norm_labels, batch_format="pyarrow"
-    ).repartition(num_partitions).materialize()
+    # round 0: label(node) = min(node, neighbors) — one bucket shuffle
+    # keyed by dst (each edge votes min(src, dst) onto dst, and the
+    # symmetric closure guarantees the self edge's mirror covers src)
+    def _initial_votes(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").combine_chunks()
+        lab = pc.min_element_wise(t.column("key"), t.column("dst"))
+        return pa.table({
+            "node": dst,
+            "label": lab,
+            "coarse": _coarse(dst),
+        })
+
+    labels = edges.map_batches(
+        _initial_votes, batch_format="pyarrow"
+    ).groupby("coarse").map_groups(
+        _bucket_min, batch_format="pandas"
+    ).materialize()
     prev_sum = labels.sum("label")
+
+    def _propagate(df):
+        # one coarse bucket of edges(key=src) ∪ labels(key=node): send
+        # each node's current label to its neighbors, and keep the self
+        # label in play so per-node labels never increase
+        is_lab = df["dst"].isna().to_numpy()
+        lab = df[is_lab]
+        edg = df[~is_lab]
+        if len(lab) == 0:
+            return _empty_labels
+        lookup = pd.Series(lab["label"].to_numpy(),
+                           index=lab["key"].to_numpy())
+        node = np.concatenate([
+            edg["dst"].to_numpy(dtype="int64", na_value=0),
+            lab["key"].to_numpy(dtype="int64"),
+        ])
+        label = np.concatenate([
+            lookup.reindex(edg["key"].to_numpy()).to_numpy(),
+            lab["label"].to_numpy(dtype="float64"),
+        ])
+        out = pd.DataFrame({"node": node, "label": label})
+        # a src with edges but (impossibly) no label row would be NaN
+        out = out[out["label"].notna()]
+        # label rides through float64 (pandas null carrier) — exact for
+        # ids < 2^53; hash-derived full-64-bit ids would need the Int64
+        # extension dtype here
+        return out.astype({"node": "int64", "label": "int64"})
 
     converged = False
     for _ in range(max_rounds):
-        # neighbor labels arrive via the edge join; the node's own label
-        # rides along in the union so labels never increase
-        incoming = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("src",), right_on=("node",),
-            aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+        votes = edges.union(
+            labels.map_batches(_label_rows, batch_format="pyarrow")
+        ).groupby("coarse").map_groups(
+            _propagate, batch_format="pandas"
         ).map_batches(
-            lambda t: pa.table({"node": t.column("dst"),
-                                "label": t.column("label")})
-            if t.num_rows else label_schema.empty_table(),
+            lambda t: t.append_column(
+                "coarse", _coarse(t.column("node").combine_chunks())
+            ),
             batch_format="pyarrow",
         )
-        # repartition scrubs the 0-row empty-SCHEMA blocks the hash
-        # aggregator emits (map_batches never sees 0-row blocks, so a
-        # schema-pinning map can't) — they crash the next round's join
-        new_labels = incoming.union(labels).groupby("node").aggregate(
-            Min("label", alias_name="label")
-        ).map_batches(
-            _norm_labels, batch_format="pyarrow"
-        ).repartition(num_partitions).materialize()
+        new_labels = votes.groupby("coarse").map_groups(
+            _bucket_min, batch_format="pandas"
+        ).materialize()
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
@@ -801,8 +836,15 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
             "max_rounds or pass strict=False for partial labels"
         )
 
-    labels = labels.rename_columns(
-        {"node": "doc_id", "label": "cluster_id"}
+    # rename via map_batches (not rename_columns: the Project operator
+    # can't process the pandas-formatted blocks map_groups emits), and
+    # pin the Arrow schema for downstream consumers
+    labels = labels.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("node").cast(pa.int64()),
+            "cluster_id": t.column("label").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
     )
     if as_dataset:
         # cluster-scale callers keep the labels distributed (write or
