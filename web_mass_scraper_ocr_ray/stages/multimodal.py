@@ -144,12 +144,18 @@ def synth_media_dataset(sf_dir: str):
     return rd.from_arrow(tbl)
 
 
-def decode_media(media_ds, concurrency=2, batch_size: int = 256,
+def decode_media(media_ds, concurrency=None, batch_size: int = 256,
                  strict: bool = False):
     """The headline multimodal pipeline: actor-pool decode (+ sampling).
 
     Small batch_size by design — payload batches are bytes-heavy
-    (batch_size × payload_size must fit a worker heap)."""
+    (batch_size × payload_size must fit a worker heap).
+    ``concurrency`` defaults to an autoscaling range sized to the
+    cluster (a fixed pool starves large clusters)."""
+    if concurrency is None:
+        from ._pool import autoscale_actors
+
+        concurrency = autoscale_actors()
     decoded = media_ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow", batch_size=batch_size,

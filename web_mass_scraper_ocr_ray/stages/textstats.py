@@ -15,6 +15,8 @@ from typing import Dict, List
 import numpy as np
 import pyarrow as pa
 
+from ._pool import autoscale_actors
+
 # BPE-ish tokenizer: word pieces or single non-space punctuation — the
 # classic GPT-2-style pre-tokenization shape (public regex family).
 _BPE_ISH = r"\w+|[^\w\s]"
@@ -172,13 +174,13 @@ class Fingerprinter:
 def token_count_table(docs_ds):
     """documents Dataset → (doc_id, ws_tokens, bpe_tokens)."""
     return docs_ds.map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=2
+        TokenCounter, batch_format="pyarrow", concurrency=autoscale_actors()
     ).select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
 
 
 def quality_table(docs_ds):
     return docs_ds.map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=2
+        QualityScorer, batch_format="pyarrow", concurrency=autoscale_actors()
     ).select_columns(
         ["doc_id", "n_chars_actual", "token_count", "stopword_count",
          "punct_count", "alpha_len"]
@@ -189,11 +191,11 @@ def langid_table(docs_ds):
     """(doc_id, lang_pred, lang_hits, lang_tokens) — integer evidence
     columns so the DuckDB oracle can recompute the decision exactly."""
     return docs_ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=autoscale_actors()
     ).select_columns(["doc_id", "lang_pred", "lang_hits", "lang_tokens"])
 
 
 def fingerprint_table(docs_ds):
     return docs_ds.map_batches(
-        Fingerprinter, batch_format="pyarrow", concurrency=2
+        Fingerprinter, batch_format="pyarrow", concurrency=autoscale_actors()
     ).select_columns(["doc_id", "fingerprint"])
