@@ -473,6 +473,92 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
        TRUE AS hll_rel_err_lt_5pct
 FROM documents
 """,
+        "events_asof_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+cl AS (SELECT event_id, user_id, ts FROM events
+       WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         cl.event_id AS right_event_id, cl.ts AS right_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY cl.ts DESC, cl.event_id ASC) AS rn
+  FROM p LEFT JOIN cl ON cl.user_id = p.user_id AND cl.ts <= p.ts
+)
+SELECT event_id, user_id, ts,
+  coalesce(right_event_id, -1) AS right_event_id,
+  coalesce(right_ts, TIMESTAMP '1970-01-01') AS right_ts
+FROM j WHERE rn = 1
+""",
+        "events_range_count": """
+WITH e AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT e.event_id, e.user_id,
+  CAST(count(v.ts) AS BIGINT) AS n_views_30m
+FROM e LEFT JOIN v ON v.user_id = e.user_id
+  AND v.ts > e.ts - INTERVAL 30 MINUTE AND v.ts <= e.ts
+GROUP BY e.event_id, e.user_id
+""",
+        "events_cumulative": """
+SELECT event_id, user_id,
+  sum(CAST(round(value * 100) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS running_value_centi,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       AS BIGINT) AS seq
+FROM events
+""",
+        "doc_pii_scrub": r"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id
+      || '@mail.example.com from 10.' || (doc_id % 200) || '.0.'
+      || (doc_id % 250) || ' call +1-555-01'
+      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+    ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d{1,3}-\d{3}-\d{4,}', '<PHONE>', 'g') AS text_redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text,
+    '\+\d{1,3}-\d{3}-\d{4,}')) AS BIGINT) AS n_phones
+FROM p
+""",
+        "doc_repetition": r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS mx
+        FROM wc GROUP BY doc_id),
+t2 AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+       FROM documents),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+       FROM t2, unnest(range(1, len(t))) AS u(i)),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bga AS (SELECT doc_id, sum(c) AS nb, count(*) AS db
+        FROM bgc GROUP BY doc_id)
+SELECT a.doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(10000 - (10000 * d) // n AS BIGINT) AS dup_word_bp,
+  CAST((10000 * mx) // n AS BIGINT) AS top_word_bp,
+  CAST(coalesce(10000 - (10000 * db) // nb, 0) AS BIGINT)
+    AS dup_bigram_bp
+FROM agg a LEFT JOIN bga USING (doc_id)
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

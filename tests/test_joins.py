@@ -1,0 +1,196 @@
+"""Unit tests for the temporal join operators (stages/joins.py):
+as-of join tie-breaks, empty/missing right side, window boundary
+inclusivity of the range-count join, and schema stability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(rows))
+
+
+TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _t(minutes):
+    return TS0 + np.timedelta64(int(minutes * 60_000_000), "us")
+
+
+class TestAsofJoin:
+    def test_backward_pick_and_exact_match(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+        left = _ds({
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "ts": [_t(10), _t(20), _t(5)],
+        })
+        right = _ds({
+            "event_id": [100, 101, 102],
+            "user_id": [7, 7, 7],
+            "ts": [_t(5), _t(10), _t(15)],
+        })
+        out = asof_join(
+            left, right, key="user_id", on="ts",
+            left_cols=["event_id", "user_id", "ts"],
+            right_cols=["event_id", "ts"],
+        ).to_pandas().set_index("event_id")
+        # t=10 → exact match right @10; t=20 → @15; t=5 → exact @5
+        assert out.loc[1, "right_event_id"] == 101
+        assert out.loc[2, "right_event_id"] == 102
+        assert out.loc[3, "right_event_id"] == 100
+
+    def test_tie_breaks_to_smallest_right_id(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+        left = _ds({"event_id": [1], "user_id": [3], "ts": [_t(10)]})
+        right = _ds({
+            "event_id": [205, 201, 203],
+            "user_id": [3, 3, 3],
+            "ts": [_t(10), _t(10), _t(10)],
+        })
+        out = asof_join(
+            left, right, key="user_id", on="ts",
+            left_cols=["event_id", "user_id"],
+            right_cols=["event_id"],
+        ).to_pandas()
+        assert out["right_event_id"].tolist() == [201]
+
+    def test_no_match_and_no_right_rows_stay_null(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+        left = _ds({
+            "event_id": [1, 2],
+            "user_id": [3, 4],   # user 4 has NO right rows at all
+            "ts": [_t(1), _t(1)],
+        })
+        right = _ds({
+            "event_id": [200],
+            "user_id": [3],
+            "ts": [_t(2)],       # after the left row → no match
+        })
+        out = asof_join(
+            left, right, key="user_id", on="ts",
+            left_cols=["event_id", "user_id"],
+            right_cols=["event_id"],
+        ).to_pandas().sort_values("event_id")
+        assert len(out) == 2
+        assert out["right_event_id"].isna().all()
+        # and the column is integral (nullable), not float
+        assert str(out["right_event_id"].dtype) in ("Int64", "object")
+
+    def test_keys_do_not_cross(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+        left = _ds({"event_id": [1], "user_id": [1], "ts": [_t(10)]})
+        right = _ds({
+            "event_id": [200], "user_id": [2], "ts": [_t(5)],
+        })
+        out = asof_join(
+            left, right, key="user_id", on="ts",
+            left_cols=["event_id", "user_id"],
+            right_cols=["event_id"],
+        ).to_pandas()
+        assert out["right_event_id"].isna().all()
+
+    def test_rejects_non_power_of_two_buckets(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+        with pytest.raises(ValueError):
+            asof_join(_ds({"user_id": [1], "ts": [_t(0)]}),
+                      _ds({"user_id": [1], "ts": [_t(0)]}),
+                      key="user_id", on="ts",
+                      left_cols=["user_id"], right_cols=["user_id"],
+                      n_buckets=48)
+
+
+class TestRangeCountJoin:
+    def test_window_boundaries(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import range_count_join
+
+        w_us = 30 * 60 * 1_000_000
+        left = _ds({
+            "event_id": [1], "user_id": [5], "ts": [_t(60)],
+        })
+        # exactly -30min is EXCLUDED, exactly t is INCLUDED
+        right = _ds({
+            "user_id": [5, 5, 5, 5],
+            "ts": [_t(30), _t(30.001), _t(60), _t(60.001)],
+        })
+        out = range_count_join(
+            left, right, key="user_id", on="ts", window_us=w_us,
+            left_cols=["event_id", "user_id"],
+        ).to_pandas()
+        assert out["n_in_window"].tolist() == [2]
+        assert out["event_id"].dtype == np.int64
+
+    def test_counts_across_bucket_boundary(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import range_count_join
+
+        # left at minute 31 of the hour: its backward 30-min window
+        # spans the previous time bucket — covered by right-side
+        # replication into the next bucket
+        w_us = 30 * 60 * 1_000_000
+        left = _ds({"event_id": [1], "user_id": [2], "ts": [_t(31)]})
+        right = _ds({"user_id": [2, 2], "ts": [_t(0.5), _t(29)]})
+        out = range_count_join(
+            left, right, key="user_id", on="ts", window_us=w_us,
+            left_cols=["event_id", "user_id"],
+        ).to_pandas()
+        assert out["n_in_window"].tolist() == [1]  # only t=29
+
+    def test_no_right_rows(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import range_count_join
+
+        left = _ds({"event_id": [1, 2], "user_id": [2, 3],
+                    "ts": [_t(0), _t(1)]})
+        right = _ds({"user_id": [9], "ts": [_t(0)]})
+        out = range_count_join(
+            left, right, key="user_id", on="ts",
+            window_us=60_000_000, left_cols=["event_id", "user_id"],
+        ).to_pandas().sort_values("event_id")
+        assert out["n_in_window"].tolist() == [0, 0]
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import pii_scrub_table
+
+        docs = _ds({
+            "doc_id": [1, 2],
+            "text": [
+                "mail a.b+c@x-y.org or 192.168.0.1 tel +44-123-4567890",
+                "no pii here",
+            ],
+        })
+        out = pii_scrub_table(docs).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert out.loc[0, ["n_emails", "n_ips", "n_phones"]].tolist() \
+            == [1, 1, 1]
+        assert out.loc[0, "text_redacted"] == \
+            "mail <EMAIL> or <IP> tel <PHONE>"
+        assert out.loc[1, "text_redacted"] == "no pii here"
+        assert out.loc[1, ["n_emails", "n_ips", "n_phones"]].tolist() \
+            == [0, 0, 0]
+
+
+class TestRepetition:
+    def test_known_ratios(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import repetition_table
+
+        docs = _ds({
+            "doc_id": [1, 2],
+            "text": ["a a a b", "x y z w"],
+        })
+        out = repetition_table(docs).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        # doc 1: 4 tokens, 2 distinct → dup 5000bp; top word 3/4 → 7500
+        # bigrams: (a,a)x2 (a,b) → 3 total 2 distinct → 10000-6666=3334
+        assert out.loc[0].tolist() == [1, 4, 5000, 7500, 3334]
+        # doc 2: all unique → 0 dup, top 2500, bigrams unique → 0
+        assert out.loc[1].tolist() == [2, 4, 0, 2500, 0]

@@ -702,6 +702,149 @@ def q_doc_size_histogram(sf_dir: str):
     return size_histogram(_docs(sf_dir), column="n_chars")
 
 
+# ---- temporal joins / windows / scrubbing --------------------------------
+
+def _events_of_type(sf_dir: str, event_type: str,
+                    columns=("event_id", "user_id", "ts")):
+    """Pruned + predicate-filtered read of one event type (vectorized
+    Arrow filter, no per-row lambda)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=list(dict.fromkeys(list(columns) + ["event_type"])),
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t.column("event_type"), event_type)
+        ).select(list(columns))
+
+    return ev.map_batches(_f, batch_format="pyarrow")
+
+
+def q_events_asof_join(sf_dir: str):
+    """Backward as-of join: each purchase event gets the most recent
+    preceding click by the same user (ties → lowest click event_id).
+    One keyed co-partition shuffle + vectorized pandas merge_asof per
+    bucket — the join Ray Data lacks natively (SURVEY §2 'custom
+    operators' mandate; reference has no joins at all)."""
+    from ..stages.joins import asof_join
+
+    joined = asof_join(
+        _events_of_type(sf_dir, "purchase"),
+        _events_of_type(sf_dir, "click"),
+        key="user_id", on="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "ts"],
+    )
+
+    # coalesce the LEFT-join nulls to sentinels: nullable-int handling
+    # differs between engines' pandas adapters, sentinel columns hash
+    # identically everywhere
+    def _fill(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("right_event_id")
+        t = t.set_column(
+            i, "right_event_id",
+            pc.fill_null(pc.cast(t.column("right_event_id"),
+                                 pa.int64()), -1))
+        j = t.column_names.index("right_ts")
+        t = t.set_column(
+            j, "right_ts",
+            pc.fill_null(t.column("right_ts"),
+                         pa.scalar(0, pa.timestamp("us"))))
+        return t
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def q_events_range_count(sf_dir: str):
+    """Backward range-count join: per error event, how many views by
+    the same user in the preceding 30 minutes. Co-partitioned by
+    (user, 30-min time bucket) with right-side boundary replication —
+    bounded groups even for hot users."""
+    from ..stages.joins import range_count_join
+
+    return range_count_join(
+        _events_of_type(sf_dir, "error"),
+        _events_of_type(sf_dir, "view"),
+        key="user_id", on="ts",
+        window_us=30 * 60 * 1_000_000,
+        left_cols=["event_id", "user_id"],
+        count_col="n_views_30m",
+    )
+
+
+def q_events_cumulative(sf_dir: str):
+    """Running total per user (classic window function): cumulative
+    sum of value in event-time order. Values quantized to integer
+    centi-units BEFORE the cumsum so the result is bit-exact and
+    order-independent across engines (same contract as
+    lineitem_pricing)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        centi = np.asarray(
+            pc.cast(pc.round(pc.multiply(
+                pa.array(g["value"].to_numpy()), 100.0)), pa.int64())
+        )
+        out = g[["event_id", "user_id"]].copy()
+        out["running_value_centi"] = np.cumsum(centi)
+        out["seq"] = np.arange(1, len(g) + 1, dtype="int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(_cum, batch_format="pandas")
+
+
+def _docs_with_pii(sf_dir: str):
+    """documents with deterministically injected PII (every 3rd doc
+    gets an email + IPv4 + phone suffix) — a public synthesis contract
+    the oracle re-derives in SQL, so redaction is independently
+    checkable end-to-end."""
+    import pandas as pd
+
+    def _inject(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"] % 3 == 0
+        ds_ = df["doc_id"].astype(str)
+        extra = (
+            " contact user" + ds_ + "@mail.example.com from 10."
+            + (df["doc_id"] % 200).astype(str) + ".0."
+            + (df["doc_id"] % 250).astype(str)
+            + " call +1-555-01"
+            + (df["doc_id"] % 100).astype(str).str.zfill(2)
+        )
+        df = df.copy()
+        df["text"] = df["text"].where(~m, df["text"] + extra)
+        return df
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _inject, batch_format="pandas"
+    )
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII scrubbing (emails / IPv4 / phone numbers): per-pattern match
+    counts + the redacted text. Pure Arrow RE2 kernels, so the DuckDB
+    oracle (also RE2) recomputes byte-identically."""
+    return ts.pii_scrub_table(_docs_with_pii(sf_dir))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition/boilerplate features (duplicate-word,
+    top-word and duplicate-bigram fractions in basis points) — the
+    standard pre-training quality filter family."""
+    return ts.repetition_table(_docs(sf_dir).select_columns(
+        ["doc_id", "text"]))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -741,4 +884,9 @@ QUERIES: Dict[str, callable] = {
     "source_rollup": q_source_rollup,
     "lineitem_pricing": q_lineitem_pricing,
     "order_customer_join": q_order_customer_join,
+    "events_asof_join": q_events_asof_join,
+    "events_range_count": q_events_range_count,
+    "events_cumulative": q_events_cumulative,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_repetition": q_doc_repetition,
 }

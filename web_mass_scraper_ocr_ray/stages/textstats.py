@@ -199,3 +199,112 @@ def fingerprint_table(docs_ds):
     return docs_ds.map_batches(
         Fingerprinter, batch_format="pyarrow", concurrency=autoscale_actors()
     ).select_columns(["doc_id", "fingerprint"])
+
+
+# ---- PII scrubbing -------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so
+# the oracle recomputes matches with IDENTICAL semantics). Redaction
+# order is a contract: emails, then IPs, then phones.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{1,3}-\d{3}-\d{4,}", "<PHONE>"),
+)
+
+
+def pii_scrub_table(docs_ds, text_col: str = "text"):
+    """(doc_id, text_redacted, n_emails, n_ips, n_phones) — counts are
+    taken on the ORIGINAL text (per pattern, non-overlapping leftmost
+    matches), then the three patterns are replaced in declaration
+    order. Pure Arrow kernels: count_substring_regex +
+    replace_substring_regex, zero Python per row."""
+    import pyarrow.compute as pc
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        cols = {"doc_id": t.column("doc_id")}
+        counts = {}
+        for name, pat, _ in PII_PATTERNS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+        red = text
+        for _, pat, repl in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, repl)
+        cols["text_redacted"] = red
+        cols.update(counts)
+        return pa.table(cols)
+
+    return docs_ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+# ---- repetition / boilerplate scoring ------------------------------------
+
+def _repetition_kernel(t: pa.Table, text_col: str) -> pa.Table:
+    """Gopher-style repetition features (Rae et al. 2021, §A1.1
+    repetition filters), integer basis points so the oracle is exact:
+
+      n_tokens        total whitespace tokens
+      dup_word_bp     10000 - 10000*distinct/total (floor division)
+      top_word_bp     10000 * max-word-frequency / total
+      dup_bigram_bp   10000 - 10000*distinct-bigrams/total-bigrams
+
+    Fully vectorized: one regex split (Arrow), one factorize (pandas
+    C), then bincount/unique/maximum.at over integer codes. The
+    packed (row, code, code) bigram key needs rows*K² < 2⁶³ — holds
+    for default batches (≤ ~4k rows) up to ~1M distinct tokens per
+    batch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_rows = t.num_rows
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    valid = pc.not_equal(flat, "")
+    vmask = np.asarray(valid.combine_chunks()
+                       if hasattr(valid, "combine_chunks") else valid)
+    row = row[vmask]
+    words = flat.filter(valid).to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(words)
+    codes = codes.astype(np.int64)
+    K = np.int64(len(uniques) + 1)
+
+    n = np.bincount(row, minlength=n_rows).astype(np.int64)
+    key = row * K + codes
+    uk, cnt = np.unique(key, return_counts=True)
+    urow = uk // K
+    d = np.bincount(urow, minlength=n_rows).astype(np.int64)
+    mx = np.zeros(n_rows, np.int64)
+    np.maximum.at(mx, urow, cnt.astype(np.int64))
+
+    same = row[1:] == row[:-1]
+    brow = row[:-1][same]
+    bkey = codes[:-1][same] * K + codes[1:][same]
+    nb = np.bincount(brow, minlength=n_rows).astype(np.int64)
+    packed = brow * (K * K) + bkey
+    ub = np.unique(packed)
+    db = np.bincount(ub // (K * K), minlength=n_rows).astype(np.int64)
+
+    safe_n = np.maximum(n, 1)
+    safe_nb = np.maximum(nb, 1)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tokens": pa.array(n, pa.int64()),
+        "dup_word_bp": pa.array(
+            np.where(n > 0, 10000 - (10000 * d) // safe_n, 0),
+            pa.int64()),
+        "top_word_bp": pa.array(
+            np.where(n > 0, (10000 * mx) // safe_n, 0), pa.int64()),
+        "dup_bigram_bp": pa.array(
+            np.where(nb > 0, 10000 - (10000 * db) // safe_nb, 0),
+            pa.int64()),
+    })
+
+
+def repetition_table(docs_ds, text_col: str = "text"):
+    return docs_ds.map_batches(
+        lambda t: _repetition_kernel(t, text_col),
+        batch_format="pyarrow",
+    )
