@@ -559,6 +559,29 @@ SELECT a.doc_id,
     AS dup_bigram_bp
 FROM agg a LEFT JOIN bga USING (doc_id)
 """,
+        "vocab_topk": r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+        "doc_length_quantiles": """
+WITH h AS (SELECT n_chars, count(*) AS c FROM documents
+           GROUP BY n_chars),
+s AS (SELECT n_chars,
+        sum(c) OVER (ORDER BY n_chars) AS cum,
+        (SELECT count(*) FROM documents) AS tot
+      FROM h),
+q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
+SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
+FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+GROUP BY q.q_bp
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

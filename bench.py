@@ -127,6 +127,11 @@ def run_bench() -> dict:
         "multimodal_decode",
         "doc_fingerprint",
         "salted_rollup",
+        "events_asof_join",
+        "events_range_count",
+        "events_cumulative",
+        "doc_pii_scrub",
+        "doc_repetition",
     )
     for name in query_names:
         t0 = time.monotonic()

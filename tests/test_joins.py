@@ -194,3 +194,31 @@ class TestRepetition:
         assert out.loc[0].tolist() == [1, 4, 5000, 7500, 3334]
         # doc 2: all unique → 0 dup, top 2500, bigrams unique → 0
         assert out.loc[1].tolist() == [2, 4, 0, 2500, 0]
+
+
+class TestVocabTopk:
+    def test_counts_and_tiebreak(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import vocab_topk
+
+        docs = _ds({"text": ["b a a", "c b  a", "d c b"]})
+        out = vocab_topk(docs, k=3).to_pandas()
+        assert out["word"].tolist() == ["a", "b", "c"]
+        assert out["n"].tolist() == [3, 3, 2]
+
+
+class TestExactQuantiles:
+    def test_percentile_disc_rule(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sketches import exact_quantiles
+
+        ds = _ds({"n_chars": [10, 20, 30, 40]})
+        out = exact_quantiles(ds, "n_chars",
+                              qs_bp=(2500, 5000, 7500, 9900)).to_pandas()
+        # ceil(q*n) ranks over n=4: 1,2,3,4 → 10,20,30,40
+        assert out["value"].tolist() == [10, 20, 30, 40]
+
+    def test_odd_n_median(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sketches import exact_quantiles
+
+        ds = _ds({"n_chars": [50, 10, 30, 20, 40]})
+        out = exact_quantiles(ds, "n_chars", qs_bp=(5000,)).to_pandas()
+        assert out["value"].tolist() == [30]

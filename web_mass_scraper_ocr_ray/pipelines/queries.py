@@ -845,6 +845,22 @@ def q_doc_repetition(sf_dir: str):
         ["doc_id", "text"]))
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide top-20 tokens (heavy hitters) — exact two-phase
+    counts, deterministic tie-break."""
+    return ts.vocab_topk(_docs(sf_dir).select_columns(["text"]), k=20)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact discrete quantiles of document length via the
+    distributed value-count histogram (integer percentile_disc
+    rule — bit-exact vs the SQL oracle)."""
+    from ..stages.sketches import exact_quantiles
+
+    return exact_quantiles(
+        _docs(sf_dir).select_columns(["n_chars"]), column="n_chars")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -889,4 +905,6 @@ QUERIES: Dict[str, callable] = {
     "events_cumulative": q_events_cumulative,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_repetition": q_doc_repetition,
+    "vocab_topk": q_vocab_topk,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }

@@ -225,27 +225,44 @@ def range_count_join(left_ds, right_ds, key: str, on: str,
     )
     tagged = l_tagged.union(r_tagged)
 
-    def _count(g: pd.DataFrame) -> pd.DataFrame:
-        # rows of ONE (key-bucket) — may hold several keys only if
-        # composite grouping is widened; here group key is exact.
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1]
+    def _count_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE coarse bucket holding MANY (key, tbucket) fine groups —
+        # a per-fine-group map_groups would pay ~1 Python call per
+        # (key × window) pair (millions at sf0.1 already); instead the
+        # fine groups are separated by an integer composite key and
+        # the whole coarse group is two vectorized searchsorted calls.
+        side = g["side"].to_numpy()
+        lmask = side == 0
+        left = g[lmask]
         # the null-padded union floats the int payload columns; left
         # rows are non-null, restore int64 for a stable out-schema
         out = left[left_cols].astype("int64")
         if len(left) == 0:
             return out.iloc[0:0].assign(
                 **{count_col: pd.Series([], dtype="int64")})
-        r_on = np.sort(right["__on_us"].to_numpy())
-        l_on = left["__on_us"].to_numpy()
-        hi = np.searchsorted(r_on, l_on, side="right")
-        lo = np.searchsorted(r_on, l_on - window_us, side="right")
+        codes = pd.factorize(g["gkey"].to_numpy())[0].astype(np.int64)
+        ts = g["__on_us"].to_numpy()
+        # normalize ts per fine group (span ≤ 2 windows by bucketing),
+        # so composite = code*T + ts_norm never overflows int64 even
+        # for year-scale absolute timestamps
+        order = np.lexsort((ts, codes))
+        oc, ot = codes[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+        base = np.empty(int(codes.max()) + 1, dtype=np.int64)
+        base[oc[starts]] = ot[starts]
+        tsn = ts - base[codes]
+        T = int(tsn.max()) + window_us + 2
+        comp = codes * T + tsn
+        rcomp = np.sort(comp[~lmask])
+        hi = np.searchsorted(rcomp, comp[lmask], side="right")
+        lo = np.searchsorted(rcomp, comp[lmask] - window_us,
+                             side="right")
         out[count_col] = (hi - lo).astype("int64")
         return out
 
-    # composite group key: (key, tbucket) packed into one int64 —
-    # key fits 31 bits in the test corpus; at scale use groupby on
-    # both columns (Ray supports multi-key groupby) or a wider pack.
+    # fine key: (key, tbucket) packed into one int64 (key fits 31
+    # bits in our corpora; widen the pack or group on both columns
+    # for wider keys). The SHUFFLE key is a coarse hash of it.
     def _pack(t: pa.Table) -> pa.Table:
         packed = pc.add(
             pc.multiply(pc.cast(t.column(key), pa.int64()),
@@ -253,8 +270,16 @@ def range_count_join(left_ds, right_ds, key: str, on: str,
             pc.add(t.column("tbucket"),
                    pa.scalar(2**20, pa.int64())),
         )
-        return t.append_column("gkey", packed)
+        mixed = pc.multiply(
+            pc.cast(packed, pa.uint64()),
+            pa.scalar(0x9E3779B97F4A7C15, pa.uint64()))
+        coarse = pc.bit_wise_and(
+            pc.shift_right(mixed, pa.scalar(np.uint64(32), pa.uint64())),
+            pa.scalar(np.uint64(N_JOIN_BUCKETS - 1), pa.uint64()),
+        )
+        return t.append_column("gkey", packed).append_column(
+            "coarse", pc.cast(coarse, pa.int64()))
 
     return tagged.map_batches(_pack, batch_format="pyarrow").groupby(
-        "gkey"
-    ).map_groups(_count, batch_format="pandas")
+        "coarse"
+    ).map_groups(_count_coarse, batch_format="pandas")

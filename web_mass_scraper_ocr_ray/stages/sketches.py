@@ -112,3 +112,49 @@ def size_histogram(ds, column: str = "html_len"):
         Count(alias_name="n_pages"),
         Sum(column, alias_name="sum_bytes"),
     )
+
+
+def exact_quantiles(ds, column: str,
+                    qs_bp=(2500, 5000, 7500, 9000, 9900)):
+    """Distributed EXACT discrete quantiles via a value-count
+    histogram: per-batch Arrow group_by partials, one small groupby
+    shuffle of (value, count) pairs, then a cumulative scan over the
+    tiny histogram. Selection rule is percentile_disc in INTEGER
+    arithmetic — target rank ceil(q*n) = (q_bp*n + 9999)//10000 — so
+    the DuckDB oracle reproduces it bit-exactly with no float-epsilon
+    hazard.
+
+    Scale note: the shuffle carries O(distinct values) rows, and only
+    the HISTOGRAM (not the data) reaches the driver — exact and cheap
+    for bounded-cardinality integer columns (lengths, counts, sizes).
+    For unbounded/continuous columns, pre-bucket the column or use a
+    mergeable quantile sketch instead.
+
+    Returns a pyarrow Table (q_bp, value), one row per requested
+    basis-point quantile.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        res = t.select([column]).group_by([column]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns([column, "cnt"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        column
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    h = hist.to_pandas().sort_values(column)
+    values = h[column].to_numpy()
+    cum = h["cnt"].to_numpy().cumsum()
+    tot = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q_bp in qs_bp:
+        target = (q_bp * tot + 9999) // 10000
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        out_q.append(int(q_bp))
+        out_v.append(int(values[min(idx, len(values) - 1)]))
+    return pa.table({
+        "q_bp": pa.array(out_q, pa.int64()),
+        "value": pa.array(out_v, pa.int64()),
+    })

@@ -308,3 +308,33 @@ def repetition_table(docs_ds, text_col: str = "text"):
         lambda t: _repetition_kernel(t, text_col),
         batch_format="pyarrow",
     )
+
+
+# ---- corpus vocabulary statistics ----------------------------------------
+
+def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
+    """Global heavy hitters: the k most frequent whitespace tokens
+    across the corpus (count desc, token asc tie-break).
+
+    Two-phase: tokenize + Arrow C++ hash-aggregate INSIDE each batch
+    (the combiner — shuffles O(batch vocab), never token instances),
+    then a small groupby-sum over partials and a distributed sort +
+    limit. Exact counts; for top-k under adversarial skew at 100 TB
+    the same shape works with a count-min + heap per batch."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        res = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns(["word", "n"])
+
+    return docs_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("word").aggregate(Sum("n", alias_name="n")).sort(
+        ["n", "word"], descending=[True, False]
+    ).limit(k)
