@@ -582,6 +582,27 @@ SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
 FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
 GROUP BY q.q_bp
 """,
+        "doc_sample_stratified": """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
+      < 1000 + 700 * (CAST(substr(source, 4) AS BIGINT) % 8)
+""",
+        "doc_corpus_freq": r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS word
+  FROM documents
+),
+v AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+SELECT w.doc_id,
+  CAST(count(*) AS BIGINT) AS n_toks,
+  CAST(sum(v.n) AS BIGINT) AS sum_freq,
+  CAST(sum(v.n) // count(*) AS BIGINT) AS avg_freq
+FROM w JOIN v USING (word)
+GROUP BY w.doc_id
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

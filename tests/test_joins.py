@@ -222,3 +222,47 @@ class TestExactQuantiles:
         ds = _ds({"n_chars": [50, 10, 30, 20, 40]})
         out = exact_quantiles(ds, "n_chars", qs_bp=(5000,)).to_pandas()
         assert out["value"].tolist() == [30]
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_bounded(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_buckets, stratified_sample)
+
+        ids = list(range(2000))
+        docs = _ds({"doc_id": ids,
+                    "source": ["a" if i % 2 else "b" for i in ids]})
+        out1 = stratified_sample(
+            docs, "doc_id", "source",
+            {"a": 5000, "b": 0}).to_pandas()
+        out2 = stratified_sample(
+            docs, "doc_id", "source",
+            {"a": 5000, "b": 0}).to_pandas()
+        assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])  # stable
+        assert set(out1["source"]) == {"a"}          # stratum b dropped
+        # rate ~50% of the 1000 'a' rows (hash uniformity, wide margin)
+        assert 350 < len(out1) < 650
+        # membership rule is exactly the documented hash
+        b = sample_buckets(out1["doc_id"].to_numpy())
+        assert (b < 5000).all()
+
+    def test_default_rate(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sampling import stratified_sample
+
+        docs = _ds({"doc_id": [1, 2, 3], "source": ["x", "x", "x"]})
+        assert stratified_sample(
+            docs, "doc_id", "source", {}, default_bp=10000
+        ).count() == 3
+
+
+class TestCorpusFreqScore:
+    def test_known_frequencies(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import corpus_freq_score
+
+        docs = _ds({"doc_id": [1, 2],
+                    "text": ["a a b", "b c"]})
+        out = corpus_freq_score(docs).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        # corpus freqs: a=2, b=2, c=1
+        assert out.loc[0].tolist() == [1, 3, 6, 2]   # 2+2+2 → avg 2
+        assert out.loc[1].tolist() == [2, 2, 3, 1]   # 2+1 → avg 1

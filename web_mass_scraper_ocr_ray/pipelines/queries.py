@@ -861,6 +861,27 @@ def q_doc_length_quantiles(sf_dir: str):
         _docs(sf_dir).select_columns(["n_chars"]), column="n_chars")
 
 
+def q_doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified Bernoulli sample of documents: each
+    source stratum src<i> keeps rate 1000 + 700*(i % 8) basis points
+    by a fixed multiplicative id-hash — reproducible across runs,
+    engines and cluster sizes (no RNG state, no shuffle)."""
+    from ..stages.sampling import stratified_sample
+
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    return stratified_sample(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        id_col="doc_id", strata_col="source", rates_bp=rates,
+    )
+
+
+def q_doc_corpus_freq(sf_dir: str):
+    """Model-based-quality-scoring shape: two-pass corpus unigram
+    frequency table, broadcast once, vectorized per-doc scoring."""
+    return ts.corpus_freq_score(
+        _docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -907,4 +928,6 @@ QUERIES: Dict[str, callable] = {
     "doc_repetition": q_doc_repetition,
     "vocab_topk": q_vocab_topk,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_corpus_freq": q_doc_corpus_freq,
 }

@@ -338,3 +338,74 @@ def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
     ).groupby("word").aggregate(Sum("n", alias_name="n")).sort(
         ["n", "word"], descending=[True, False]
     ).limit(k)
+
+
+def corpus_freq_score(docs_ds, text_col: str = "text"):
+    """Two-pass corpus-statistics scoring — the distributed shape of
+    model-based quality filtering (a unigram 'LM' stands in for the
+    classifier): pass 1 builds the global token-frequency table
+    (per-batch Arrow hash-aggregate combiner + small groupby-sum),
+    pass 2 broadcasts it ONCE via ``ray.put`` and scores every doc
+    with vectorized sorted-vocab ``searchsorted`` lookups.
+
+    Integer outputs (sum / floor-avg of token corpus frequencies) so
+    the DuckDB oracle (tokens ⋈ vocab) reproduces them exactly.
+
+    Scale note: the vocab table is heaps-law sublinear in the corpus
+    and lives in the object store (zero-copy to every actor). At
+    100 TB cap it to the top-M tokens with a default tail frequency —
+    same plumbing, bounded broadcast.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        res = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns(["word", "n"])
+
+    vocab = docs_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    order = np.argsort(vocab["word"].to_numpy())
+    words_sorted = vocab["word"].to_numpy()[order]
+    freq_sorted = vocab["n"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((words_sorted, freq_sorted))
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws, fs = ray.get(ref)
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        valid = pc.not_equal(flat, "")
+        vmask = np.asarray(valid.combine_chunks()
+                           if hasattr(valid, "combine_chunks") else valid)
+        row = row[vmask]
+        words = flat.filter(valid).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ws, words)
+        # every token is in the pass-1 vocab by construction; clip
+        # guards the lookup if a caller scores a DIFFERENT corpus
+        idx = np.clip(idx, 0, len(ws) - 1)
+        freq = np.where(ws[idx] == words, fs[idx], 0)
+        n_rows = t.num_rows
+        n = np.bincount(row, minlength=n_rows).astype(np.int64)
+        # int64 scatter-add (bincount's float weights would lose
+        # exactness past 2^53 on huge corpora)
+        s = np.zeros(n_rows, np.int64)
+        np.add.at(s, row, freq.astype(np.int64))
+        keep = n > 0
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_toks": pa.array(n[keep], pa.int64()),
+            "sum_freq": pa.array(s[keep], pa.int64()),
+            "avg_freq": pa.array(s[keep] // n[keep], pa.int64()),
+        })
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")
