@@ -1,0 +1,136 @@
+"""End-to-end tests for the corpus-prep flagship pipeline
+(pipelines/prep_pipeline.py): flag precedence, counters vs written
+output, idempotent resume."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _ds(rows: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(rows))
+
+
+GOOD = " ".join(f"token{i} filler{i}" for i in range(45))  # 90 distinct
+
+
+def _corpus():
+    # doc 1: good, survives       doc 2: exact copy of 1 → duplicate
+    # doc 3: too short → quality  doc 4: high repetition → quality
+    # doc 5: good, unique
+    return _ds({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["src0"] * 5,
+        "text": [
+            GOOD,
+            GOOD,
+            "tiny doc",
+            "spam " * 100,
+            GOOD + " plus a distinct tail with contact "
+            "bob@example.com today",
+        ],
+    })
+
+
+def _cfg(tmp, **kw):
+    from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import PrepConfig
+
+    return PrepConfig(min_tokens=20, max_dup_word_bp=6000,
+                      output_dir=str(tmp), **kw)
+
+
+class TestPrepFlags:
+    def test_precedence_and_reasons(self, ray_session, tmp_path):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            DROP_DUPLICATE, DROP_QUALITY, KEEP, build_prep_pipeline)
+
+        out = build_prep_pipeline(
+            _corpus(), _cfg(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "drop_reason"] == KEEP
+        assert out.loc[2, "drop_reason"] == DROP_DUPLICATE
+        assert out.loc[3, "drop_reason"] == DROP_QUALITY
+        assert out.loc[4, "drop_reason"] == DROP_QUALITY
+        assert out.loc[5, "drop_reason"] == KEEP
+        # PII was redacted in the surviving text
+        assert "<EMAIL>" in out.loc[5, "text"]
+        assert out.loc[5, "pii_hits"] == 1
+
+    def test_low_quality_copy_never_shadows_clean_one(self, ray_session,
+                                                      tmp_path):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            DROP_QUALITY, KEEP, build_prep_pipeline)
+
+        # doc 1 low-quality (short), doc 9 same TEXT after scrub but
+        # passes... construct: identical text, one below min_tokens is
+        # impossible (same text ⇒ same tokens) — instead check that a
+        # quality-dropped doc does not claim survivorship: group of
+        # one low-quality doc has NO survivor and stays DROP_QUALITY
+        ds = _ds({"doc_id": [7], "source": ["src0"],
+                  "text": ["short short short"]})
+        out = build_prep_pipeline(ds, _cfg(tmp_path)).to_pandas()
+        assert out["drop_reason"].tolist() == [DROP_QUALITY]
+
+
+class TestPrepRun:
+    def test_write_counters_and_resume(self, ray_session, tmp_path):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            run_prep_pipeline)
+
+        out_dir = str(tmp_path / "prep_out")
+        s = run_prep_pipeline(_corpus(), _cfg(out_dir))
+        assert s["docs_total"] == 5
+        assert s["docs_kept"] == 2
+        assert s["drop_lowquality"] == 2
+        assert s["drop_duplicate"] == 1
+        assert s["pii_redactions"] == 1
+        assert s["resumed"] is False
+
+        parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
+        written = pa.concat_tables([pq.read_table(p) for p in parts])
+        assert written.num_rows == s["docs_kept"]
+        assert sorted(written.column("doc_id").to_pylist()) == [1, 5]
+        # counters match the written bytes
+        import pyarrow.compute as pc
+        assert pc.sum(pc.utf8_length(
+            written.column("text"))).as_py() == s["chars_out"]
+
+        # resume: committed manifest short-circuits recomputation
+        s2 = run_prep_pipeline(_corpus(), _cfg(out_dir))
+        assert s2["resumed"] is True
+        assert {k: s2[k] for k in
+                ("docs_total", "docs_kept", "drop_lowquality")} == \
+               {k: s[k] for k in
+                ("docs_total", "docs_kept", "drop_lowquality")}
+        # no duplicate parts appeared
+        assert sorted(glob.glob(
+            os.path.join(out_dir, "part-*.parquet"))) == sorted(parts)
+
+    def test_requires_output_dir(self, ray_session):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            PrepConfig, run_prep_pipeline)
+
+        with pytest.raises(ValueError):
+            run_prep_pipeline(_corpus(), PrepConfig())
+
+    def test_sampling_drops_survivors_only(self, ray_session, tmp_path):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            DROP_SAMPLED_OUT, build_prep_pipeline)
+
+        ds = _ds({"doc_id": list(range(100)),
+                  "source": ["src0"] * 100,
+                  "text": [GOOD + f" tail{i}" for i in range(100)]})
+        out = build_prep_pipeline(
+            ds, _cfg(tmp_path, sample_rates_bp={"src0": 5000}),
+        ).to_pandas()
+        sampled_out = (out["drop_reason"] == DROP_SAMPLED_OUT).sum()
+        assert 20 < sampled_out < 80  # ~50% hash-uniform
+        # the decision is the documented deterministic hash
+        from web_mass_scraper_ocr_ray.stages.sampling import sample_buckets
+        ids = out.loc[out["drop_reason"] == DROP_SAMPLED_OUT,
+                      "doc_id"].to_numpy()
+        assert (sample_buckets(ids) >= 5000).all()

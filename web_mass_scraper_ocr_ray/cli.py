@@ -55,6 +55,28 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Training-data corpus prep: quality filter → PII scrub → global
+    exact dedup → deterministic sample → partitioned Parquet."""
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.prep_pipeline import PrepConfig, run_prep_pipeline
+
+    rates = json.loads(args.sample_rates) if args.sample_rates else None
+    cfg = PrepConfig(
+        min_tokens=args.min_tokens,
+        max_dup_word_bp=args.max_dup_word_bp,
+        sample_rates_bp=rates,
+        sample_default_bp=args.sample_default_bp,
+        output_dir=args.output,
+    )
+    summary = run_prep_pipeline(args.input, cfg)
+    print(json.dumps(summary, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_summary(args) -> int:
     """Print the merged session summary from committed manifests (S11)."""
     from .functions.metadata import finalize_session_summary
@@ -90,6 +112,18 @@ def main(argv=None) -> int:
                       choices=["stub", "tesseract"])
     runp.add_argument("--num-cpus", type=int, default=None)
     runp.set_defaults(fn=cmd_run)
+
+    prep = sub.add_parser("prep", help="training-data corpus prep")
+    prep.add_argument("--input", required=True,
+                      help="documents Parquet (doc_id, text, source)")
+    prep.add_argument("--output", required=True)
+    prep.add_argument("--min-tokens", type=int, default=50)
+    prep.add_argument("--max-dup-word-bp", type=int, default=9000)
+    prep.add_argument("--sample-rates", default=None,
+                      help='JSON {"stratum": rate_bp, ...}')
+    prep.add_argument("--sample-default-bp", type=int, default=10000)
+    prep.add_argument("--num-cpus", type=int, default=None)
+    prep.set_defaults(fn=cmd_prep)
 
     sump = sub.add_parser("summary", help="merged summary from manifests")
     sump.add_argument("--output", required=True)

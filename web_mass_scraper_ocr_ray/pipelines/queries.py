@@ -882,6 +882,81 @@ def q_doc_corpus_freq(sf_dir: str):
         _docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+SEARCH_PROBES = ("scan", "window", "column")
+
+
+def q_token_search(sf_dir: str):
+    """Inverted token lookup: which documents contain each probe
+    token (whitespace tokenization). Embarrassingly parallel — a
+    vectorized membership test per batch, no shuffle, no index
+    materialization; the at-scale variant persists the same
+    (token, doc_id) pairs as a hash-partitioned posting-list table."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    probes = sorted(SEARCH_PROBES)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        hit = np.asarray(pc.is_in(flat, value_set=pa.array(probes)))
+        row = row[hit]
+        words = flat.filter(pa.array(hit))
+        ids = np.asarray(t.column("doc_id"))[row]
+        out = pa.table({"token": words,
+                        "doc_id": pa.array(ids, pa.int64())})
+        # a doc may contain a probe token many times → distinct pairs
+        return out.group_by(["token", "doc_id"]).aggregate([])
+
+    return docs.map_batches(_probe, batch_format="pyarrow")
+
+
+PREP_MIN_TOKENS = 25
+PREP_MAX_DUP_BP = 6500
+
+
+def _docs_with_exact_dups(sf_dir: str):
+    """documents plus an exact copy of every doc at doc_id+1000000 —
+    the public synthesis contract for dedup-bearing prep tests (the
+    oracle re-derives it with a UNION ALL)."""
+    import pandas as pd
+
+    def _dup(df: pd.DataFrame) -> pd.DataFrame:
+        cp = df.copy()
+        cp["doc_id"] = cp["doc_id"] + 1000000
+        return pd.concat([df, cp], ignore_index=True)
+
+    return _docs(sf_dir).select_columns(
+        ["doc_id", "text", "source"]
+    ).map_batches(_dup, batch_format="pandas")
+
+
+def q_corpus_prep(sf_dir: str):
+    """The composed training-data prep flags — quality filter, PII
+    scrub, global exact dedup (survivor among quality-passers),
+    deterministic stratified sampling — verified END-TO-END by one
+    SQL oracle, not just per stage. Flag precedence: quality(1) >
+    duplicate(2) > sampled_out(3); 0 = kept."""
+    from .prep_pipeline import PrepConfig, build_prep_pipeline
+
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    cfg = PrepConfig(min_tokens=PREP_MIN_TOKENS,
+                     max_dup_word_bp=PREP_MAX_DUP_BP,
+                     sample_rates_bp=rates)
+    flagged = build_prep_pipeline(_docs_with_exact_dups(sf_dir), cfg)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "drop_reason": pc.cast(t.column("drop_reason"), pa.int64()),
+            "n_toks": t.column("n_toks"),
+            "pii_hits": t.column("pii_hits"),
+        })
+
+    return flagged.map_batches(_out, batch_format="pyarrow")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -930,4 +1005,6 @@ QUERIES: Dict[str, callable] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_corpus_freq": q_doc_corpus_freq,
+    "corpus_prep": q_corpus_prep,
+    "token_search": q_token_search,
 }
