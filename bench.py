@@ -132,6 +132,12 @@ def run_bench() -> dict:
         "events_cumulative",
         "doc_pii_scrub",
         "doc_repetition",
+        "vocab_topk",
+        "doc_length_quantiles",
+        "doc_sample_stratified",
+        "doc_corpus_freq",
+        "corpus_prep",
+        "token_search",
     )
     for name in query_names:
         t0 = time.monotonic()

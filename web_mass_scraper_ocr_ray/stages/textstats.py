@@ -35,18 +35,22 @@ _LANG_MARKERS: Dict[str, tuple] = {
 
 
 class TokenCounter:
-    """doc text → whitespace token count + BPE-ish token count."""
+    """doc text → whitespace token count + BPE-ish token count.
 
-    def __init__(self):
-        self.bpe = re.compile(_BPE_ISH)
+    Arrow RE2 kernels end-to-end (no Python per row); the DuckDB
+    oracle runs the SAME RE2 patterns, so equality is by construction.
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ws = [len(t.split()) for t in texts]
-        bpe = [len(self.bpe.findall(t)) for t in texts]
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(text, _BPE_ISH),
+                      pa.int64())
         return batch.append_column(
-            "ws_tokens", pa.array(ws, pa.int64())
-        ).append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+            "ws_tokens", ws
+        ).append_column("bpe_tokens", bpe)
 
 
 class QualityScorer:
@@ -56,25 +60,28 @@ class QualityScorer:
     them bit-exactly; consumers derive ratios downstream.
     """
 
-    def __init__(self):
-        self.punct = re.compile(r"[^\w\s]")
-        self.stop = frozenset(_STOPWORDS)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        length = [0] * n
-        tokens = [0] * n
-        stop_count = [0] * n
-        punct_count = [0] * n
-        alpha_len = [0] * n
-        for i, t in enumerate(texts):
-            toks = t.split()
-            length[i] = len(t)
-            tokens[i] = len(toks)
-            stop_count[i] = sum(1 for w in toks if w in self.stop)
-            punct_count[i] = len(self.punct.findall(t))
-            alpha_len[i] = len(t) - t.count(" ")
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        n_rows = batch.num_rows
+        length = pc.cast(pc.utf8_length(text), pa.int64())
+        tokens = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                         pa.int64())
+        # stopword hits: tokenize once (Arrow), membership test +
+        # per-row bincount — no Python over rows or tokens
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        hit = np.asarray(pc.is_in(
+            flat, value_set=pa.array(sorted(_STOPWORDS))))
+        stop_count = pa.array(
+            np.bincount(row[hit], minlength=n_rows).astype(np.int64),
+            pa.int64())
+        punct_count = pc.cast(
+            pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+        alpha_len = pc.subtract(
+            length, pc.cast(pc.count_substring(text, " "), pa.int64()))
         for name, vals in (
             ("n_chars_actual", length),
             ("token_count", tokens),
@@ -82,7 +89,7 @@ class QualityScorer:
             ("punct_count", punct_count),
             ("alpha_len", alpha_len),
         ):
-            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+            batch = batch.append_column(name, vals)
         return batch
 
 
