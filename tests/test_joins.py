@@ -266,3 +266,70 @@ class TestCorpusFreqScore:
         # corpus freqs: a=2, b=2, c=1
         assert out.loc[0].tolist() == [1, 3, 6, 2]   # 2+2+2 → avg 2
         assert out.loc[1].tolist() == [2, 2, 3, 1]   # 2+1 → avg 1
+
+
+# ---- property-based: joins vs brute-force reference models ---------------
+
+from hypothesis import given, settings, strategies as st
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=5),      # user
+    st.integers(min_value=0, max_value=10_000), # ts offset (minutes*10)
+)
+
+
+def _mk(events, id0):
+    n = len(events)
+    return {
+        "event_id": list(range(id0, id0 + n)),
+        "user_id": [u for u, _ in events],
+        "ts": [TS0 + np.timedelta64(t * 6_000_000, "us")
+               for _, t in events],
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=25),
+       st.lists(_event, min_size=0, max_size=25))
+def test_asof_join_matches_bruteforce(ray_session, lefts, rights):
+    from web_mass_scraper_ocr_ray.stages.joins import asof_join
+
+    L, R = _mk(lefts, 0), _mk(rights, 1000)
+    out = asof_join(
+        _ds(L), _ds(R), key="user_id", on="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id"],
+    ).to_pandas().set_index("event_id")
+    assert len(out) == len(lefts)
+    for i, (u, t) in enumerate(lefts):
+        cand = [(rt, rid) for rid, (ru, rt) in
+                enumerate(rights, start=1000)
+                if ru == u and rt <= t]
+        got = out.loc[i, "right_event_id"]
+        if not cand:
+            assert pd.isna(got)
+        else:
+            best_t = max(c[0] for c in cand)
+            expect = min(rid for rt, rid in cand if rt == best_t)
+            assert got == expect, (i, u, t, cand)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=25),
+       st.lists(_event, min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=2000))
+def test_range_count_matches_bruteforce(ray_session, lefts, rights, wmin):
+    from web_mass_scraper_ocr_ray.stages.joins import range_count_join
+
+    w_us = wmin * 6_000_000
+    L, R = _mk(lefts, 0), _mk(rights, 1000)
+    out = range_count_join(
+        _ds(L), _ds(R), key="user_id", on="ts", window_us=w_us,
+        left_cols=["event_id", "user_id"],
+    ).to_pandas().set_index("event_id")
+    assert len(out) == len(lefts)
+    for i, (u, t) in enumerate(lefts):
+        t_us = t * 6_000_000
+        expect = sum(1 for ru, rt in rights
+                     if ru == u and t_us - w_us < rt * 6_000_000 <= t_us)
+        assert out.loc[i, "n_in_window"] == expect, (i, u, t, w_us)
