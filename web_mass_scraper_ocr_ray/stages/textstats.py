@@ -179,15 +179,19 @@ class Fingerprinter:
 
 
 def token_count_table(docs_ds):
-    """documents Dataset → (doc_id, ws_tokens, bpe_tokens)."""
+    """documents Dataset → (doc_id, ws_tokens, bpe_tokens).
+
+    Plain task stage: since the Arrow-kernel rewrite the counter holds
+    no per-actor state, so an actor pool would only add startup
+    latency (callable INSTANCE → task-based map_batches)."""
     return docs_ds.map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=autoscale_actors()
+        TokenCounter(), batch_format="pyarrow"
     ).select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
 
 
 def quality_table(docs_ds):
     return docs_ds.map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=autoscale_actors()
+        QualityScorer(), batch_format="pyarrow"
     ).select_columns(
         ["doc_id", "n_chars_actual", "token_count", "stopword_count",
          "punct_count", "alpha_len"]
