@@ -626,11 +626,9 @@ q AS (
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       '\+\d{1,3}-\d{3}-\d{4,}', '<PHONE>', 'g') AS red,
     CAST(len(regexp_extract_all(nd.text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-     + len(regexp_extract_all(nd.text,
-      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-     + len(regexp_extract_all(nd.text,
-      '\+\d{1,3}-\d{3}-\d{4,}')) AS BIGINT) AS pii_hits
+      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})'
+      || '|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)'
+      || '|(?:\+\d{1,3}-\d{3}-\d{4,})')) AS BIGINT) AS pii_hits
   FROM nd JOIN agg a USING (doc_id)
 ),
 ded AS (

@@ -66,7 +66,7 @@ def _flag_quality_and_scrub(t: pa.Table, cfg: PrepConfig) -> pa.Table:
     redaction in one task — both reuse the textstats kernels."""
     from ..stages.textstats import PII_PATTERNS, _repetition_kernel
 
-    rep = _repetition_kernel(t, "text")
+    rep = _repetition_kernel(t, "text", with_bigrams=False)
     n_toks = rep.column("n_tokens")
     dup_bp = rep.column("dup_word_bp")
     low_q = pc.or_(
@@ -77,10 +77,10 @@ def _flag_quality_and_scrub(t: pa.Table, cfg: PrepConfig) -> pa.Table:
                         pa.scalar(KEEP, pa.int8()))
 
     text = t.column("text")
-    pii_hits = None
-    for _, pat, _repl in PII_PATTERNS:
-        c = pc.count_substring_regex(text, pat)
-        pii_hits = c if pii_hits is None else pc.add(pii_hits, c)
+    # the prep counter only needs the TOTAL hit count — one combined
+    # alternation pass instead of one count pass per pattern
+    combined = "|".join(f"(?:{pat})" for _, pat, _ in PII_PATTERNS)
+    pii_hits = pc.count_substring_regex(text, combined)
     red = text
     for _, pat, repl in PII_PATTERNS:
         red = pc.replace_substring_regex(red, pat, repl)

@@ -252,7 +252,8 @@ def pii_scrub_table(docs_ds, text_col: str = "text"):
 
 # ---- repetition / boilerplate scoring ------------------------------------
 
-def _repetition_kernel(t: pa.Table, text_col: str) -> pa.Table:
+def _repetition_kernel(t: pa.Table, text_col: str,
+                       with_bigrams: bool = True) -> pa.Table:
     """Gopher-style repetition features (Rae et al. 2021, §A1.1
     repetition filters), integer basis points so the oracle is exact:
 
@@ -290,13 +291,21 @@ def _repetition_kernel(t: pa.Table, text_col: str) -> pa.Table:
     mx = np.zeros(n_rows, np.int64)
     np.maximum.at(mx, urow, cnt.astype(np.int64))
 
-    same = row[1:] == row[:-1]
-    brow = row[:-1][same]
-    bkey = codes[:-1][same] * K + codes[1:][same]
-    nb = np.bincount(brow, minlength=n_rows).astype(np.int64)
-    packed = brow * (K * K) + bkey
-    ub = np.unique(packed)
-    db = np.bincount(ub // (K * K), minlength=n_rows).astype(np.int64)
+    if with_bigrams:
+        same = row[1:] == row[:-1]
+        brow = row[:-1][same]
+        bkey = codes[:-1][same] * K + codes[1:][same]
+        nb = np.bincount(brow, minlength=n_rows).astype(np.int64)
+        packed = brow * (K * K) + bkey
+        ub = np.unique(packed)
+        db = np.bincount(ub // (K * K),
+                         minlength=n_rows).astype(np.int64)
+    else:
+        # callers that only need word-level features (the prep
+        # pipeline's quality flag) skip the bigram pass — roughly
+        # half the kernel
+        nb = np.zeros(n_rows, np.int64)
+        db = np.zeros(n_rows, np.int64)
 
     safe_n = np.maximum(n, 1)
     safe_nb = np.maximum(nb, 1)
