@@ -482,3 +482,24 @@ class TestSketches:
                           columns=["n_chars"]).column("n_chars").to_pylist()
         )
         assert sum(r["sum_bytes"] for r in rows) == total
+
+
+class TestCLIPrep:
+    def test_prep_subcommand(self, tmp_path):
+        out = tmp_path / "prep_out"
+        r = subprocess.run(
+            [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli", "prep",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", str(out),
+             "--min-tokens", "25", "--max-dup-word-bp", "6500",
+             "--sample-rates", '{"src0": 0}',
+             "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        s = json.loads(r.stdout.strip().splitlines()[-1])
+        assert s["docs_total"] == 500
+        # stratum src0 sampled to zero; everything else untouched
+        assert s["drop_sampled_out"] > 0
+        assert s["docs_kept"] + s["drop_lowquality"] + \
+            s["drop_duplicate"] + s["drop_sampled_out"] == 500
