@@ -658,6 +658,70 @@ WITH w AS (
 SELECT DISTINCT token, doc_id
 FROM w WHERE token IN ('scan', 'window', 'column')
 """,
+        # main_content / dom_block_stats: the boilerplate corpus is a
+        # pure function of doc_id (sources/pages.py::_BP_TEMPLATE), so
+        # the oracle rebuilds every block's fate clause-for-clause:
+        # fixed blocks nav/breadcrumb/h1/aside-p/footer-p, plus the
+        # main <p> (kept iff collapsed len >= 25), a link-farm div when
+        # doc_id%3=0 (caught only by link density) and a comment div
+        # when doc_id%2=0 (caught only by the class blocklist).
+        "main_content": r"""
+WITH c AS (
+  SELECT doc_id,
+         length(CAST(doc_id AS VARCHAR)) AS dg,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT
+  'https://www.host' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+    || '.example.com/docs/' || doc_id AS url,
+  CASE WHEN length(t) >= 25 THEN 'Doc ' || doc_id || ' ' || t
+       ELSE 'Doc ' || doc_id END AS main_text,
+  CAST(CASE WHEN length(t) >= 25 THEN 5 + dg + length(t)
+            ELSE 4 + dg END AS BIGINT) AS main_len,
+  CAST(5 + CASE WHEN length(t) > 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_blocks,
+  CAST(1 + CASE WHEN length(t) >= 25 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_kept,
+  CAST(4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_drop_blocklist,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_drop_linkdense,
+  CAST(CASE WHEN length(t) BETWEEN 1 AND 24 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_drop_short
+FROM c
+""",
+        "dom_block_stats": r"""
+WITH c AS (
+  SELECT doc_id,
+         length(CAST(doc_id AS VARCHAR)) AS dg,
+         length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tl
+  FROM documents
+),
+blocks AS (
+  SELECT 'nav' AS tag, 'blocklist_tag' AS reason,
+         9 + 11 * (doc_id % 4) AS text_len,
+         8 + 10 * (doc_id % 4) AS link_len FROM c
+  UNION ALL SELECT 'div', 'blocklist_class', 18 + dg, 8 FROM c
+  UNION ALL SELECT 'h1', 'kept', 4 + dg, 0 FROM c
+  UNION ALL SELECT 'p',
+         CASE WHEN tl >= 25 THEN 'kept' ELSE 'too_short' END, tl, 0
+    FROM c WHERE tl > 0
+  UNION ALL SELECT 'div', 'link_density', 43, 41 FROM c
+    WHERE doc_id % 3 = 0
+  UNION ALL SELECT 'div', 'blocklist_class', 60 + dg, 0 FROM c
+    WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'p', 'blocklist_tag', 47 + dg, 0 FROM c
+  UNION ALL SELECT 'p', 'blocklist_tag', 45 + dg, 0 FROM c
+)
+SELECT tag, reason,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+  CAST(sum(link_len) AS BIGINT) AS sum_link_len
+FROM blocks GROUP BY tag, reason
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

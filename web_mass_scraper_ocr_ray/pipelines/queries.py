@@ -957,6 +957,43 @@ def q_corpus_prep(sf_dir: str):
     return flagged.map_batches(_out, batch_format="pyarrow")
 
 
+def q_main_content(sf_dir: str):
+    """Boilerplate-strip main-content extraction (north_star DOM
+    heuristics) over the deterministic boilerplate corpus. The oracle
+    recomputes main_text and every drop counter from `documents` via
+    the synthesis contract (sources/pages.py::_BP_TEMPLATE)."""
+    from ..sources.pages import synth_boilerplate_pages_dataset
+    from ..stages.maincontent import extract_main_content_ds
+
+    ds = extract_main_content_ds(
+        synth_boilerplate_pages_dataset(sf_dir), with_spans=False
+    )
+    return ds.select_columns(
+        ["url", "main_text", "main_len", "n_blocks", "n_kept",
+         "n_drop_blocklist", "n_drop_linkdense", "n_drop_short"]
+    )
+
+
+def q_dom_block_stats(sf_dir: str):
+    """DOM-block feature table rolled up by (tag, reason) — the audit
+    view of the boilerplate heuristic. Counts per (tag, reason) are
+    pure functions of doc_id, so SQL recomputes them exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.pages import synth_boilerplate_pages_dataset
+    from ..stages.maincontent import dom_features_ds
+
+    feats = dom_features_ds(synth_boilerplate_pages_dataset(sf_dir))
+    return (
+        feats.groupby(["tag", "reason"])
+        .aggregate(
+            Count(alias_name="n_blocks"),
+            Sum("text_len", alias_name="sum_text_len"),
+            Sum("link_len", alias_name="sum_link_len"),
+        )
+    )
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1007,4 +1044,6 @@ QUERIES: Dict[str, callable] = {
     "doc_corpus_freq": q_doc_corpus_freq,
     "corpus_prep": q_corpus_prep,
     "token_search": q_token_search,
+    "main_content": q_main_content,
+    "dom_block_stats": q_dom_block_stats,
 }

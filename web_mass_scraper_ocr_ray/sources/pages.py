@@ -95,6 +95,102 @@ def page_html(doc_id: int, text: str) -> bytes:
     return _PAGE_TEMPLATE.format(d=doc_id, text=text, imgs=imgs).encode("utf-8")
 
 
+# --- boilerplate corpus (main-content extraction fixture family) ----------
+#
+# A second deterministic page family for the boilerplate-strip operator
+# (functions/maincontent.py). Every block's fate is a pure function of
+# doc_id, so the DuckDB oracle recomputes main_text AND the per-reason
+# drop counts clause-for-clause:
+#
+#   fixed blocks per page:
+#     nav text            -> blocklist_tag   (header>nav ancestors)
+#     breadcrumb div      -> blocklist_class ("breadcrumb" token)
+#     h1 "Doc {d}"        -> kept            (heading keeps short blocks)
+#     <p>{text}</p>       -> kept if len(collapse(text)) >= 25
+#                            else too_short (len>=1) / absent (empty)
+#     aside promo p       -> blocklist_tag
+#     footer p            -> blocklist_tag
+#   conditional blocks:
+#     d % 3 == 0: link-farm div (plain <div>, only anchors)
+#                         -> link_density  (the only rule that catches it)
+#     d % 2 == 0: div class="comment" with long plain text
+#                         -> blocklist_class (the only rule that catches it)
+#
+# expected main_text = 'Doc {d}' [+ ' ' + collapse(text) if len >= 25]
+
+_BP_TEMPLATE = (
+    '<html><head><title>Doc {d}</title><style>.m{{margin:0}}</style>'
+    '<script>var q = "NOT VISIBLE";</script></head>\n'
+    "<body>\n"
+    '<header><nav><a href="/">Home</a> <a href="/docs">Docs</a>{nav}</nav></header>\n'
+    '<div class="breadcrumb"><a href="/">Home</a> &gt; '
+    '<a href="/docs">Docs</a> &gt; Doc {d}</div>\n'
+    '<main id="content">\n'
+    "<h1>Doc {d}</h1>\n"
+    "<p>{text}</p>\n"
+    "</main>\n"
+    "{linkfarm}"
+    "{comment}"
+    '<aside class="sidebar"><p>Subscribe to newsletter {d} for more '
+    "updates today</p></aside>\n"
+    "<footer><p>Copyright {d} Example Corp - all rights reserved</p></footer>\n"
+    "</body></html>"
+)
+
+_BP_LINKFARM = (
+    '<div><a href="/r/1">Read more one</a> <a href="/r/2">Read more two</a> '
+    '<a href="/r/3">Read more three</a></div>\n'
+)
+
+
+def boilerplate_page_html(doc_id: int, text: str) -> bytes:
+    nav = "".join(
+        f' <a href="/p/{j}">Nav item {j}</a>' for j in range(doc_id % 4)
+    )
+    linkfarm = _BP_LINKFARM if doc_id % 3 == 0 else ""
+    comment = (
+        f'<div class="comment">Great long comment number {doc_id} with '
+        "plenty of visible characters</div>\n"
+        if doc_id % 2 == 0
+        else ""
+    )
+    return _BP_TEMPLATE.format(
+        d=doc_id, text=text, nav=nav, linkfarm=linkfarm, comment=comment
+    ).encode("utf-8")
+
+
+def synth_boilerplate_pages_table(sf_dir: str) -> pa.Table:
+    """documents.parquet → deterministic boilerplate `pages` table
+    (same schema as synth_pages_table)."""
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    return pa.table(
+        {
+            "url": pa.array([page_url(d) for d in doc_ids], pa.string()),
+            "warc_ts": pa.array(
+                [page_warc_ts(d) for d in doc_ids], pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [boilerplate_page_html(d, t) for d, t in zip(doc_ids, texts)],
+                pa.binary(),
+            ),
+            "text": docs.column("text"),
+            "lang": docs.column("lang"),
+        }
+    )
+
+
+def synth_boilerplate_pages_dataset(sf_dir: str):
+    import ray.data as rd
+
+    tbl = synth_boilerplate_pages_table(sf_dir)
+    n_blocks = max(4, min(16, tbl.num_rows // 64))
+    return rd.from_arrow(tbl).repartition(n_blocks)
+
+
 # Bad-URL families for the validator query (utils.py:32-63 truth table).
 # Family 0 is the only valid one; SQL oracle: valid ⇔ doc_id % 8 == 0.
 def candidate_url(doc_id: int) -> str:
