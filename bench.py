@@ -138,6 +138,8 @@ def run_bench() -> dict:
         "doc_corpus_freq",
         "corpus_prep",
         "token_search",
+        "main_content",
+        "dom_block_stats",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -55,7 +55,12 @@ from dataclasses import dataclass, field
 from html import unescape
 from typing import List, Optional
 
-from .htmlfast import _RAW_CLOSERS, _TOKEN_RE, _iter_attrs
+from .htmlfast import (
+    _RAW_CLOSERS,
+    _TOKEN_RE,
+    _is_hidden_attrs,
+    _iter_attrs,
+)
 from .htmltext import (
     _BLOCK_TAGS,
     _RAW_SKIP_TAGS,
@@ -103,14 +108,6 @@ def _classid_blocklisted(attrs: str) -> bool:
                 if tok and tok in BLOCKLIST_TOKENS:
                     return True
     return False
-
-
-def _is_hidden_attrs(attrs: str) -> bool:
-    # htmlfast's visibility rule (attribute NAMED hidden / style with
-    # display:none|visibility:hidden); re-exported there, reused here.
-    from .htmlfast import _is_hidden_attrs as impl
-
-    return impl(attrs)
 
 
 @dataclass
