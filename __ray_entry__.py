@@ -722,6 +722,85 @@ SELECT tag, reason,
   CAST(sum(link_len) AS BIGINT) AS sum_link_len
 FROM blocks GROUP BY tag, reason
 """,
+        # pdf_payloads / pdf_status_rollup: the PDF corpus is a pure
+        # function of doc_id (sources/pages.py::pdf_ref_html): ref j of
+        # page d has family r=(d*5+j*7)%8 — r=0 remote (not attempted),
+        # r∈{1,6,7} success with 1+(d+j)%3 blocks (page=k%2, y=k,
+        # emitted reversed → engine re-sorts by (page,y,x) =
+        # ORDER BY k%2, k), r=4 no_text_found, r∈{2,3} unsupported,
+        # r=5 processing error.
+        "pdf_payloads": r"""
+WITH refs AS (
+  SELECT d.doc_id, g.j,
+         (d.doc_id * 5 + g.j * 7) % 8 AS r,
+         1 + (d.doc_id + g.j) % 3 AS nb
+  FROM documents d
+  JOIN generate_series(0, 2) AS g(j) ON g.j < d.doc_id % 3
+),
+ref_text AS (
+  SELECT refs.doc_id, refs.j,
+    string_agg('pg' || (b.k % 2) || ' blk' || b.k || ' doc '
+               || refs.doc_id, ' ' ORDER BY b.k % 2, b.k) AS ok_text
+  FROM refs JOIN generate_series(0, 2) AS b(k) ON b.k < refs.nb
+  WHERE refs.r IN (1, 6, 7)
+  GROUP BY refs.doc_id, refs.j
+),
+ref_out AS (
+  SELECT refs.doc_id, refs.j, refs.r, refs.nb, rt.ok_text
+  FROM refs LEFT JOIN ref_text rt
+    ON refs.doc_id = rt.doc_id AND refs.j = rt.j
+),
+per AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE r <> 0) AS attempts,
+    count(*) FILTER (WHERE r IN (1, 6, 7)) AS ok,
+    count(*) FILTER (WHERE r = 4) AS ntf,
+    count(*) FILTER (WHERE r IN (2, 3)) AS unsup,
+    count(*) FILTER (WHERE r = 5) AS proc,
+    string_agg(ok_text, ' ' ORDER BY j) AS pdf_text,
+    sum(nb) FILTER (WHERE r IN (1, 6, 7)) AS blocks
+  FROM ref_out GROUP BY doc_id
+)
+SELECT
+  'https://www.host' || lpad(CAST(d.doc_id % 50 AS VARCHAR), 3, '0')
+    || '.example.com/docs/' || d.doc_id AS url,
+  CAST(d.doc_id % 3 AS BIGINT) AS n_docs,
+  CAST(coalesce(p.attempts, 0) AS BIGINT) AS pdf_attempts,
+  CAST(coalesce(p.ok, 0) AS BIGINT) AS pdf_successes,
+  CAST(coalesce(p.ntf, 0) AS BIGINT) AS pdf_no_text_found_count,
+  CAST(coalesce(p.unsup, 0) AS BIGINT)
+    AS pdf_error_unsupported_format_count,
+  CAST(coalesce(p.proc, 0) AS BIGINT) AS pdf_error_processing_count,
+  CAST(coalesce(p.unsup, 0) + coalesce(p.proc, 0) AS BIGINT)
+    AS pdf_total_errors,
+  coalesce(p.pdf_text, '') AS pdf_text,
+  CAST(coalesce(p.blocks, 0) AS BIGINT) AS pdf_blocks_total
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+        "pdf_status_rollup": r"""
+WITH refs AS (
+  SELECT d.doc_id, g.j,
+         (d.doc_id * 5 + g.j * 7) % 8 AS r,
+         1 + (d.doc_id + g.j) % 3 AS nb
+  FROM documents d
+  JOIN generate_series(0, 2) AS g(j) ON g.j < d.doc_id % 3
+),
+st AS (
+  SELECT
+    CASE WHEN r IN (1, 6, 7) THEN 'success'
+         WHEN r = 4 THEN 'no_text_found'
+         WHEN r IN (2, 3) THEN 'error_unsupported_format'
+         ELSE 'error_processing' END AS status,
+    CASE WHEN r IN (1, 6, 7) THEN nb ELSE 0 END AS nb,
+    CASE WHEN r IN (1, 6, 7) THEN least(nb, 2) ELSE 0 END AS np
+  FROM refs WHERE r <> 0
+)
+SELECT status,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nb) AS BIGINT) AS n_blocks,
+  CAST(sum(np) AS BIGINT) AS n_pages
+FROM st GROUP BY status
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

@@ -39,8 +39,10 @@ from .pipelines.extract_pipeline import (
     run_pipeline,
     session_summary,
 )
+from .ocr.pdf_layout import PdfLayoutEngine, StubPdfLayoutEngine, make_pdf_engine
 from .stages.extract import extract_batch, extract_batch_sliced, extract_row
 from .stages.ocr_stage import OCRStage, ocr_batch_fused
+from .stages.pdf_stage import PdfStage, pdf_batch_fused
 
 __all__ = [
     # pipeline surface
@@ -55,6 +57,8 @@ __all__ = [
     "extract_row",
     "OCRStage",
     "ocr_batch_fused",
+    "PdfStage",
+    "pdf_batch_fused",
     # pure functions (utils.py analog surface)
     "clean_text",
     "create_text_metadata",
@@ -73,6 +77,10 @@ __all__ = [
     "StubOCREngine",
     "make_engine",
     "parse_data_url",
+    # PDF layout engines (north_star document routing)
+    "PdfLayoutEngine",
+    "StubPdfLayoutEngine",
+    "make_pdf_engine",
     # live-fetch surface (S1/S2/S5/S6)
     "FetchStage",
     "urllib_fetcher",

@@ -48,6 +48,8 @@ def cmd_run(args) -> int:
         groups_in_flight=args.groups_in_flight,
         ocr_engine=args.ocr_engine,
         num_partitions=args.num_partitions,
+        parse_pdfs=args.parse_pdfs,
+        pdf_engine=args.pdf_engine,
     )
     summary = run_pipeline(args.input, cfg)
     print(json.dumps(summary, default=str))
@@ -111,6 +113,11 @@ def main(argv=None) -> int:
     runp.add_argument("--ocr-engine", default="stub",
                       choices=["stub", "tesseract"])
     runp.add_argument("--num-cpus", type=int, default=None)
+    runp.add_argument("--parse-pdfs", action="store_true",
+                      help="route embedded <embed>/<object> PDF payloads"
+                           " through the layout-parse stage")
+    runp.add_argument("--pdf-engine", default="stub",
+                      choices=["stub", "pdfminer"])
     runp.set_defaults(fn=cmd_run)
 
     prep = sub.add_parser("prep", help="training-data corpus prep")

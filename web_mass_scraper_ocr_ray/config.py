@@ -36,6 +36,19 @@ class PipelineConfig:
     # extract stage (M4): stateless tasks over pyarrow batches
     extract_batch_size: int = 1024
 
+    # PDF routing stage (north_star): parse embedded <embed>/<object>
+    # document payloads with a per-actor layout engine (reading-order
+    # block assembly). Off by default: the reference has no PDF path,
+    # and the stage adds pdf_* output columns when enabled.
+    parse_pdfs: bool = False
+    pdf_engine: str = "stub"
+    # same pool-vs-fused tradeoff as OCR: the stub engine fuses; a real
+    # pdfminer/fitz engine belongs in an actor pool. None → auto.
+    pdf_use_actor_pool: Optional[bool] = None
+    pdf_concurrency: Union[int, Tuple[int, int]] = (2, 16)
+    pdf_batch_size: int = 512
+    pdf_num_cpus: float = 1.0
+
     # skew handling (§4.4): split blocks so huge-HTML rows don't make
     # one task carry an unbounded byte budget
     skew_bucket_bytes: int = 8 * 1024 * 1024   # max html bytes per batch split
@@ -75,3 +88,5 @@ class PipelineConfig:
             raise ValueError(f"mode must be text|ocr|both, got {self.mode!r}")
         if self.ocr_use_actor_pool is None:
             self.ocr_use_actor_pool = self.ocr_engine != "stub"
+        if self.pdf_use_actor_pool is None:
+            self.pdf_use_actor_pool = self.pdf_engine != "stub"

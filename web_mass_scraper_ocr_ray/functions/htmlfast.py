@@ -129,6 +129,23 @@ def _first_src(attrs: str) -> Optional[str]:
     return None
 
 
+def _doc_ref(attrs: str, ref_attr: str) -> Optional[tuple]:
+    """(ref, type_attr) for <embed src=…>/<object data=…> — rare tags,
+    so the generic attr tokenizer is fine (no fast path needed)."""
+    if not attrs:
+        return None
+    ref = None
+    typ = None
+    for name, value in _iter_attrs(attrs):
+        if name == ref_attr and ref is None:
+            ref = value
+        elif name == "type" and typ is None:
+            typ = value
+    if not ref:
+        return None
+    return (ref, typ or "")
+
+
 def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
     """Drop-in replacement for htmltext.extract_visible_text."""
     if not html:
@@ -144,6 +161,7 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
     buf_path: Optional[str] = None
     segments: List[tuple] = []
     images: List[str] = []
+    docs: List[tuple] = []
 
     def flush():
         nonlocal buf, buf_path
@@ -185,6 +203,16 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
                 if src:
                     images.append(src)
                 continue
+            if tag == "embed":
+                ref = _doc_ref(attrs or "", "src")
+                if ref:
+                    docs.append(ref)
+                continue  # void
+            if tag == "object":
+                ref = _doc_ref(attrs or "", "data")
+                if ref:
+                    docs.append(ref)
+                # fall through: <object> is a normal container
             if tag == "br":
                 if not text_skip:
                     buf.append("\n")
@@ -245,4 +273,6 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
         spans.append(Span(start=out_pos, end=out_pos + len(cleaned), path=path))
         pieces.append(cleaned)
         out_pos += len(cleaned)
-    return ExtractResult(text=" ".join(pieces), spans=spans, images=images)
+    return ExtractResult(
+        text=" ".join(pieces), spans=spans, images=images, docs=docs
+    )

@@ -87,6 +87,11 @@ class ExtractResult:
     text: str
     spans: List[Span] = field(default_factory=list)
     images: List[str] = field(default_factory=list)  # raw src attrs, DOM order
+    # embedded document payloads (north_star PDF routing): (ref, type
+    # attr) per <embed src=...> / <object data=...>, DOM order. Same
+    # visibility rule as images: seen inside hidden subtrees, not
+    # inside script/style/template/noscript.
+    docs: List[tuple] = field(default_factory=list)
 
 
 class _VisibleTextParser(HTMLParser):
@@ -101,6 +106,7 @@ class _VisibleTextParser(HTMLParser):
         self._buf_path: Optional[str] = None
         self.segments: List[Tuple[str, str]] = []
         self.images: List[str] = []
+        self.docs: List[Tuple[str, str]] = []  # (ref, type_attr)
         # parallel stack of (raw_skip_delta, text_skip_delta) per element
         self._skip_deltas: List[Tuple[int, int]] = []
 
@@ -136,6 +142,20 @@ class _VisibleTextParser(HTMLParser):
                 if src:  # empty/missing src skipped — scraper.py:226-227
                     self.images.append(src)
             return  # void
+        if tag == "embed":
+            if not self._raw_skip:
+                src = next((v for n, v in attrs if n == "src"), None)
+                if src:
+                    typ = next((v for n, v in attrs if n == "type"), None)
+                    self.docs.append((src, typ or ""))
+            return  # void
+        if tag == "object" and not self._raw_skip:
+            data = next((v for n, v in attrs if n == "data"), None)
+            if data:
+                typ = next((v for n, v in attrs if n == "type"), None)
+                self.docs.append((data, typ or ""))
+            # NOT a return: <object> is a normal container — its
+            # fallback content stays subject to the usual text rules.
         if tag == "br":
             if not (self._raw_skip or self._text_skip):
                 self._buf.append("\n")
@@ -232,4 +252,7 @@ def extract_visible_text(html: Optional[bytes]) -> ExtractResult:
         spans.append(Span(start=pos, end=pos + len(cleaned), path=path))
         pieces.append(cleaned)
         pos += len(cleaned)
-    return ExtractResult(text=" ".join(pieces), spans=spans, images=parser.images)
+    return ExtractResult(
+        text=" ".join(pieces), spans=spans, images=parser.images,
+        docs=parser.docs,
+    )

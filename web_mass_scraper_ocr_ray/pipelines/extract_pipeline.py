@@ -148,6 +148,25 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
     else:
         ds = ds.map_batches(empty_ocr_columns, batch_format="pyarrow")
 
+    if cfg.parse_pdfs:
+        from ..stages.pdf_stage import PdfStage, pdf_batch_fused
+
+        if cfg.pdf_use_actor_pool:
+            ds = ds.map_batches(
+                PdfStage,
+                fn_constructor_kwargs={"engine": cfg.pdf_engine},
+                batch_format="pyarrow",
+                batch_size=cfg.pdf_batch_size,
+                concurrency=cfg.pdf_concurrency,
+                num_cpus=cfg.pdf_num_cpus,
+            )
+        else:
+            ds = ds.map_batches(
+                partial(pdf_batch_fused, engine=cfg.pdf_engine),
+                batch_format="pyarrow",
+                batch_size=cfg.pdf_batch_size,
+            )
+
     return ds
 
 

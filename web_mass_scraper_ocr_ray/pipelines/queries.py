@@ -994,6 +994,64 @@ def q_dom_block_stats(sf_dir: str):
     )
 
 
+def q_pdf_payloads(sf_dir: str):
+    """Embedded-PDF payload routing (north_star): <embed>/<object> refs
+    enumerated by the DOM scan, data payloads parsed by the per-actor
+    layout engine, blocks reassembled in reading order (page, y, x).
+    The synthesized corpus emits blocks REVERSED, so matching
+    ``pdf_text`` proves the ordering rule end-to-end. Oracle recomputes
+    statuses and ordered text from the synthesis contract
+    (sources/pages.py::pdf_ref_html)."""
+    from ..config import PipelineConfig
+    from ..sources.pages import synth_pdf_pages_dataset
+    from .extract_pipeline import build_pipeline
+
+    ds = build_pipeline(
+        synth_pdf_pages_dataset(sf_dir),
+        PipelineConfig(mode="text", parse_pdfs=True),
+    )
+    return ds.select_columns(
+        ["url", "n_docs", "pdf_attempts", "pdf_successes",
+         "pdf_no_text_found_count", "pdf_error_unsupported_format_count",
+         "pdf_error_processing_count", "pdf_total_errors",
+         "pdf_text", "pdf_blocks_total"]
+    )
+
+
+def q_pdf_status_rollup(sf_dir: str):
+    """Corpus-wide parse-status rollup: explode ``pdf_items`` in the
+    map phase (per-batch combine), tiny status-keyed final aggregate."""
+    from ..config import PipelineConfig
+    from ..sources.pages import synth_pdf_pages_dataset
+    from ..stages.shuffle import two_phase_aggregate
+    from .extract_pipeline import build_pipeline
+
+    ds = build_pipeline(
+        synth_pdf_pages_dataset(sf_dir),
+        PipelineConfig(mode="text", parse_pdfs=True),
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t.column("pdf_items")).combine_chunks()
+        return pa.table(
+            {
+                "status": flat.field("status"),
+                "blocks": flat.field("n_blocks"),
+                "pages": flat.field("n_pages"),
+            }
+        )
+
+    return two_phase_aggregate(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        "status",
+        {
+            "n_docs": (None, "count"),
+            "n_blocks": ("blocks", "sum"),
+            "n_pages": ("pages", "sum"),
+        },
+    )
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1046,4 +1104,6 @@ QUERIES: Dict[str, callable] = {
     "token_search": q_token_search,
     "main_content": q_main_content,
     "dom_block_stats": q_dom_block_stats,
+    "pdf_payloads": q_pdf_payloads,
+    "pdf_status_rollup": q_pdf_status_rollup,
 }

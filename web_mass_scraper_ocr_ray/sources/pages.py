@@ -191,6 +191,121 @@ def synth_boilerplate_pages_dataset(sf_dir: str):
     return rd.from_arrow(tbl).repartition(n_blocks)
 
 
+# --- PDF-payload corpus (embedded-document routing fixture family) --------
+#
+# Third deterministic page family: the standard page plus d % 3 embedded
+# document refs (<embed>/<object> — north_star PDF routing). Ref j's
+# fate is r = (d*5 + j*7) % 8, a pure function of (doc_id, j), so the
+# DuckDB oracle recomputes every status counter AND the layout-ordered
+# pdf text clause-for-clause:
+#
+#   r=0  remote <object data="https://…/{d}_{j}.pdf">  → failed (offline)
+#   r=1  <object> stub data-URL, valid blocks          → success
+#   r=2  data:application/pdf, REAL %PDF bytes         → error_unsupported_format
+#        (the real-engine seam path: stub engine owns only %PDF-STUB)
+#   r=3  data:text/plain payload                       → error_unsupported_format
+#   r=4  stub magic, zero blocks                       → no_text_found
+#   r=5  stub magic, malformed block line              → error_processing
+#   r=6,7  <embed> stub data-URL, valid blocks         → success
+#
+# Success payloads carry n_blocks = 1 + (d+j) % 3 blocks EMITTED IN
+# REVERSED k order with page=k%2, y=k, x=7 and text
+# "pg{k%2} blk{k} doc {d}" — the engine must re-sort by (page, y, x),
+# so expected text = string_agg(..., ' ' ORDER BY k%2, k).
+
+_PDF_STUB_MAGIC = b"%PDF-STUB\n"
+
+
+def pdf_payload(doc_id: int, j: int) -> bytes:
+    n_blocks = 1 + (doc_id + j) % 3
+    lines = [
+        f"{k % 2}|{k}|7|pg{k % 2} blk{k} doc {doc_id}"
+        for k in reversed(range(n_blocks))
+    ]
+    return _PDF_STUB_MAGIC + "\n".join(lines).encode("utf-8")
+
+
+def pdf_ref_html(doc_id: int, j: int) -> str:
+    r = (doc_id * 5 + j * 7) % 8
+    if r == 0:
+        return (
+            f'<object data="https://cdn.example.com/files/{doc_id}_{j}.pdf"'
+            ' type="application/pdf"></object>'
+        )
+    if r == 1:
+        return (
+            f'<object data="data:application/pdf;base64,{_b64(pdf_payload(doc_id, j))}"'
+            ' type="application/pdf"></object>'
+        )
+    if r == 2:
+        return (
+            '<embed src="data:application/pdf;base64,'
+            + _b64(b"%PDF-1.7\n1 0 obj\nendobj")
+            + '" type="application/pdf">'
+        )
+    if r == 3:
+        return (
+            '<embed src="data:text/plain;base64,' + _b64(b"not a pdf") + '">'
+        )
+    if r == 4:
+        return (
+            '<embed src="data:application/pdf;base64,'
+            + _b64(_PDF_STUB_MAGIC) + '">'
+        )
+    if r == 5:
+        return (
+            '<embed src="data:application/pdf;base64,'
+            + _b64(_PDF_STUB_MAGIC + b"garbage without pipes") + '">'
+        )
+    return (
+        f'<embed src="data:application/pdf;base64,{_b64(pdf_payload(doc_id, j))}"'
+        ' type="application/pdf">'
+    )
+
+
+def pdf_page_html(doc_id: int, text: str) -> bytes:
+    """Standard page + the document-ref block (no visible-text change:
+    <embed> is void and the <object> elements carry no fallback)."""
+    base = _PAGE_TEMPLATE.format(
+        d=doc_id, text=text,
+        imgs="".join(
+            f'<img src="{image_src(doc_id, i)}"/>' for i in range(doc_id % 4)
+        ),
+    )
+    refs = "".join(pdf_ref_html(doc_id, j) for j in range(doc_id % 3))
+    return base.replace("</body>", refs + "</body>").encode("utf-8")
+
+
+def synth_pdf_pages_table(sf_dir: str) -> pa.Table:
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    return pa.table(
+        {
+            "url": pa.array([page_url(d) for d in doc_ids], pa.string()),
+            "warc_ts": pa.array(
+                [page_warc_ts(d) for d in doc_ids], pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [pdf_page_html(d, t) for d, t in zip(doc_ids, texts)],
+                pa.binary(),
+            ),
+            "text": docs.column("text"),
+            "lang": docs.column("lang"),
+        }
+    )
+
+
+def synth_pdf_pages_dataset(sf_dir: str):
+    import ray.data as rd
+
+    tbl = synth_pdf_pages_table(sf_dir)
+    n_blocks = max(4, min(16, tbl.num_rows // 64))
+    return rd.from_arrow(tbl).repartition(n_blocks)
+
+
 # Bad-URL families for the validator query (utils.py:32-63 truth table).
 # Family 0 is the only valid one; SQL oracle: valid ⇔ doc_id % 8 == 0.
 def candidate_url(doc_id: int) -> str:

@@ -41,6 +41,15 @@ KIND_INVALID = "invalid" # unconstructable absolute URL (scraper.py:230-234)
 IMAGE_REF_TYPE = pa.struct(
     [("image_url", pa.string()), ("src", pa.string()), ("payload_kind", pa.string())]
 )
+# Embedded document refs (<embed>/<object> — north_star PDF routing).
+DOC_REF_TYPE = pa.struct(
+    [
+        ("doc_url", pa.string()),
+        ("src", pa.string()),
+        ("mime", pa.string()),
+        ("payload_kind", pa.string()),
+    ]
+)
 SPAN_TYPE = pa.struct(
     [("start", pa.int64()), ("end", pa.int64()), ("path", pa.string())]
 )
@@ -54,6 +63,36 @@ def classify_image_ref(src: str, page_url: str) -> dict:
     if absolute.startswith("data:"):
         return {"image_url": absolute, "src": src, "payload_kind": KIND_DATA}
     return {"image_url": absolute, "src": src, "payload_kind": KIND_REMOTE}
+
+
+def classify_doc_ref(src: str, type_hint: str, page_url: str) -> dict:
+    """<embed src>/<object data> ref → routed document ref.
+
+    MIME resolution (mirrored by the pdf oracle SQL): a data-URL's own
+    header wins; otherwise the tag's ``type`` attribute; otherwise a
+    ``.pdf`` path extension sniff; else empty (unroutable → the stage's
+    unsupported-format path)."""
+    absolute = construct_absolute_url(src, page_url)
+    if not absolute:
+        return {
+            "doc_url": src, "src": src, "mime": type_hint or "",
+            "payload_kind": KIND_INVALID,
+        }
+    if absolute.startswith("data:"):
+        mime = absolute[5:].split(",", 1)[0].split(";")[0]
+        return {
+            "doc_url": absolute, "src": src,
+            "mime": mime or (type_hint or ""), "payload_kind": KIND_DATA,
+        }
+    mime = type_hint or (
+        "application/pdf"
+        if absolute.split("?")[0].lower().endswith(".pdf")
+        else ""
+    )
+    return {
+        "doc_url": absolute, "src": src, "mime": mime,
+        "payload_kind": KIND_REMOTE,
+    }
 
 
 def extract_row(url: str, html, extractor=extract_visible_text_fast) -> dict:
@@ -72,6 +111,7 @@ def extract_row(url: str, html, extractor=extract_visible_text_fast) -> dict:
             "text": "",
             "spans": [],
             "images": [],
+            "docs": [],
             "text_length": 0,
             "word_count": 0,
             "paragraph_count": 0,
@@ -88,6 +128,7 @@ def extract_row(url: str, html, extractor=extract_visible_text_fast) -> dict:
             {"start": s.start, "end": s.end, "path": s.path} for s in result.spans
         ],
         "images": [classify_image_ref(src, url) for src in result.images],
+        "docs": [classify_doc_ref(s, t, url) for s, t in result.docs],
         "text_length": meta["text_length"],
         "word_count": meta["word_count"],
         "paragraph_count": meta["paragraph_count"],
@@ -163,6 +204,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     img_urls: List[str] = []
     img_srcs: List[str] = []
     img_kinds: List[str] = []
+    doc_offsets = [0] * (n + 1)
+    doc_urls: List[str] = []
+    doc_srcs: List[str] = []
+    doc_mimes: List[str] = []
+    doc_kinds: List[str] = []
 
     for i in range(n):
         url = urls[i]
@@ -191,8 +237,15 @@ def extract_batch(batch: pa.Table) -> pa.Table:
                 img_urls.append(ref["image_url"])
                 img_srcs.append(ref["src"])
                 img_kinds.append(ref["payload_kind"])
+            for src, typ in result.docs:
+                dref = classify_doc_ref(src, typ, url)
+                doc_urls.append(dref["doc_url"])
+                doc_srcs.append(dref["src"])
+                doc_mimes.append(dref["mime"])
+                doc_kinds.append(dref["payload_kind"])
         span_offsets[i + 1] = len(span_starts)
         img_offsets[i + 1] = len(img_urls)
+        doc_offsets[i + 1] = len(doc_urls)
 
     spans_arr = pa.ListArray.from_arrays(
         pa.array(span_offsets, pa.int32()),
@@ -212,6 +265,16 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             fields=list(IMAGE_REF_TYPE),
         ),
     )
+    docs_arr = pa.ListArray.from_arrays(
+        pa.array(doc_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(doc_urls, pa.string()),
+             pa.array(doc_srcs, pa.string()),
+             pa.array(doc_mimes, pa.string()),
+             pa.array(doc_kinds, pa.string())],
+            fields=list(DOC_REF_TYPE),
+        ),
+    )
     html_len = pc.binary_length(batch.column("html")).cast(pa.int64())
     out = batch.drop_columns(["html"])
     for name, arr in (
@@ -222,7 +285,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         ("text_length", pa.array(text_lengths, pa.int64())),
         ("word_count", pa.array(word_counts, pa.int64())),
         ("paragraph_count", pa.array(paragraph_counts, pa.int64())),
+        ("docs", docs_arr),
         ("n_images", pc.list_value_length(images_arr).cast(pa.int64())),
+        ("n_docs", pc.list_value_length(docs_arr).cast(pa.int64())),
         ("html_len", html_len),
         ("status", pa.array(statuses, pa.string())),
         ("error_type", pa.array(error_types, pa.string())),
