@@ -801,6 +801,74 @@ SELECT status,
   CAST(sum(np) AS BIGINT) AS n_pages
 FROM st GROUP BY status
 """,
+        "doc_boilerplate": r"""
+WITH src AS (
+  SELECT doc_id, source,
+    string_split('nav menu ' || source || chr(10) || text || chr(10)
+      || 'cookie consent banner' || chr(10) || 'ref ' || doc_id,
+      chr(10)) AS ls
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, source, ls[i] AS line, i
+  FROM src, unnest(range(1, len(ls) + 1)) AS u(i)
+),
+freq AS (
+  SELECT source, line, count(DISTINCT doc_id) AS nd
+  FROM ln GROUP BY source, line
+),
+keep AS (
+  SELECT l.doc_id, l.line, l.i
+  FROM ln l JOIN freq f USING (source, line)
+  WHERE f.nd < 3
+),
+agg AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT a.doc_id,
+  coalesce(k.text_clean, '') AS text_clean,
+  CAST(a.n_lines AS BIGINT) AS n_lines,
+  CAST(a.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_boiler
+FROM agg a LEFT JOIN kept k USING (doc_id)
+""",
+        "doc_decontaminate": r"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'intro ' || text || ' outro' AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+bt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 97 = 0
+),
+bg AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+  FROM bt, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+tt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM tr
+),
+pos AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM tt, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+hit AS (
+  SELECT p.doc_id, count(*) AS c
+  FROM pos p JOIN bg USING (g) GROUP BY p.doc_id
+)
+SELECT tt.doc_id,
+  CAST(greatest(len(tt.t) - 7, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated,
+  CAST(coalesce(h.c, 0) > 0 AS BIGINT) AS contaminated
+FROM tt LEFT JOIN hit h USING (doc_id)
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

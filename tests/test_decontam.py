@@ -1,0 +1,125 @@
+"""Boilerplate-line removal + benchmark decontamination unit tests.
+
+Hand-built corpora with known boilerplate / contamination so the exact
+integer outputs (line counts, n-gram position counts) are asserted
+directly; the sf-corpus equivalence is covered by the driver oracles
+(``doc_boilerplate``, ``doc_decontaminate``).
+"""
+
+import pyarrow as pa
+import pytest
+
+
+def _from_rows(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+
+class TestBoilerplateRemoval:
+    def _corpus(self):
+        # "promo" appears in 3 docs of source A → boilerplate at
+        # min_docs=3; "promo" in source B appears once → kept (the
+        # grouping is per source); "rare" appears twice in A → kept.
+        return _from_rows([
+            {"doc_id": 0, "source": "A", "text": "promo\nalpha\nrare"},
+            {"doc_id": 1, "source": "A", "text": "promo\nbeta"},
+            {"doc_id": 2, "source": "A", "text": "gamma\npromo\nrare"},
+            {"doc_id": 3, "source": "B", "text": "promo\ndelta"},
+        ])
+
+    def test_group_scoped_threshold(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import (
+            remove_boilerplate_lines,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(
+                self._corpus(), min_docs=3).take_all()
+        }
+        assert out[0]["text_clean"] == "alpha\nrare"
+        assert (out[0]["n_lines"], out[0]["n_boiler"]) == (3, 1)
+        assert out[1]["text_clean"] == "beta"
+        # order preserved: boiler line was in the middle of doc 2
+        assert out[2]["text_clean"] == "gamma\nrare"
+        # source B's single "promo" survives — frequency is per group
+        assert out[3]["text_clean"] == "promo\ndelta"
+        assert out[3]["n_boiler"] == 0
+
+    def test_line_doc_freq_counts_distinct_docs(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import line_doc_freq
+
+        # a line repeated WITHIN one doc counts that doc once
+        ds = _from_rows([
+            {"doc_id": 0, "source": "A", "text": "x\nx\ny"},
+            {"doc_id": 1, "source": "A", "text": "x"},
+        ])
+        freq = {r["gl"]: r["n_docs"] for r in line_doc_freq(ds).take_all()}
+        assert freq["A\x00x"] == 2
+        assert freq["A\x00y"] == 1
+
+    def test_all_lines_boiler_gives_empty_text(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import (
+            remove_boilerplate_lines,
+        )
+
+        ds = _from_rows([
+            {"doc_id": i, "source": "A", "text": "same"} for i in range(3)
+        ])
+        rows = remove_boilerplate_lines(ds, min_docs=3).take_all()
+        assert all(r["text_clean"] == "" and r["n_boiler"] == 1
+                   for r in rows)
+
+    def test_no_boiler_is_identity(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import (
+            remove_boilerplate_lines,
+        )
+
+        ds = _from_rows([
+            {"doc_id": 0, "source": "A", "text": "a\nb"},
+            {"doc_id": 1, "source": "A", "text": "c"},
+        ])
+        out = {r["doc_id"]: r["text_clean"]
+               for r in remove_boilerplate_lines(ds, min_docs=2).take_all()}
+        assert out == {0: "a\nb", 1: "c"}
+
+
+class TestDecontaminate:
+    def test_position_counts_and_flag(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import decontaminate
+
+        bench = _from_rows([{"doc_id": 100, "text": "a b c d"}])
+        train = _from_rows([
+            # contains "a b c" twice (positions 0 and 3) and "b c d" once
+            {"doc_id": 0, "text": "a b c a b c d"},
+            {"doc_id": 1, "text": "x y z w v u"},
+            {"doc_id": 2, "text": "too short"},  # < n tokens → 0 grams
+        ])
+        out = {r["doc_id"]: r
+               for r in decontaminate(train, bench, n=3).take_all()}
+        assert out[0]["n_grams"] == 5
+        assert out[0]["n_contaminated"] == 3  # a-b-c, a-b-c, b-c-d
+        assert out[0]["contaminated"] == 1
+        assert out[1] == {"doc_id": 1, "n_grams": 4,
+                          "n_contaminated": 0, "contaminated": 0}
+        assert out[2]["n_grams"] == 0
+        assert out[2]["contaminated"] == 0
+
+    def test_whitespace_runs_collapse(self, ray_session):
+        """Tokenization splits on \\s+ with empties dropped, so extra
+        spacing in either corpus does not change gram identity."""
+        from web_mass_scraper_ocr_ray.stages.decontam import decontaminate
+
+        bench = _from_rows([{"doc_id": 9, "text": "  p   q r  "}])
+        train = _from_rows([{"doc_id": 0, "text": "p q\t\tr"}])
+        (row,) = decontaminate(train, bench, n=3).take_all()
+        assert row["n_contaminated"] == 1
+
+    def test_empty_benchmark(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.decontam import decontaminate
+
+        bench = _from_rows([{"doc_id": 1, "text": "x"}])  # no 3-grams
+        train = _from_rows([{"doc_id": 0, "text": "a b c d"}])
+        (row,) = decontaminate(train, bench, n=3).take_all()
+        assert row["n_grams"] == 2 and row["n_contaminated"] == 0

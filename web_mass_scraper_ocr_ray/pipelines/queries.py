@@ -27,6 +27,7 @@ from ..sources.pages import (
     page_url,
     synth_pages_dataset,
 )
+from ..stages import decontam as dc
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
 from ..stages import similarity as sim
@@ -1052,6 +1053,75 @@ def q_pdf_status_rollup(sf_dir: str):
     )
 
 
+# ---- corpus hygiene: boilerplate removal + decontamination ---------------
+
+def _docs_with_lines(sf_dir: str):
+    """documents reshaped into a 4-line page: a per-source nav header, the
+    body, a global cookie banner (grouped per source), and a unique ref
+    line — so boilerplate removal is non-trivial on random text. The
+    SAME construction is mirrored in the oracle CTE (string concat)."""
+    docs = _docs(sf_dir)
+
+    def _reshape(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id")
+        ids = pc.cast(doc_id, pa.string())
+        text = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                pa.scalar("nav menu "), t.column("source"), ""),
+            t.column("text"),
+            pa.scalar("cookie consent banner"),
+            pc.binary_join_element_wise(pa.scalar("ref "), ids, ""),
+            "\n",
+        )
+        return pa.table({
+            "doc_id": doc_id,
+            "source": t.column("source"),
+            "text": text,
+        })
+
+    return docs.map_batches(_reshape, batch_format="pyarrow")
+
+
+def q_doc_boilerplate(sf_dir: str):
+    """Per-source boilerplate-line removal (CCNet/RefinedWeb-style line
+    dedup): lines shared by ≥3 documents of the same source are
+    stripped; surviving lines keep their original order."""
+    return dc.remove_boilerplate_lines(
+        _docs_with_lines(sf_dir), min_docs=3, group_col="source")
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Token-8-gram benchmark decontamination: docs with doc_id % 97
+    == 0 form the held-out benchmark; the training corpus is documents
+    ∪ injected copies that embed benchmark text (id + 2e6) so the flag
+    is non-trivially positive. Benchmark grams broadcast once."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _bench(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def _inject(t: pa.Table) -> pa.Table:
+        b = _bench(t)
+        return pa.table({
+            "doc_id": pc.add(b.column("doc_id"),
+                             pa.scalar(2_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("intro"), b.column("text"),
+                pa.scalar("outro"), " "),
+        })
+
+    train = docs.union(docs.map_batches(_inject, batch_format="pyarrow"))
+    bench = docs.map_batches(_bench, batch_format="pyarrow")
+    return dc.decontaminate(train, bench, n=8)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1106,4 +1176,6 @@ QUERIES: Dict[str, callable] = {
     "dom_block_stats": q_dom_block_stats,
     "pdf_payloads": q_pdf_payloads,
     "pdf_status_rollup": q_pdf_status_rollup,
+    "doc_boilerplate": q_doc_boilerplate,
+    "doc_decontaminate": q_doc_decontaminate,
 }

@@ -1,0 +1,238 @@
+"""Corpus hygiene operators: boilerplate-line removal and benchmark
+decontamination (training-data ops beyond the reference's own surface).
+
+Both are classic web-corpus preparation steps (CCNet / RefinedWeb-style
+line dedup, GPT-3-style n-gram decontamination) expressed Ray-Data-first:
+
+* ``line_doc_freq`` / ``remove_boilerplate_lines`` — two-pass: a
+  map-side-combined groupby builds the per-group line→document-frequency
+  table; lines shared by ≥ ``min_docs`` documents of the same group
+  (hostname / source) are boilerplate and get stripped from every
+  document, preserving the original line order.
+* ``bench_ngram_set`` / ``decontaminate`` — token-n-gram overlap of the
+  training corpus against a (small) held-out benchmark set: the
+  benchmark's distinct n-grams are broadcast ONCE via ``ray.put`` and
+  every training document is scanned with vectorized ``searchsorted``
+  membership — no shuffle of the big side at all.
+
+Exact integer outputs throughout so DuckDB oracles reproduce them
+bit-for-bit (see ``__ray_entry__.oracle_sql``: ``doc_boilerplate``,
+``doc_decontaminate``).
+
+Scale notes (100 TB): the broadcast sides are small *by construction* —
+boilerplate is repeated content (distinct frequent lines grow
+sublinearly; cap with a document-frequency threshold or top-M), and a
+benchmark/eval set is fixed-size. The big side streams through
+``map_batches`` with zero all-to-all exchange after the frequency
+groupby, whose input is already per-batch-combined (one row per distinct
+(group, line) per batch, never per line instance).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# joins group and line into one flat shuffle/broadcast key; \x00 cannot
+# appear in either side (Parquet strings; lines are split on \n)
+_KEY_SEP = "\x00"
+
+
+def _lines_exploded(t: pa.Table, text_col: str, group_col: str,
+                    delim: str) -> Tuple[np.ndarray, pa.Array, np.ndarray]:
+    """batch → (row_index, flat line values, group value per line)."""
+    import pyarrow.compute as pc
+
+    ls = pc.split_pattern(t.column(text_col), delim)
+    row = np.asarray(pc.list_parent_indices(ls), dtype=np.int64)
+    flat = pc.list_flatten(ls).combine_chunks()
+    grp = t.column(group_col).take(pa.array(row)).combine_chunks()
+    return row, flat, grp
+
+
+def line_doc_freq(docs_ds, group_col: str = "source",
+                  text_col: str = "text", delim: str = "\n"):
+    """(group, line) → number of DISTINCT documents containing the line.
+
+    Per-batch combiner: each document's lines are deduped inside the
+    batch (Arrow hash-aggregate), so the groupby shuffles one row per
+    distinct (group, line) per batch — O(vocab), never O(line
+    instances). Exact because a document is a single row and never
+    spans batches.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        row, flat, grp = _lines_exploded(t, text_col, group_col, delim)
+        tbl = pa.table({
+            "gl": _join_keys(grp, flat),
+            "d": pa.array(row, pa.int64()),
+        })
+        dist = tbl.group_by(["gl", "d"]).aggregate([])
+        part = dist.select(["gl"]).group_by(["gl"]).aggregate(
+            [([], "count_all")])
+        return part.rename_columns(["gl", "n_docs"])
+
+    return docs_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("gl").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+def _join_keys(grp: pa.Array, lines: pa.Array) -> pa.Array:
+    """Arrow-side concat — numpy string ops silently drop a trailing
+    NUL (fixed-width-unicode padding semantics), so the key is built
+    with a pyarrow kernel and only ever crosses to numpy as Python
+    ``str`` objects (``to_numpy(zero_copy_only=False)``)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(grp, lines, _KEY_SEP)
+
+
+def remove_boilerplate_lines(docs_ds, min_docs: int = 3,
+                             group_col: str = "source",
+                             text_col: str = "text", delim: str = "\n"):
+    """Strip lines appearing in ≥ min_docs documents of the same group.
+
+    → (doc_id, text_clean, n_lines, n_boiler); text_clean keeps the
+    surviving lines in their original order, re-joined with ``delim``.
+
+    The frequent-line table (the output of :func:`line_doc_freq`
+    filtered to ≥ min_docs) is the SMALL side by definition — repeated
+    content — and is broadcast once via ``ray.put`` as a sorted key
+    array; membership inside each batch is a vectorized searchsorted.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    freq = line_doc_freq(docs_ds, group_col, text_col, delim)
+
+    def _frequent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_docs"),
+                                         pa.scalar(min_docs)))
+
+    boiler = freq.map_batches(_frequent, batch_format="pyarrow").to_pandas()
+    # a fully-filtered Dataset surfaces as a 0-column frame
+    vals = (boiler["gl"].to_numpy() if "gl" in boiler.columns
+            else np.empty(0, dtype=object))
+    keys_sorted = np.sort(vals.astype(object))
+    ref = ray.put(keys_sorted)
+
+    def _strip(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        n_rows = t.num_rows
+        row, flat, grp = _lines_exploded(t, text_col, group_col, delim)
+        key = _join_keys(grp, flat).to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx = np.clip(np.searchsorted(keys, key), 0, len(keys) - 1)
+            boil = keys[idx] == key
+        else:
+            boil = np.zeros(len(key), dtype=bool)
+        keep = ~boil
+        n_lines = np.bincount(row, minlength=n_rows).astype(np.int64)
+        n_boiler = np.bincount(row[boil], minlength=n_rows).astype(np.int64)
+        kept_counts = np.bincount(row[keep], minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep)))
+        clean = pc.binary_join(kept_list, delim)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text_clean": clean,
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_boiler": pa.array(n_boiler, pa.int64()),
+        })
+
+    return docs_ds.map_batches(_strip, batch_format="pyarrow")
+
+
+# ---- benchmark decontamination -------------------------------------------
+
+def _token_ngrams(t: pa.Table, text_col: str,
+                  n: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """batch → (start row index per n-gram, n-gram strings, n_rows).
+
+    Tokens are whitespace runs (empty tokens filtered); an n-gram is n
+    consecutive tokens of ONE document joined by a single space — the
+    exact string the SQL oracle rebuilds with list slicing, so
+    membership compares identically on both sides.
+    """
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    valid = pc.not_equal(flat, "")
+    vmask = np.asarray(valid.combine_chunks()
+                       if hasattr(valid, "combine_chunks") else valid)
+    row = row[vmask]
+    words = flat.filter(valid).to_numpy(zero_copy_only=False)
+    if len(row) < n:
+        return (np.empty(0, np.int64), np.empty(0, object), t.num_rows)
+    ok = row[: len(row) - n + 1] == row[n - 1:]
+    starts = np.nonzero(ok)[0]
+    grams = words[starts].astype(object)
+    for j in range(1, n):  # n is tiny — O(n) vector ops, no row loop
+        grams = grams + " "
+        grams = grams + words[starts + j]
+    return row[starts], grams, t.num_rows
+
+
+def bench_ngram_set(bench_ds, n: int = 8,
+                    text_col: str = "text") -> np.ndarray:
+    """Distinct token-n-grams of the benchmark set, sorted for
+    searchsorted membership.
+
+    The benchmark is the small side by definition (a fixed eval set),
+    so per-batch distinct + a driver-side unique over the per-batch
+    partials is the broadcast-build step, same shape as
+    ``textstats.corpus_freq_score``'s vocab pass. At 100 TB of
+    *benchmarks* (not a real case) the same per-batch combiner feeds a
+    groupby instead.
+    """
+    def _partial(t: pa.Table) -> pa.Table:
+        _, grams, _ = _token_ngrams(t, text_col, n)
+        return pa.table({"g": pa.array(np.unique(grams), pa.string())})
+
+    parts = bench_ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    vals = (parts["g"].to_numpy() if "g" in parts.columns
+            else np.empty(0, dtype=object))
+    return np.unique(vals.astype(object))
+
+
+def decontaminate(train_ds, bench_ds, n: int = 8, text_col: str = "text"):
+    """Flag training documents sharing any token-n-gram with the
+    benchmark set (GPT-3 appendix-C-style n-gram decontamination).
+
+    → (doc_id, n_grams, n_contaminated, contaminated) where
+    n_contaminated counts n-gram POSITIONS (a repeated contaminated
+    gram counts each time) and contaminated is 0/1. The benchmark gram
+    set is broadcast once (``ray.put``); the training side streams —
+    no shuffle, no join.
+    """
+    import ray
+
+    ref = ray.put(bench_ngram_set(bench_ds, n, text_col))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        grams_sorted = ray.get(ref)
+        rows, grams, n_rows = _token_ngrams(t, text_col, n)
+        if len(grams_sorted) and len(grams):
+            idx = np.clip(np.searchsorted(grams_sorted, grams),
+                          0, len(grams_sorted) - 1)
+            hit = grams_sorted[idx] == grams
+        else:
+            hit = np.zeros(len(grams), dtype=bool)
+        n_grams = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        n_cont = np.bincount(rows[hit], minlength=n_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_contaminated": pa.array(n_cont, pa.int64()),
+            "contaminated": pa.array((n_cont > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return train_ds.map_batches(_flag, batch_format="pyarrow")
