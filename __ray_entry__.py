@@ -869,6 +869,42 @@ SELECT tt.doc_id,
   CAST(coalesce(h.c, 0) > 0 AS BIGINT) AS contaminated
 FROM tt LEFT JOIN hit h USING (doc_id)
 """,
+        "dedup_spans": r"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'uniq' || doc_id || ' ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM tr
+),
+pos AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+  FROM tt, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM pos GROUP BY g),
+dup AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN nd USING (g) WHERE nd.ndocs >= 2
+),
+runs AS (
+  SELECT doc_id, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) = i - 1
+         THEN 0 ELSE 1 END AS is_new
+  FROM dup
+),
+agg AS (
+  SELECT doc_id, count(*) AS ndw, sum(is_new) AS nds
+  FROM runs GROUP BY doc_id
+)
+SELECT tt.doc_id,
+  CAST(greatest(len(tt.t) - 7, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(a.ndw, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(a.nds, 0) AS BIGINT) AS n_dup_spans
+FROM tt LEFT JOIN agg a USING (doc_id)
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

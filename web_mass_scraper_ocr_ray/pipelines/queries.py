@@ -1122,6 +1122,38 @@ def q_doc_decontaminate(sf_dir: str):
     return dc.decontaminate(train, bench, n=8)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicated-span stats (token-8-window, Lee-et-al-style
+    substring dedup): corpus = documents ∪ prefixed copies (id + 3e6,
+    'uniq<id> ' prepended) of every 5th doc, so those pairs share every
+    window of the original text while the prefix windows stay unique."""
+    import ray.data as rd
+
+    from ..stages import spandedup as sp
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _splice(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        b = t.filter(pa.array(ids % 5 == 0))
+        pref = pc.binary_join_element_wise(
+            pa.scalar("uniq"), pc.cast(b.column("doc_id"), pa.string()),
+            pa.scalar(" "), "")
+        return pa.table({
+            "doc_id": pc.add(b.column("doc_id"),
+                             pa.scalar(3_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pref, b.column("text"), ""),
+        })
+
+    corpus = docs.union(docs.map_batches(_splice, batch_format="pyarrow"))
+    return sp.window_dup_stats(corpus, w=8)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1178,4 +1210,5 @@ QUERIES: Dict[str, callable] = {
     "pdf_status_rollup": q_pdf_status_rollup,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_decontaminate": q_doc_decontaminate,
+    "dedup_spans": q_dedup_spans,
 }

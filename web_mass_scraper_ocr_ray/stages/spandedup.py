@@ -1,0 +1,232 @@
+"""Exact duplicated-span detection: token-window dedup across a corpus.
+
+The substring-level counterpart to document-level exact/near dedup (Lee
+et al. 2021, "Deduplicating Training Data Makes Language Models Better";
+the RefinedWeb pipeline's exact-substring pass): a token window (w
+consecutive whitespace tokens) occurring in two or more DISTINCT
+documents marks a duplicated span. Output is per-document span
+statistics a curation pipeline filters/strips on:
+
+    (doc_id, n_windows, n_dup_windows, n_dup_spans)
+
+where ``n_dup_spans`` counts maximal runs of consecutive duplicated
+window positions (one shared passage = one span, however long).
+
+Distributed shape — no driver-side state, no broadcast of anything
+unbounded:
+
+1. explode: one (window-hash, doc_id, position) row per window —
+   vectorized n-gram build + ``functions.hashing.fnv64_bulk``.
+2. duplicated hashes: per-batch DISTINCT (hash, doc) combiner →
+   groupby(hash) count → keep count ≥ 2. Shuffles hashes, never text.
+3. membership: positions ⋈ duplicated hashes via the house
+   coarse-bucket co-partition (one groupby on ``hash & mask``; the
+   dup-hash side is re-derived from step 1's lineage, not collected).
+4. per-doc rollup: duplicated positions ∪ per-doc window totals,
+   co-partitioned by ``doc_id & mask``, vectorized run detection per
+   bucket (factorize + bincount — no per-doc Python).
+
+Hash note: windows are compared by 64-bit fnv64+fmix64 hash, not by
+string — a cross-doc collision would over-count one window pair per
+~2⁶⁴ window pairs; the DuckDB oracle (string equality) agrees at any
+testable scale and the bias is negligible at any real one.
+
+No reference analog (the reference dedups whole pages only,
+``scraper.py`` URL-level skip); this is a training-data op from the
+build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv64_bulk
+from .decontam import _token_ngrams
+
+N_COARSE = 64  # power of two; raise with corpus size
+
+
+def _with_coarse(col: str, n_coarse: int):
+    def _f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # int64 & small-mask is sign-safe (two's complement low bits)
+        c = pc.cast(
+            pc.bit_wise_and(t.column(col),
+                            pa.scalar(n_coarse - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("coarse", c)
+
+    return _f
+
+
+def window_positions(docs_ds, w: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """docs → one (gh, doc_id, pos) row per token window (0-based
+    position within the document's window sequence)."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        rows, grams, _ = _token_ngrams(t, text_col, w)
+        gh = fnv64_bulk(list(grams))
+        if len(rows):
+            change = np.r_[True, rows[1:] != rows[:-1]]
+            start_idx = np.flatnonzero(change)
+            counts = np.diff(np.r_[start_idx, len(rows)])
+            pos = np.arange(len(rows)) - np.repeat(start_idx, counts)
+        else:
+            pos = np.empty(0, np.int64)
+        doc = t.column(id_col).take(pa.array(rows))
+        return pa.table({
+            # int64 bit view: Ray's pandas stages round-trip uint64 >
+            # 2^63 through Python ints and overflow on re-conversion
+            "gh": pa.array(gh.view(np.int64), pa.int64()),
+            "doc_id": doc,
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    return docs_ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def duplicated_window_hashes(positions_ds):
+    """window hashes present in ≥ 2 distinct documents.
+
+    Per-batch DISTINCT (gh, doc) combiner (a document never spans
+    batches, so per-batch doc-distinct partials sum exactly), then a
+    hash-only groupby — O(windows) int64 rows shuffle, no text."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: F401  (house import shape)
+
+        dist = t.select(["gh", "doc_id"]).group_by(
+            ["gh", "doc_id"]).aggregate([])
+        part = dist.select(["gh"]).group_by(["gh"]).aggregate(
+            [([], "count_all")])
+        return part.rename_columns(["gh", "nd"])
+
+    counts = positions_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("gh").aggregate(Sum("nd", alias_name="nd"))
+
+    def _dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.greater_equal(t.column("nd"), pa.scalar(2))
+        ).select(["gh"])
+
+    return counts.map_batches(_dups, batch_format="pyarrow")
+
+
+def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text", n_coarse: int = N_COARSE):
+    """Per-document duplicated-span statistics (module docstring).
+
+    Every input document appears in the output (docs shorter than w
+    tokens get n_windows = 0)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    positions = window_positions(docs_ds, w, id_col, text_col)
+    dup_hashes = duplicated_window_hashes(positions)
+
+    # --- membership: positions whose hash is duplicated ------------------
+    def _pos_rows(t: pa.Table) -> pa.Table:
+        return t.append_column("kind", pa.array(
+            np.zeros(t.num_rows, np.int8)))
+
+    def _dup_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "gh": t.column("gh"),
+            "doc_id": pa.nulls(n, pa.int64()),
+            "pos": pa.nulls(n, pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8)),
+        })
+
+    sides = positions.map_batches(
+        _pos_rows, batch_format="pyarrow"
+    ).union(
+        dup_hashes.map_batches(_dup_rows, batch_format="pyarrow")
+    ).map_batches(_with_coarse("gh", n_coarse), batch_format="pyarrow")
+
+    _empty_pos = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "pos": pd.Series([], dtype="int64"),
+    })
+
+    def _member(df):
+        dup = df.loc[df["kind"] == 1, "gh"].to_numpy()
+        p = df[df["kind"] == 0]
+        if len(dup) == 0 or len(p) == 0:
+            return _empty_pos
+        hit = np.isin(p["gh"].to_numpy(), dup)
+        out = p.loc[hit, ["doc_id", "pos"]].copy()
+        return out.astype({"doc_id": "int64", "pos": "int64"})
+
+    dup_positions = sides.groupby("coarse").map_groups(
+        _member, batch_format="pandas")
+
+    # --- per-doc rollup ---------------------------------------------------
+    def _totals(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.count_substring_regex(t.column(text_col), r"\S+"),
+            pa.int64())
+        nwin = pc.max_element_wise(
+            pc.subtract(ntok, pa.scalar(w - 1, pa.int64())),
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "pos": nwin,  # totals ride the pos column; kind disambiguates
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    rollup_rows = dup_positions.map_batches(
+        lambda t: t.append_column(
+            "kind", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    ).union(
+        docs_ds.map_batches(_totals, batch_format="pyarrow")
+    ).map_batches(_with_coarse("doc_id", n_coarse), batch_format="pyarrow")
+
+    _empty_out = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_windows": pd.Series([], dtype="int64"),
+        "n_dup_windows": pd.Series([], dtype="int64"),
+        "n_dup_spans": pd.Series([], dtype="int64"),
+    })
+
+    def _agg(df):
+        tot = df[df["kind"] == 1]
+        if len(tot) == 0:
+            return _empty_out
+        dp = df[df["kind"] == 0].sort_values(["doc_id", "pos"],
+                                             kind="stable")
+        d = dp["doc_id"].to_numpy(dtype=np.int64)
+        p = dp["pos"].to_numpy(dtype=np.int64)
+        if len(d):
+            new_run = np.r_[True,
+                            (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)]
+            codes, uniq = pd.factorize(d)
+            ndw = np.bincount(codes).astype(np.int64)
+            nds = np.bincount(codes,
+                              weights=new_run).astype(np.int64)
+            ndw_s = pd.Series(ndw, index=uniq)
+            nds_s = pd.Series(nds, index=uniq)
+        else:
+            ndw_s = pd.Series(np.empty(0, np.int64), dtype="int64")
+            nds_s = pd.Series(np.empty(0, np.int64), dtype="int64")
+        ids = tot["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_windows": tot["pos"].to_numpy(dtype=np.int64),
+            "n_dup_windows": ndw_s.reindex(ids, fill_value=0)
+                                  .to_numpy(dtype=np.int64),
+            "n_dup_spans": nds_s.reindex(ids, fill_value=0)
+                                .to_numpy(dtype=np.int64),
+        })
+
+    return rollup_rows.groupby("coarse").map_groups(
+        _agg, batch_format="pandas")
