@@ -17,14 +17,17 @@ unbounded:
 
 1. explode: one (window-hash, doc_id, position) row per window —
    vectorized n-gram build + ``functions.hashing.fnv64_bulk``.
-2. duplicated hashes: per-batch DISTINCT (hash, doc) combiner →
-   groupby(hash) count → keep count ≥ 2. Shuffles hashes, never text.
-3. membership: positions ⋈ duplicated hashes via the house
-   coarse-bucket co-partition (one groupby on ``hash & mask``; the
-   dup-hash side is re-derived from step 1's lineage, not collected).
-4. per-doc rollup: duplicated positions ∪ per-doc window totals,
+2. fused dedup + membership: ONE coarse-bucket shuffle on
+   ``hash & mask``; every row of a hash lands in the same bucket, so
+   the per-hash distinct-doc count computed inside the bucket is
+   globally exact and duplicated positions are emitted in place —
+   no separate groupby(hash) exchange. Shuffles hashes, never text.
+3. per-doc rollup: duplicated positions ∪ per-doc window totals,
    co-partitioned by ``doc_id & mask``, vectorized run detection per
    bucket (factorize + bincount — no per-doc Python).
+
+(:func:`duplicated_window_hashes` exposes the standalone corpus-wide
+duplicated-hash table for callers that want the global artifact.)
 
 Hash note: windows are compared by 64-bit fnv64+fmix64 hash, not by
 string — a cross-doc collision would over-count one window pair per
@@ -130,27 +133,14 @@ def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     positions = window_positions(docs_ds, w, id_col, text_col)
-    dup_hashes = duplicated_window_hashes(positions)
 
-    # --- membership: positions whose hash is duplicated ------------------
-    def _pos_rows(t: pa.Table) -> pa.Table:
-        return t.append_column("kind", pa.array(
-            np.zeros(t.num_rows, np.int8)))
-
-    def _dup_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "gh": t.column("gh"),
-            "doc_id": pa.nulls(n, pa.int64()),
-            "pos": pa.nulls(n, pa.int64()),
-            "kind": pa.array(np.ones(n, np.int8)),
-        })
-
+    # --- fused dedup + membership: ONE shuffle of position rows ----------
+    # All rows of a given hash land in the same coarse bucket, so the
+    # per-hash distinct-doc count computed inside the bucket is globally
+    # exact — no separate groupby(gh) exchange, no union. Bucket memory
+    # is O(corpus windows / n_coarse); raise n_coarse with the corpus.
     sides = positions.map_batches(
-        _pos_rows, batch_format="pyarrow"
-    ).union(
-        dup_hashes.map_batches(_dup_rows, batch_format="pyarrow")
-    ).map_batches(_with_coarse("gh", n_coarse), batch_format="pyarrow")
+        _with_coarse("gh", n_coarse), batch_format="pyarrow")
 
     _empty_pos = pd.DataFrame({
         "doc_id": pd.Series([], dtype="int64"),
@@ -158,12 +148,15 @@ def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
     })
 
     def _member(df):
-        dup = df.loc[df["kind"] == 1, "gh"].to_numpy()
-        p = df[df["kind"] == 0]
-        if len(dup) == 0 or len(p) == 0:
+        if len(df) == 0:
             return _empty_pos
-        hit = np.isin(p["gh"].to_numpy(), dup)
-        out = p.loc[hit, ["doc_id", "pos"]].copy()
+        dd = df.drop_duplicates(["gh", "doc_id"])
+        cnt = dd.groupby("gh", sort=False)["doc_id"].size()
+        dup = cnt.index[cnt.to_numpy() >= 2]
+        if len(dup) == 0:
+            return _empty_pos
+        hit = df["gh"].isin(dup).to_numpy()
+        out = df.loc[hit, ["doc_id", "pos"]].copy()
         return out.astype({"doc_id": "int64", "pos": "int64"})
 
     dup_positions = sides.groupby("coarse").map_groups(
