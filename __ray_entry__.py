@@ -905,6 +905,41 @@ SELECT tt.doc_id,
   CAST(coalesce(a.nds, 0) AS BIGINT) AS n_dup_spans
 FROM tt LEFT JOIN agg a USING (doc_id)
 """,
+        "dedup_incremental": r"""
+WITH newdocs AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' xqz' AS text
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    'zzfresh zznovel zz' || doc_id || 'zzq' AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+sho AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM documents, unnest(range(1, length(text) - 3)) AS u(i)
+),
+shn AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+  FROM newdocs, unnest(range(1, length(text) - 3)) AS u(i)
+),
+szo AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY doc_id),
+szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+inter AS (
+  SELECT o.doc_id AS doc_a, n.doc_id AS doc_b, count(*) AS i
+  FROM sho o JOIN shn n ON o.g = n.g
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN szo a ON a.doc_id = i.doc_a
+  JOIN szn b ON b.doc_id = i.doc_b
+  WHERE 100 * i.i >= 80 * (a.n + b.n - i.i)
+)
+SELECT n.doc_id,
+  CAST(n.doc_id IN (SELECT doc_id FROM dup) AS BIGINT) AS is_dup_of_old
+FROM newdocs n
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

@@ -140,6 +140,10 @@ def run_bench() -> dict:
         "token_search",
         "main_content",
         "dom_block_stats",
+        "doc_boilerplate",
+        "doc_decontaminate",
+        "dedup_spans",
+        "dedup_incremental",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -358,3 +358,67 @@ class TestClustering:
             and clusters.get(d) == clusters.get(d + 1_000_000)
         )
         assert hits / 500 >= 0.95
+
+
+class TestCrossCorpusDedup:
+    def _mk(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+
+    def test_within_corpus_pairs_excluded(self, ray_session):
+        """Identical docs INSIDE one corpus never pair; only
+        cross-side near-dups are emitted, normalized (old, new)."""
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            minhash_cross_corpus_pairs,
+        )
+
+        body = "the quick brown fox jumps over the lazy dog " * 4
+        old = self._mk([
+            {"doc_id": 1, "text": body},
+            {"doc_id": 2, "text": body},          # dup WITHIN old
+        ])
+        new = self._mk([
+            {"doc_id": 11, "text": body + " tail"},
+            {"doc_id": 12, "text": "zz completely different words here"
+                                   " nothing shared at all ok"},
+        ])
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in minhash_cross_corpus_pairs(
+                     old, new, threshold=0.8).take_all()}
+        assert (1, 2) not in pairs and (2, 1) not in pairs
+        assert (1, 11) in pairs and (2, 11) in pairs
+        assert all(a in (1, 2) and b in (11, 12) for a, b in pairs)
+        assert not any(b == 12 for _, b in pairs)
+
+    def test_flag_new_docs(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            flag_new_docs,
+            minhash_cross_corpus_pairs,
+        )
+
+        body = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        old = self._mk([{"doc_id": 0, "text": body}])
+        new = self._mk([
+            {"doc_id": 100, "text": body + " x"},
+            {"doc_id": 101, "text": "unrelated fresh content entirely"
+                                    " new words only here"},
+        ])
+        pairs = minhash_cross_corpus_pairs(old, new, threshold=0.8)
+        flags = {r["doc_id"]: r["is_dup_of_old"]
+                 for r in flag_new_docs(new, pairs).take_all()}
+        assert flags == {100: 1, 101: 0}
+
+    def test_incremental_query_corpus(self, ray_session):
+        """Mutated evens flagged dup, fresh odds kept — on the sf
+        corpus the oracle gate also checks."""
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_dedup_incremental,
+        )
+
+        flags = {r["doc_id"]: r["is_dup_of_old"]
+                 for r in q_dedup_incremental(SF).take_all()}
+        ev = [flags[1_000_000 + d] for d in range(0, 500, 2)]
+        od = [flags[1_000_000 + d] for d in range(1, 500, 2)]
+        assert sum(ev) / len(ev) >= 0.95
+        assert sum(od) == 0

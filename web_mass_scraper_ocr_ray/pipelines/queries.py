@@ -1154,6 +1154,45 @@ def q_dedup_spans(sf_dir: str):
     return sp.window_dup_stats(corpus, w=8)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental-crawl dedup: a 'new batch' (mutated copies of even
+    docs → near-dups; synthetic fresh texts for odd docs → unique) is
+    flagged against the existing documents corpus. Cross-corpus LSH
+    candidates → exact-Jaccard verify ≥ 0.8 → per-new-doc keep/drop
+    flags. Doc ids are disjoint (new = old + 1e6)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(_SF_TABLE_BLOCKS)
+
+    def _new(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        ev = t.filter(pa.array(ids % 2 == 0))
+        od = t.filter(pa.array(ids % 2 == 1))
+        mut = pa.table({
+            "doc_id": pc.add(ev.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                ev.column("text"), pa.scalar(" xqz"), ""),
+        })
+        fresh = pa.table({
+            "doc_id": pc.add(od.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("zzfresh zznovel zz"),
+                pc.cast(od.column("doc_id"), pa.string()),
+                pa.scalar("zzq"), ""),
+        })
+        return pa.concat_tables([mut, fresh])
+
+    new_ds = docs.map_batches(_new, batch_format="pyarrow")
+    pairs = dd.minhash_cross_corpus_pairs(docs, new_ds, threshold=0.8)
+    return dd.flag_new_docs(new_ds, pairs)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1211,4 +1250,5 @@ QUERIES: Dict[str, callable] = {
     "doc_boilerplate": q_doc_boilerplate,
     "doc_decontaminate": q_doc_decontaminate,
     "dedup_spans": q_dedup_spans,
+    "dedup_incremental": q_dedup_incremental,
 }

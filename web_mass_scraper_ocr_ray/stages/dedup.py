@@ -173,20 +173,26 @@ def _simhash_batch(t: pa.Table, seed: int = 11) -> pa.Table:
     return h(t)
 
 
-def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
+def explode_bands(batch: pa.Table, n_bands: int = 16,
+                  carry_cols: tuple = ()) -> pa.Table:
     """(doc_id, minhash) → b rows (band_id, band_hash, doc_id).
 
     One numpy op over the whole batch: the fixed-size-list minhash
     column views as an (n_docs, n_perm) matrix; band hashes are a
     single reshape+multiply+sum, and the output columns are built with
-    repeat/tile — no per-doc Python."""
+    repeat/tile — no per-doc Python. ``carry_cols`` names extra
+    per-doc columns replicated onto each band row (e.g. a corpus-side
+    tag for cross-corpus dedup)."""
     n_rows = batch.num_rows
     if n_rows == 0:
-        return pa.table({
+        cols = {
             "band_id": pa.array([], pa.int32()),
             "band_hash": pa.array([], pa.uint64()),
             "doc_id": pa.array([], pa.int64()),
-        })
+        }
+        for c in carry_cols:
+            cols[c] = batch.column(c).combine_chunks()
+        return pa.table(cols)
     ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
     col = batch.column("minhash").combine_chunks()
     n_perm = col.type.list_size
@@ -204,15 +210,17 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
             | np.uint64(1)
         )
         bh = (sig_matrix.reshape(n_rows, n_bands, r) * pos_mix).sum(axis=2)
-    return pa.table(
-        {
-            "band_id": pa.array(
-                np.tile(np.arange(n_bands, dtype=np.int32), n_rows)
-            ),
-            "band_hash": pa.array(bh.reshape(-1)),
-            "doc_id": pa.array(np.repeat(ids, n_bands)),
-        }
-    )
+    cols = {
+        "band_id": pa.array(
+            np.tile(np.arange(n_bands, dtype=np.int32), n_rows)
+        ),
+        "band_hash": pa.array(bh.reshape(-1)),
+        "doc_id": pa.array(np.repeat(ids, n_bands)),
+    }
+    rep = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_bands))
+    for c in carry_cols:
+        cols[c] = batch.column(c).take(rep)
+    return pa.table(cols)
 
 
 # Number of coarse buckets for pair generation. Grouping directly by
@@ -293,6 +301,146 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 8,
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands_hit")
     )
+
+
+def _cross_pairs_from_coarse_group(df) -> pa.Table:
+    """Like ``_pairs_from_coarse_group`` but emits only pairs that
+    CROSS corpus sides, normalized to (doc_a = side-0/old doc,
+    doc_b = side-1/new doc)."""
+    cap = 200
+    multi, starts, lens = _bucket_runs(df, ["band_id", "band_hash"], cap)
+    a_parts, b_parts = [], []
+    if len(multi):
+        ids = multi["doc_id"].to_numpy()
+        sides = multi["side"].to_numpy()
+        for s, ln in zip(starts, lens):
+            ia, ib = np.triu_indices(ln, k=1)
+            sa, sb = sides[s:s + ln][ia], sides[s:s + ln][ib]
+            cross = sa != sb
+            ia, ib, sa = ia[cross], ib[cross], sa[cross]
+            sub = ids[s:s + ln]
+            a_parts.append(np.where(sa == 0, sub[ia], sub[ib]))
+            b_parts.append(np.where(sa == 0, sub[ib], sub[ia]))
+    a_out = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+    b_out = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                     "doc_b": pa.array(b_out, pa.int64())})
+
+
+def _tag_side(ds, side: int):
+    def _f(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "text"]).append_column(
+            "side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def minhash_cross_candidates(old_ds, new_ds, n_perm: int = 64,
+                             n_bands: int = 8, shingle_k: int = 5):
+    """Candidate near-dup pairs BETWEEN two corpora (incremental-crawl
+    dedup: a new batch of documents against the already-ingested
+    corpus). Same one-shuffle banded LSH as
+    :func:`minhash_lsh_candidates`; within-corpus collisions are
+    dropped at pair generation, so the output is (doc_a = old,
+    doc_b = new) only. ``doc_id`` must be unique ACROSS both corpora.
+
+    Scale note: the old corpus contributes band rows, not signatures
+    to every worker — there is no broadcast; re-banding the old side
+    each run can be avoided by persisting its (band_id, band_hash,
+    doc_id) table as the crawl index and unioning new bands onto it.
+    """
+    from ray.data.aggregate import Count
+
+    tagged = _tag_side(old_ds, 0).union(_tag_side(new_ds, 1))
+    sigs = tagged.map_batches(
+        _minhash_batch,
+        fn_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "minhash", "side"])
+
+    def _explode_with_coarse(t: pa.Table) -> pa.Table:
+        out = explode_bands(t, n_bands, carry_cols=("side",))
+        import pyarrow.compute as pc
+
+        coarse = pc.cast(
+            pc.bit_wise_and(out.column("band_hash"),
+                            pa.scalar(N_COARSE_BUCKETS - 1, pa.uint64())),
+            pa.int32(),
+        )
+        return out.append_column("coarse", coarse)
+
+    bands = sigs.map_batches(_explode_with_coarse, batch_format="pyarrow")
+    pairs = bands.groupby("coarse").map_groups(
+        _cross_pairs_from_coarse_group, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands_hit")
+    )
+
+
+def minhash_cross_corpus_pairs(old_ds, new_ds, threshold: float = 0.8,
+                               n_perm: int = 64, n_bands: int = 8,
+                               shingle_k: int = 5):
+    """Cross-corpus candidates verified by exact n-gram Jaccard ≥
+    threshold → (doc_a = old doc, doc_b = new doc, jaccard_pct).
+    Verification co-partitions pair ids and texts by doc_id — same
+    distributed shape as :func:`minhash_dedup_pairs`."""
+    pct = int(round(threshold * 100))
+    cands = minhash_cross_candidates(old_ds, new_ds, n_perm, n_bands,
+                                     shingle_k)
+    texts = old_ds.select_columns(["doc_id", "text"]).union(
+        new_ds.select_columns(["doc_id", "text"]))
+    return _verify_pairs_copartition(cands, texts, pct, shingle_k)
+
+
+def flag_new_docs(new_ds, cross_pairs, n_coarse: int = 64):
+    """(doc_id, is_dup_of_old) for every new-corpus document — the
+    keep/drop decision of incremental dedup, id-only co-partition (no
+    text moves): new ids ∪ verified pair doc_b ids, one coarse
+    groupby, vectorized membership per bucket."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def _dups(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_b"),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    def _coarse(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.bit_wise_and(t.column("doc_id"),
+                            pa.scalar(n_coarse - 1, pa.int64())),
+            pa.int32())
+        return t.append_column("coarse", c)
+
+    rows = new_ds.map_batches(_ids, batch_format="pyarrow").union(
+        cross_pairs.map_batches(_dups, batch_format="pyarrow")
+    ).map_batches(_coarse, batch_format="pyarrow")
+
+    _empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "is_dup_of_old": pd.Series([], dtype="int64"),
+    })
+
+    def _flag(df):
+        base = df[df["kind"] == 0]
+        if len(base) == 0:
+            return _empty
+        dup = df.loc[df["kind"] == 1, "doc_id"].unique()
+        return pd.DataFrame({
+            "doc_id": base["doc_id"].to_numpy(dtype=np.int64),
+            "is_dup_of_old": base["doc_id"].isin(dup)
+                                 .to_numpy().astype(np.int64),
+        })
+
+    return rows.groupby("coarse").map_groups(_flag, batch_format="pandas")
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
