@@ -16,7 +16,8 @@ Distributed shape — no driver-side state, no broadcast of anything
 unbounded:
 
 1. explode: one (window-hash, doc_id, position) row per window —
-   vectorized n-gram build + ``functions.hashing.fnv64_bulk``.
+   per-token fnv64 over the batch's UNIQUE tokens (factorize) combined
+   with position-mixed multipliers; no gram strings are materialized.
 2. fused dedup + membership: ONE coarse-bucket shuffle on
    ``hash & mask``; every row of a hash lands in the same bucket, so
    the per-hash distinct-doc count computed inside the bucket is
@@ -45,9 +46,52 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import fnv64_bulk
-from .decontam import _token_ngrams
 
 N_COARSE = 64  # power of two; raise with corpus size
+
+# distinct odd multipliers per window position (golden-ratio stepped) —
+# position-sensitive combine, same rationale as the LSH band hash
+_POS_MIX_SEED = 0x9E3779B97F4A7C15
+
+
+def _window_hash_rows(t: pa.Table, text_col: str, n: int):
+    """batch → (row index per window, uint64 window hash, n_rows).
+
+    The window hash is a position-mixed combination of per-TOKEN
+    fnv64 hashes: tokens are factorized (pandas C), only the UNIQUE
+    tokens are hashed, and each window combines n token hashes with n
+    distinct odd multipliers — ~n vector ops per batch instead of
+    building O(windows) gram strings in Python object arrays. (At
+    sf0.1 the query is latency-dominated either way — per-operator
+    compute sums to ~2.5 s of a 10 s wall — but the string path's
+    allocation cost grows with corpus size and this one's does not.)
+    Two windows collide only on a 64-bit hash collision; equal token
+    sequences always match."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    valid = pc.not_equal(flat, "")
+    vmask = np.asarray(valid.combine_chunks()
+                       if hasattr(valid, "combine_chunks") else valid)
+    row = row[vmask]
+    words = flat.filter(valid).to_numpy(zero_copy_only=False)
+    if len(row) < n:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                t.num_rows)
+    codes, uniques = pd.factorize(words)
+    th = fnv64_bulk(list(uniques))[codes]
+    ok = row[: len(row) - n + 1] == row[n - 1:]
+    starts = np.nonzero(ok)[0]
+    wh = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):  # n is tiny — O(n) vector ops
+            mix = (np.uint64((j + 1) * _POS_MIX_SEED % 2**64)
+                   | np.uint64(1))
+            wh += th[starts + j] * mix
+    return row[starts], wh, t.num_rows
 
 
 def _with_coarse(col: str, n_coarse: int):
@@ -71,8 +115,7 @@ def window_positions(docs_ds, w: int = 8, id_col: str = "doc_id",
     position within the document's window sequence)."""
 
     def _explode(t: pa.Table) -> pa.Table:
-        rows, grams, _ = _token_ngrams(t, text_col, w)
-        gh = fnv64_bulk(list(grams))
+        rows, gh, _ = _window_hash_rows(t, text_col, w)
         if len(rows):
             change = np.r_[True, rows[1:] != rows[:-1]]
             start_idx = np.flatnonzero(change)
