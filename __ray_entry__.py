@@ -502,9 +502,9 @@ GROUP BY e.event_id, e.user_id
 """,
         "events_cumulative": """
 SELECT event_id, user_id,
-  sum(CAST(round(value * 100) AS BIGINT))
+  CAST(sum(CAST(round(value * 100) AS BIGINT))
     OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS UNBOUNDED PRECEDING) AS running_value_centi,
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_centi,
   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
        AS BIGINT) AS seq
 FROM events
@@ -939,6 +939,32 @@ dup AS (
 SELECT n.doc_id,
   CAST(n.doc_id IN (SELECT doc_id FROM dup) AS BIGINT) AS is_dup_of_old
 FROM newdocs n
+""",
+        "doc_tfidf": r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (100000 * t.tf) // d.df AS score
+  FROM tf t JOIN df d USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, term,
+  CAST(tf AS BIGINT) AS tf,
+  CAST(df AS BIGINT) AS df,
+  CAST(score AS BIGINT) AS score,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
 """,
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding

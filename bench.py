@@ -144,6 +144,7 @@ def run_bench() -> dict:
         "doc_decontaminate",
         "dedup_spans",
         "dedup_incremental",
+        "doc_tfidf",
     )
     for name in query_names:
         t0 = time.monotonic()

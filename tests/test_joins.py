@@ -333,3 +333,37 @@ def test_range_count_matches_bruteforce(ray_session, lefts, rights, wmin):
         expect = sum(1 for ru, rt in rights
                      if ru == u and t_us - w_us < rt * 6_000_000 <= t_us)
         assert out.loc[i, "n_in_window"] == expect, (i, u, t, w_us)
+
+
+class TestTfidfTopk:
+    def test_scores_ranks_and_tiebreak(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import tfidf_topk
+
+        ds = _ds({
+            "doc_id": [0, 1, 2],
+            "text": ["apple apple rare", "apple common",
+                     "common common zz"],
+        })
+        rows = sorted(
+            tfidf_topk(ds, k=2).take_all(),
+            key=lambda r: (r["doc_id"], r["rank"]),
+        )
+        d0 = [r for r in rows if r["doc_id"] == 0]
+        # df: apple=2, rare=1, common=2, zz=1
+        # doc 0: apple 100000*2//2 = 100000, rare 100000*1//1 = 100000
+        # → score tie, term asc ⇒ apple rank 1
+        assert [(r["term"], r["score"], r["rank"]) for r in d0] == [
+            ("apple", 100000, 1), ("rare", 100000, 2)]
+        d2 = [r for r in rows if r["doc_id"] == 2]
+        # doc 2: zz (1/1 → 100000) outranks common (2/2 → 100000)?
+        # both 100000 → term asc: common before zz
+        assert [r["term"] for r in d2] == ["common", "zz"]
+
+    def test_k_truncates(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import tfidf_topk
+
+        ds = _ds({"doc_id": [7], "text": ["a b c d e f"]})
+        rows = tfidf_topk(ds, k=3).take_all()
+        assert len(rows) == 3
+        assert [r["rank"] for r in
+                sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]

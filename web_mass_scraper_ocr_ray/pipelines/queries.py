@@ -1193,6 +1193,12 @@ def q_dedup_incremental(sf_dir: str):
     return dd.flag_new_docs(new_ds, pairs)
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms (integer score, deterministic
+    tie-break) — keyword extraction over the documents corpus."""
+    return ts.tfidf_topk(_docs(sf_dir), k=5)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -1251,4 +1257,5 @@ QUERIES: Dict[str, callable] = {
     "doc_decontaminate": q_doc_decontaminate,
     "dedup_spans": q_dedup_spans,
     "dedup_incremental": q_dedup_incremental,
+    "doc_tfidf": q_doc_tfidf,
 }

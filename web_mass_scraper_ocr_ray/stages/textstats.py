@@ -429,3 +429,87 @@ def corpus_freq_score(docs_ds, text_col: str = "text"):
         })
 
     return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
+def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text"):
+    """Per-document top-k terms by an integer TF-IDF surrogate —
+    keyword extraction over the corpus.
+
+    score = (100000 * tf) // df: monotone in tf × 1/df (the corpus
+    size N is constant per run, so the classic tf·log(N/df) ranking
+    reduces to a df-rarity weighting; integer so the DuckDB oracle is
+    bit-exact). Ties break by term ascending — deterministic ranks.
+
+    Same two-pass broadcast shape as :func:`corpus_freq_score`:
+    pass 1 builds the (term, document-frequency) table with a
+    per-batch DISTINCT (term, doc) combiner; pass 2 broadcasts it
+    once via ``ray.put`` and ranks per document with pandas C
+    group-sorts — no per-doc Python. Output: (doc_id, term, tf, df,
+    score, rank), rank 1..k."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        valid = pc.not_equal(flat, "")
+        vmask = np.asarray(valid.combine_chunks()
+                           if hasattr(valid, "combine_chunks") else valid)
+        tbl = pa.table({
+            "word": flat.filter(valid),
+            "r": pa.array(row[vmask], pa.int64()),
+        })
+        dist = tbl.group_by(["word", "r"]).aggregate([])
+        part = dist.select(["word"]).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return part.rename_columns(["word", "df"])
+
+    vocab = docs_ds.map_batches(
+        _df_partial, batch_format="pyarrow"
+    ).groupby("word").aggregate(Sum("df", alias_name="df")).to_pandas()
+    order = np.argsort(vocab["word"].to_numpy())
+    ref = ray.put((vocab["word"].to_numpy()[order],
+                   vocab["df"].to_numpy()[order].astype(np.int64)))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws, dfs = ray.get(ref)
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        valid = pc.not_equal(flat, "")
+        vmask = np.asarray(valid.combine_chunks()
+                           if hasattr(valid, "combine_chunks") else valid)
+        row = row[vmask]
+        words = flat.filter(valid).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({"r": row, "term": words})
+        tf = pdf.groupby(["r", "term"], sort=False).size() \
+                .reset_index(name="tf")
+        idx = np.clip(np.searchsorted(ws, tf["term"].to_numpy()),
+                      0, max(len(ws) - 1, 0))
+        dfv = np.where(ws[idx] == tf["term"].to_numpy(), dfs[idx], 1) \
+            if len(ws) else np.ones(len(tf), np.int64)
+        tf["df"] = dfv.astype(np.int64)
+        tf["score"] = (100000 * tf["tf"].to_numpy(dtype=np.int64)) \
+            // tf["df"].to_numpy()
+        tf = tf.sort_values(["r", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        top = tf.groupby("r", sort=False).head(k).copy()
+        top["rank"] = top.groupby("r", sort=False).cumcount() + 1
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        return pa.table({
+            "doc_id": pa.array(ids[top["r"].to_numpy()], pa.int64()),
+            "term": pa.array(top["term"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(dtype=np.int64)),
+            "df": pa.array(top["df"].to_numpy(dtype=np.int64)),
+            "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
+            "rank": pa.array(top["rank"].to_numpy(dtype=np.int64)),
+        })
+
+    return docs_ds.map_batches(_rank, batch_format="pyarrow")
