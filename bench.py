@@ -145,6 +145,7 @@ def run_bench() -> dict:
         "dedup_spans",
         "dedup_incremental",
         "doc_tfidf",
+        "dedup_spans_strip",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -84,3 +84,47 @@ class TestDuplicatedWindowHashes:
         ]), w=3)
         dups = duplicated_window_hashes(pos).take_all()
         assert len(dups) == 1
+
+
+class TestStripDupSpans:
+    def test_shared_passage_removed_both_sides(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.spandedup import (
+            strip_dup_spans,
+        )
+
+        # shared "a b c d" (w=3 → windows abc,bcd dup → tokens a..d
+        # covered in both docs); unique tails survive
+        out = {r["doc_id"]: r for r in strip_dup_spans(_ds([
+            {"doc_id": 0, "text": "a b c d x y z"},
+            {"doc_id": 1, "text": "p q a b c d"},
+        ]), w=3).take_all()}
+        assert out[0]["text_clean"] == "x y z"
+        assert (out[0]["n_tokens"], out[0]["n_tokens_removed"]) == (7, 4)
+        assert out[1]["text_clean"] == "p q"
+        assert out[1]["n_tokens_removed"] == 4
+
+    def test_no_dups_identity_modulo_whitespace(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.spandedup import (
+            strip_dup_spans,
+        )
+
+        out = {r["doc_id"]: r for r in strip_dup_spans(_ds([
+            {"doc_id": 0, "text": "  u  v   w x  "},
+            {"doc_id": 1, "text": "m n o p"},
+        ]), w=3).take_all()}
+        # survivors re-joined with single spaces (normalized)
+        assert out[0]["text_clean"] == "u v w x"
+        assert out[0]["n_tokens_removed"] == 0
+        assert out[1]["text_clean"] == "m n o p"
+
+    def test_fully_duplicated_doc_empties(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.spandedup import (
+            strip_dup_spans,
+        )
+
+        rows = strip_dup_spans(_ds([
+            {"doc_id": 0, "text": "same five tokens here ok"},
+            {"doc_id": 1, "text": "same five tokens here ok"},
+        ]), w=3).take_all()
+        assert all(r["text_clean"] == "" and r["n_tokens_removed"] == 5
+                   for r in rows)

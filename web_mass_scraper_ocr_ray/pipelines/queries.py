@@ -1122,14 +1122,12 @@ def q_doc_decontaminate(sf_dir: str):
     return dc.decontaminate(train, bench, n=8)
 
 
-def q_dedup_spans(sf_dir: str):
-    """Exact duplicated-span stats (token-8-window, Lee-et-al-style
-    substring dedup): corpus = documents ∪ prefixed copies (id + 3e6,
-    'uniq<id> ' prepended) of every 5th doc, so those pairs share every
-    window of the original text while the prefix windows stay unique."""
+def _docs_with_spliced(sf_dir: str):
+    """documents ∪ prefixed copies (id + 3e6, 'uniq<id> ' prepended) of
+    every 5th doc: those pairs share every window of the original text
+    while the prefix windows stay unique. Mirrored in the
+    `dedup_spans` / `dedup_spans_strip` oracle CTEs."""
     import ray.data as rd
-
-    from ..stages import spandedup as sp
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1150,8 +1148,24 @@ def q_dedup_spans(sf_dir: str):
                 pref, b.column("text"), ""),
         })
 
-    corpus = docs.union(docs.map_batches(_splice, batch_format="pyarrow"))
-    return sp.window_dup_stats(corpus, w=8)
+    return docs.union(docs.map_batches(_splice, batch_format="pyarrow"))
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicated-span stats (token-8-window, Lee-et-al-style
+    substring dedup) over the spliced corpus."""
+    from ..stages import spandedup as sp
+
+    return sp.window_dup_stats(_docs_with_spliced(sf_dir), w=8)
+
+
+def q_dedup_spans_strip(sf_dir: str):
+    """Duplicated-span REMOVAL over the spliced corpus: every token
+    covered by a cross-document duplicated 8-window is stripped
+    (symmetric policy), survivors re-joined with single spaces."""
+    from ..stages import spandedup as sp
+
+    return sp.strip_dup_spans(_docs_with_spliced(sf_dir), w=8)
 
 
 def q_dedup_incremental(sf_dir: str):
@@ -1258,4 +1272,5 @@ QUERIES: Dict[str, callable] = {
     "dedup_spans": q_dedup_spans,
     "dedup_incremental": q_dedup_incremental,
     "doc_tfidf": q_doc_tfidf,
+    "dedup_spans_strip": q_dedup_spans_strip,
 }

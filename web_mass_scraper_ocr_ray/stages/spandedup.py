@@ -166,22 +166,19 @@ def duplicated_window_hashes(positions_ds):
     return counts.map_batches(_dups, batch_format="pyarrow")
 
 
-def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
-                     text_col: str = "text", n_coarse: int = N_COARSE):
-    """Per-document duplicated-span statistics (module docstring).
-
-    Every input document appears in the output (docs shorter than w
-    tokens get n_windows = 0)."""
+def duplicated_positions(docs_ds, w: int = 8, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n_coarse: int = N_COARSE):
+    """(doc_id, pos) for every window whose hash occurs in ≥ 2 distinct
+    documents — fused dedup + membership in ONE shuffle of position
+    rows. All rows of a given hash land in the same coarse bucket, so
+    the per-hash distinct-doc count computed inside the bucket is
+    globally exact — no separate groupby(gh) exchange, no union.
+    Bucket memory is O(corpus windows / n_coarse); raise n_coarse with
+    the corpus."""
     import pandas as pd
-    import pyarrow.compute as pc
 
     positions = window_positions(docs_ds, w, id_col, text_col)
-
-    # --- fused dedup + membership: ONE shuffle of position rows ----------
-    # All rows of a given hash land in the same coarse bucket, so the
-    # per-hash distinct-doc count computed inside the bucket is globally
-    # exact — no separate groupby(gh) exchange, no union. Bucket memory
-    # is O(corpus windows / n_coarse); raise n_coarse with the corpus.
     sides = positions.map_batches(
         _with_coarse("gh", n_coarse), batch_format="pyarrow")
 
@@ -202,8 +199,21 @@ def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
         out = df.loc[hit, ["doc_id", "pos"]].copy()
         return out.astype({"doc_id": "int64", "pos": "int64"})
 
-    dup_positions = sides.groupby("coarse").map_groups(
+    return sides.groupby("coarse").map_groups(
         _member, batch_format="pandas")
+
+
+def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text", n_coarse: int = N_COARSE):
+    """Per-document duplicated-span statistics (module docstring).
+
+    Every input document appears in the output (docs shorter than w
+    tokens get n_windows = 0)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    dup_positions = duplicated_positions(docs_ds, w, id_col, text_col,
+                                         n_coarse)
 
     # --- per-doc rollup ---------------------------------------------------
     def _totals(t: pa.Table) -> pa.Table:
@@ -266,3 +276,110 @@ def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
 
     return rollup_rows.groupby("coarse").map_groups(
         _agg, batch_format="pandas")
+
+
+def strip_dup_spans(docs_ds, w: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", n_coarse: int = N_COARSE):
+    """Remove cross-document duplicated spans from every document —
+    the removal action of exact substring dedup.
+
+    → (doc_id, text_clean, n_tokens, n_tokens_removed): a token is
+    removed iff it is covered by ANY duplicated window ([pos, pos+w)
+    of a window present in ≥ 2 distinct documents); survivors are
+    re-joined with single spaces in original order. Removal is
+    SYMMETRIC (both copies lose the span) — the conservative policy
+    when no canonical copy exists; a keep-one policy needs a global
+    tie-break (e.g. drop positions only where doc_id != min doc of
+    the window's group) and composes on top of
+    :func:`duplicated_positions`.
+
+    Shape: duplicated positions (one fused shuffle, see
+    :func:`duplicated_positions`) ∪ document texts, co-partitioned by
+    ``doc_id & mask`` — texts move ONCE; coverage/kept masks are
+    packed-key numpy set ops per bucket."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    dup_positions = duplicated_positions(docs_ds, w, id_col, text_col,
+                                         n_coarse)
+
+    def _pos_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pos": t.column("pos"),
+            "text": pa.nulls(t.num_rows, pa.large_string()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def _text_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "pos": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column(text_col).cast(pa.large_string()),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    rows = dup_positions.map_batches(
+        _pos_rows, batch_format="pyarrow"
+    ).union(
+        docs_ds.map_batches(_text_rows, batch_format="pyarrow")
+    ).map_batches(_with_coarse("doc_id", n_coarse),
+                  batch_format="pyarrow")
+
+    _empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text_clean": pd.Series([], dtype="object"),
+        "n_tokens": pd.Series([], dtype="int64"),
+        "n_tokens_removed": pd.Series([], dtype="int64"),
+    })
+
+    def _strip(df):
+        texts = df[df["kind"] == 1]
+        if len(texts) == 0:
+            return _empty
+        docs = texts["doc_id"].to_numpy(dtype=np.int64)
+        tok_lists = texts["text"].str.split()  # \s+ with empties dropped
+        lens = np.fromiter((len(x) for x in tok_lists),
+                           dtype=np.int64, count=len(texts))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        off = 0
+        for x in tok_lists:  # per-DOC append, not per-token work
+            flat[off:off + len(x)] = x
+            off += len(x)
+        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        j = np.arange(total, dtype=np.int64) - starts[docidx]
+
+        pos = df[df["kind"] == 0]
+        M = int(lens.max()) + w + 1 if len(lens) else 1
+        if len(pos):
+            idxmap = pd.Series(np.arange(len(texts), dtype=np.int64),
+                               index=docs)
+            pdoc = idxmap.reindex(pos["doc_id"].to_numpy()).to_numpy()
+            pv = pos["pos"].to_numpy(dtype=np.int64)
+            cov = np.unique(
+                np.repeat(pdoc.astype(np.int64), w) * M
+                + (np.repeat(pv, w)
+                   + np.tile(np.arange(w, dtype=np.int64), len(pv))))
+            kept = ~np.isin(docidx * M + j, cov)
+        else:
+            kept = np.ones(total, dtype=bool)
+
+        kept_counts = np.bincount(docidx[kept], minlength=len(texts))
+        offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(flat[kept], pa.string()))
+        clean = pc.binary_join(lst, " ").to_pylist()
+        return pd.DataFrame({
+            "doc_id": docs,
+            "text_clean": clean,
+            "n_tokens": lens,
+            "n_tokens_removed": lens - kept_counts.astype(np.int64),
+        })
+
+    return rows.groupby("coarse").map_groups(_strip,
+                                             batch_format="pandas")
