@@ -1010,6 +1010,54 @@ SELECT tt.doc_id,
   CAST(len(tt.t) - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
 FROM tt LEFT JOIN agg a USING (doc_id)
 """,
+        "dedup_spans_keepone": r"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'uniq' || doc_id || ' ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM tr
+),
+pos AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+  FROM tt, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+nd AS (
+  SELECT g, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS keeper
+  FROM pos GROUP BY g
+),
+dup AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN nd USING (g)
+  WHERE nd.ndocs >= 2 AND p.doc_id <> nd.keeper
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, u.j
+  FROM dup d, unnest(range(d.i, d.i + 8)) AS u(j)
+),
+tok AS (
+  SELECT doc_id, u.j, t[u.j] AS tokn
+  FROM tt, unnest(range(1, len(t) + 1)) AS u(j)
+),
+kept AS (
+  SELECT k.doc_id, k.j, k.tokn
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.j = c.j
+  WHERE c.j IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tokn, ' ' ORDER BY j) AS text_clean,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT tt.doc_id,
+  coalesce(a.text_clean, '') AS text_clean,
+  CAST(len(tt.t) AS BIGINT) AS n_tokens,
+  CAST(len(tt.t) - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+FROM tt LEFT JOIN agg a USING (doc_id)
+""",
         # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
         # embedding_neardup_lsh: not SQL-expressible (signature/banding
         # algorithms; approximate by construction) — driver records the

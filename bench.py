@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "dedup_incremental",
         "doc_tfidf",
         "dedup_spans_strip",
+        "dedup_spans_keepone",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -128,3 +128,18 @@ class TestStripDupSpans:
         ]), w=3).take_all()
         assert all(r["text_clean"] == "" and r["n_tokens_removed"] == 5
                    for r in rows)
+
+    def test_keep_first_exempts_canonical_copy(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.spandedup import (
+            strip_dup_spans,
+        )
+
+        out = {r["doc_id"]: r for r in strip_dup_spans(_ds([
+            {"doc_id": 5, "text": "a b c d x y z"},
+            {"doc_id": 9, "text": "p q a b c d"},
+        ]), w=3, keep_first=True).take_all()}
+        # doc 5 (lowest id owning the shared windows) keeps everything
+        assert out[5]["text_clean"] == "a b c d x y z"
+        assert out[5]["n_tokens_removed"] == 0
+        assert out[9]["text_clean"] == "p q"
+        assert out[9]["n_tokens_removed"] == 4

@@ -1168,6 +1168,17 @@ def q_dedup_spans_strip(sf_dir: str):
     return sp.strip_dup_spans(_docs_with_spliced(sf_dir), w=8)
 
 
+def q_dedup_spans_keepone(sf_dir: str):
+    """Keep-one duplicated-span removal (Lee-et-al policy): the
+    lowest-doc_id owner of each shared window keeps its copy — on the
+    spliced corpus the originals survive intact and only the spliced
+    copies lose the shared text."""
+    from ..stages import spandedup as sp
+
+    return sp.strip_dup_spans(_docs_with_spliced(sf_dir), w=8,
+                              keep_first=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental-crawl dedup: a 'new batch' (mutated copies of even
     docs → near-dups; synthetic fresh texts for odd docs → unique) is
@@ -1273,4 +1284,5 @@ QUERIES: Dict[str, callable] = {
     "dedup_incremental": q_dedup_incremental,
     "doc_tfidf": q_doc_tfidf,
     "dedup_spans_strip": q_dedup_spans_strip,
+    "dedup_spans_keepone": q_dedup_spans_keepone,
 }

@@ -168,14 +168,20 @@ def duplicated_window_hashes(positions_ds):
 
 def duplicated_positions(docs_ds, w: int = 8, id_col: str = "doc_id",
                          text_col: str = "text",
-                         n_coarse: int = N_COARSE):
+                         n_coarse: int = N_COARSE,
+                         keep_first: bool = False):
     """(doc_id, pos) for every window whose hash occurs in ≥ 2 distinct
     documents — fused dedup + membership in ONE shuffle of position
     rows. All rows of a given hash land in the same coarse bucket, so
     the per-hash distinct-doc count computed inside the bucket is
     globally exact — no separate groupby(gh) exchange, no union.
     Bucket memory is O(corpus windows / n_coarse); raise n_coarse with
-    the corpus."""
+    the corpus.
+
+    ``keep_first=True`` exempts the lowest-doc_id owner of each hash
+    (the canonical copy keeps its span — the Lee-et-al removal
+    policy); the per-hash min is bucket-local-exact for the same
+    co-location reason as the count."""
     import pandas as pd
 
     positions = window_positions(docs_ds, w, id_col, text_col)
@@ -191,11 +197,15 @@ def duplicated_positions(docs_ds, w: int = 8, id_col: str = "doc_id",
         if len(df) == 0:
             return _empty_pos
         dd = df.drop_duplicates(["gh", "doc_id"])
-        cnt = dd.groupby("gh", sort=False)["doc_id"].size()
+        grp = dd.groupby("gh", sort=False)["doc_id"]
+        cnt = grp.size()
         dup = cnt.index[cnt.to_numpy() >= 2]
         if len(dup) == 0:
             return _empty_pos
         hit = df["gh"].isin(dup).to_numpy()
+        if keep_first:
+            keeper = grp.min().reindex(df["gh"].to_numpy()).to_numpy()
+            hit &= df["doc_id"].to_numpy() != keeper
         out = df.loc[hit, ["doc_id", "pos"]].copy()
         return out.astype({"doc_id": "int64", "pos": "int64"})
 
@@ -279,7 +289,8 @@ def window_dup_stats(docs_ds, w: int = 8, id_col: str = "doc_id",
 
 
 def strip_dup_spans(docs_ds, w: int = 8, id_col: str = "doc_id",
-                    text_col: str = "text", n_coarse: int = N_COARSE):
+                    text_col: str = "text", n_coarse: int = N_COARSE,
+                    keep_first: bool = False):
     """Remove cross-document duplicated spans from every document —
     the removal action of exact substring dedup.
 
@@ -287,11 +298,10 @@ def strip_dup_spans(docs_ds, w: int = 8, id_col: str = "doc_id",
     removed iff it is covered by ANY duplicated window ([pos, pos+w)
     of a window present in ≥ 2 distinct documents); survivors are
     re-joined with single spaces in original order. Removal is
-    SYMMETRIC (both copies lose the span) — the conservative policy
-    when no canonical copy exists; a keep-one policy needs a global
-    tie-break (e.g. drop positions only where doc_id != min doc of
-    the window's group) and composes on top of
-    :func:`duplicated_positions`.
+    SYMMETRIC by default (both copies lose the span — conservative
+    when no canonical copy exists); ``keep_first=True`` exempts the
+    lowest-doc_id owner of each window, so one canonical copy of
+    every shared passage survives (Lee-et-al policy).
 
     Shape: duplicated positions (one fused shuffle, see
     :func:`duplicated_positions`) ∪ document texts, co-partitioned by
@@ -301,7 +311,7 @@ def strip_dup_spans(docs_ds, w: int = 8, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     dup_positions = duplicated_positions(docs_ds, w, id_col, text_col,
-                                         n_coarse)
+                                         n_coarse, keep_first=keep_first)
 
     def _pos_rows(t: pa.Table) -> pa.Table:
         return pa.table({
