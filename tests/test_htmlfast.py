@@ -142,12 +142,18 @@ def test_speedup_exists():
     htmls = synth_pages_table("/root/testdata/sf0.001").column(
         "html"
     ).to_pylist()[:200]
-    t0 = time.perf_counter()
-    for h in htmls:
-        extract_visible_text(h)
-    t_ref = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for h in htmls:
-        extract_visible_text_fast(h)
-    t_fast = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        # best-of-N: this shared VM's throughput swings several-fold
+        # minute to minute; the MIN is the honest kernel time
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for h in htmls:
+                fn(h)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_ref = best_of(extract_visible_text)
+    t_fast = best_of(extract_visible_text_fast)
     assert t_fast < t_ref / 1.6
