@@ -582,6 +582,20 @@ SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
 FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
 GROUP BY q.q_bp
 """,
+        "doc_length_quantiles_sketch": """
+WITH h AS (SELECT n_chars, count(*) AS c FROM documents
+           GROUP BY n_chars),
+s AS (SELECT n_chars,
+        sum(c) OVER (ORDER BY n_chars) AS cum,
+        (SELECT count(*) FROM documents) AS tot
+      FROM h),
+q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
+SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+  CAST(min(s.n_chars) AS BIGINT) AS value,
+  CAST(1 AS BIGINT) AS sketch_rank_ok
+FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+GROUP BY q.q_bp
+""",
         "doc_sample_stratified": """
 SELECT doc_id, source, n_chars
 FROM documents

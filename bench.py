@@ -147,6 +147,7 @@ def run_bench() -> dict:
         "doc_tfidf",
         "dedup_spans_strip",
         "dedup_spans_keepone",
+        "doc_length_quantiles_sketch",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -483,6 +483,55 @@ class TestSketches:
         )
         assert sum(r["sum_bytes"] for r in rows) == total
 
+    def test_kll_rank_accuracy_and_merge(self):
+        import numpy as np
+
+        from web_mass_scraper_ocr_ray.stages.sketches import (
+            KLLQuantileSketch,
+        )
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 100_000, 300_000).astype(float)
+        s = KLLQuantileSketch(512)
+        for chunk in np.array_split(data, 60):
+            s.add_many(chunk)
+        sd = np.sort(data)
+        for q in (2500, 5000, 7500, 9900):
+            est = s.quantile(q)
+            rank = np.searchsorted(sd, est, side="right")
+            target = (q * len(data) + 9999) // 10000
+            assert abs(rank - target) * 10000 <= 500 * len(data)
+        # merge of halves stays within tolerance
+        a, b = KLLQuantileSketch(512), KLLQuantileSketch(512)
+        a.add_many(data[:150_000])
+        b.add_many(data[150_000:])
+        a.merge(b)
+        rank = np.searchsorted(sd, a.quantile(5000), side="right")
+        assert abs(rank - 150_000) * 10000 <= 500 * len(data)
+        # wire-format round trip
+        lv, vals = a.items()
+        c = KLLQuantileSketch.from_items(lv, vals, 512)
+        rank = np.searchsorted(sd, c.quantile(5000), side="right")
+        assert abs(rank - 150_000) * 10000 <= 500 * len(data)
+
+    def test_quantile_sketch_check_claims_hold(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sketches import (
+            exact_quantiles,
+            quantile_sketch_check,
+        )
+
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).repartition(8)
+        out = quantile_sketch_check(docs, "n_chars")
+        assert all(v == 1 for v in out.column("sketch_rank_ok").to_pylist())
+        # exact side identical to the exact-quantiles operator
+        ex = exact_quantiles(docs, "n_chars")
+        assert out.column("value").to_pylist() == \
+            ex.column("value").to_pylist()
+
 
 class TestCLIPrep:
     def test_prep_subcommand(self, tmp_path):

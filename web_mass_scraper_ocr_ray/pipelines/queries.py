@@ -1218,6 +1218,15 @@ def q_dedup_incremental(sf_dir: str):
     return dd.flag_new_docs(new_ds, pairs)
 
 
+def q_doc_length_quantiles_sketch(sf_dir: str):
+    """Exact doc-length quantiles + KLL-sketch rank-accuracy claim
+    (HLL gate pattern: the within-tolerance boolean is itself
+    gate-checked against the oracle's literal TRUE)."""
+    from ..stages import sketches as sk
+
+    return sk.quantile_sketch_check(_docs(sf_dir), "n_chars")
+
+
 def q_doc_tfidf(sf_dir: str):
     """Per-doc top-5 TF-IDF terms (integer score, deterministic
     tie-break) — keyword extraction over the documents corpus."""
@@ -1285,4 +1294,5 @@ QUERIES: Dict[str, callable] = {
     "doc_tfidf": q_doc_tfidf,
     "dedup_spans_strip": q_dedup_spans_strip,
     "dedup_spans_keepone": q_dedup_spans_keepone,
+    "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
 }

@@ -158,3 +158,156 @@ def exact_quantiles(ds, column: str,
         "q_bp": pa.array(out_q, pa.int64()),
         "value": pa.array(out_v, pa.int64()),
     })
+
+
+class KLLQuantileSketch:
+    """Deterministic uniform-capacity compactor quantile sketch (the
+    KLL/Manku-family scheme; cf. Karnin-Lang-Liberty 2016 and
+    'Relative Error Streaming Quantiles', PODS 2021): level i holds
+    items of weight 2^i; a full level sorts, promotes every other
+    item (alternating offset per level — deterministic, no RNG) and
+    discards the rest. Rank error is O(levels/k) of total weight —
+    k=512 keeps it ≲3% out to ~10⁸ items; the sketch is
+    O(k·log(n/k)) values regardless of n.
+
+    Mergeable: level-wise concatenation + recompaction. Compaction
+    outcomes depend on arrival order (unlike HLL's max), so two runs
+    may yield different — equally valid — sketches; consumers assert
+    the rank-error CLAIM, not sketch identity."""
+
+    def __init__(self, k: int = 512):
+        self.k = k
+        self.levels = [np.empty(0, np.float64)]
+        self.flips = [0]
+
+    def add_many(self, values) -> "KLLQuantileSketch":
+        v = np.asarray(values, dtype=np.float64)
+        if len(v) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                arr = np.sort(self.levels[i])
+                off = self.flips[i] & 1
+                self.flips[i] += 1
+                promoted = arr[off::2]
+                self.levels[i] = np.empty(0, np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                    self.flips.append(0)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KLLQuantileSketch") -> "KLLQuantileSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+            self.flips.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+        return self
+
+    def items(self):
+        """(level, value) pairs — the wire format (one Arrow row per
+        retained item; O(k·log) rows per sketch)."""
+        lv = np.concatenate([
+            np.full(len(a), i, np.int8) for i, a in enumerate(self.levels)
+        ]) if any(len(a) for a in self.levels) else np.empty(0, np.int8)
+        vals = np.concatenate(self.levels) if any(
+            len(a) for a in self.levels) else np.empty(0, np.float64)
+        return lv, vals
+
+    @classmethod
+    def from_items(cls, levels, values, k: int = 512):
+        s = cls(k)
+        levels = np.asarray(levels, np.int64)
+        values = np.asarray(values, np.float64)
+        top = int(levels.max()) if len(levels) else 0
+        s.levels = [values[levels == i] for i in range(top + 1)]
+        s.flips = [0] * (top + 1)
+        s._compress()
+        return s
+
+    def quantile(self, q_bp: int) -> float:
+        lv, vals = self.items()
+        if len(vals) == 0:
+            return float("nan")
+        wts = (np.int64(1) << lv.astype(np.int64))
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        target = (q_bp * int(cum[-1]) + 9999) // 10000
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        return float(vals[order][min(idx, len(vals) - 1)])
+
+
+def quantile_sketch_check(ds, column: str,
+                          qs_bp=(2500, 5000, 7500, 9000, 9900),
+                          k: int = 512, tol_bp: int = 500):
+    """Exact quantiles + a KLL-sketch rank-accuracy claim, the HLL
+    gate pattern: output (q_bp, value, sketch_rank_ok) where `value`
+    is the EXACT percentile_disc result (oracle-recomputable) and
+    sketch_rank_ok asserts the sketch's estimate sits within tol_bp
+    basis points of the target rank — a run where the sketch drifts
+    outside tolerance fails the driver gate, so the accuracy claim is
+    itself gate-checked.
+
+    Distributed shape: one KLL sketch per batch, shipped as (level,
+    value) rows — O(k·log n) per batch — and merged on the driver;
+    the exact side reuses the value-count histogram (O(distinct)
+    shuffle). The data itself never moves."""
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        s = KLLQuantileSketch(k)
+        s.add_many(np.asarray(t.column(column).to_pylist(),
+                              dtype=np.float64))
+        lv, vals = s.items()
+        return pa.table({
+            "level": pa.array(lv.astype(np.int64), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    parts = ds.select_columns([column]).map_batches(
+        _sketch, batch_format="pyarrow").to_pandas()
+    merged = KLLQuantileSketch.from_items(
+        parts["level"].to_numpy() if "level" in parts.columns else [],
+        parts["value"].to_numpy() if "value" in parts.columns else [],
+        k)
+
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        res = t.select([column]).group_by([column]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns([column, "cnt"])
+
+    h = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        column).aggregate(Sum("cnt", alias_name="cnt")).to_pandas() \
+        .sort_values(column)
+    values = h[column].to_numpy()
+    cum = h["cnt"].to_numpy().cumsum()
+    tot = int(cum[-1]) if len(cum) else 0
+
+    out_q, out_v, out_ok = [], [], []
+    for q_bp in qs_bp:
+        target = (q_bp * tot + 9999) // 10000
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        exact = int(values[min(idx, len(values) - 1)])
+        est = merged.quantile(q_bp)
+        # true rank of the estimate (count of data values <= est)
+        r = int(np.searchsorted(values, est, side="right"))
+        est_rank = int(cum[r - 1]) if r > 0 else 0
+        ok = abs(est_rank - target) * 10000 <= tol_bp * tot
+        out_q.append(int(q_bp))
+        out_v.append(exact)
+        out_ok.append(int(ok))
+    return pa.table({
+        "q_bp": pa.array(out_q, pa.int64()),
+        "value": pa.array(out_v, pa.int64()),
+        "sketch_rank_ok": pa.array(out_ok, pa.int64()),
+    })
