@@ -70,3 +70,30 @@ def test_giant_pages_byte_budget_slicing():
     a = extract_batch(tbl)
     b = extract_batch_sliced(tbl, byte_budget=1 * 1024 * 1024)
     assert a.column("text").to_pylist() == b.column("text").to_pylist()
+
+
+def test_giant_doc_span_dedup(ray_session):
+    """An elephant document (200k tokens) among normal docs flows
+    through the span-dedup shuffle without blowing a bucket: its
+    windows spread across the coarse hash buckets, not one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_mass_scraper_ocr_ray.stages.spandedup import window_dup_stats
+
+    rng = np.random.default_rng(11)
+    giant = " ".join(f"w{x}" for x in rng.integers(0, 1_000_000, 200_000))
+    rows = [{"doc_id": 0, "text": giant}] + [
+        {"doc_id": i, "text": f"shared passage tokens {i} end"}
+        for i in range(1, 9)
+    ]
+    out = {r["doc_id"]: r for r in window_dup_stats(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4),
+        w=8).take_all()}
+    assert out[0]["n_windows"] == 200_000 - 7
+    # random 1M-vocab tokens: no cross-doc window collisions expected
+    assert out[0]["n_dup_windows"] == 0
+    # the small docs only share w<8-token... their 5-token bodies have
+    # no 8-windows at all
+    assert all(out[i]["n_windows"] == 0 for i in range(1, 9))
