@@ -1072,9 +1072,85 @@ SELECT tt.doc_id,
   CAST(len(tt.t) - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
 FROM tt LEFT JOIN agg a USING (doc_id)
 """,
-        # dedup_minhash, dedup_simhash, knn_lsh, knn_ivf,
-        # embedding_neardup_lsh: not SQL-expressible (signature/banding
-        # algorithms; approximate by construction) — driver records the
-        # weaker rows-only check; recall/soundness invariants are
-        # asserted in tests/ instead.
+        # The five signature/banding ops are approximate by
+        # construction, so their OUTPUT is a claim row (the
+        # approx_distinct/KLL gate pattern): exact counts the oracle
+        # recomputes in SQL + booleans pinning the measured
+        # recall/completeness. The booleans are literals HERE but
+        # computed by the pipeline — a banding regression flips them
+        # and fails the hash compare.
+        #
+        # dedup_minhash: truth = injected (d, d+1e6) pairs with exact
+        # 5-gram Jaccard >= 0.8. Appending ' xqz' only ADDS distinct
+        # windows, so j = |sh(text)| / |sh(text || ' xqz')| per doc.
+        "dedup_minhash": """
+WITH t AS (SELECT doc_id, text, text || ' xqz' AS ext FROM documents),
+a AS (
+  SELECT doc_id, count(DISTINCT substr(text, i, 5)) AS n
+  FROM t, unnest(range(1, length(text) - 3)) AS u(i) GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, count(DISTINCT substr(ext, i, 5)) AS n
+  FROM t, unnest(range(1, length(ext) - 3)) AS u(i) GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+       TRUE AS candidates_recall_ge_95pct
+FROM a JOIN b USING (doc_id)
+WHERE 5 * a.n >= 4 * b.n
+""",
+        # dedup_simhash: corpus = documents + exact copies; identical
+        # texts have hamming-0 signatures and must ALL be blocked
+        # together by the 4x16 banding.
+        "dedup_simhash": """
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+g AS (SELECT text, count(*) AS n FROM c GROUP BY text)
+SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_exact_dup_pairs,
+       TRUE AS all_exact_dups_found
+FROM g
+""",
+        "knn_lsh": """
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s QUALIFY rank <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_rows,
+       TRUE AS macro_recall_ge_40pct
+FROM topk
+""",
+        "knn_ivf": """
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s QUALIFY rank <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_rows,
+       TRUE AS macro_recall_ge_50pct
+FROM topk
+""",
+        "embedding_neardup_lsh": """
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ge_70pct,
+       TRUE AS no_false_pairs
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
     }

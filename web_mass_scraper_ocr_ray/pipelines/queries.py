@@ -330,9 +330,101 @@ def _docs_with_neardups(sf_dir: str):
     return docs.union(docs.map_batches(_mutate, batch_format="pyarrow"))
 
 
+def _overlap_counts(ds_x, ds_y, keys):
+    """(n_x, n_y, n_common) over two key-sets — fully distributed.
+
+    Side-tagged union → groupby(keys) with per-side Max → per-batch
+    partial sums → global Sum. Only three scalars ever reach the
+    driver, so the shape holds at any corpus size (the claim-gate
+    pattern used by approx_distinct / the KLL sketch gate)."""
+    from ray.data.aggregate import Max
+
+    import numpy as np
+
+    def _tag(is_x: bool):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ones = np.ones(n, dtype=np.int64)
+            zeros = np.zeros(n, dtype=np.int64)
+            return t.select(list(keys)).append_column(
+                "in_x", pa.array(ones if is_x else zeros)
+            ).append_column("in_y", pa.array(zeros if is_x else ones))
+        return f
+
+    tagged = ds_x.map_batches(_tag(True), batch_format="pyarrow").union(
+        ds_y.map_batches(_tag(False), batch_format="pyarrow")
+    )
+    merged = tagged.groupby(list(keys)).aggregate(
+        Max("in_x", alias_name="in_x"), Max("in_y", alias_name="in_y")
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("in_x").to_pylist(), dtype=np.int64)
+        y = np.asarray(t.column("in_y").to_pylist(), dtype=np.int64)
+        return pa.table({
+            "n_x": pa.array([int(x.sum())], pa.int64()),
+            "n_y": pa.array([int(y.sum())], pa.int64()),
+            "n_both": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    sums = merged.map_batches(_partial, batch_format="pyarrow").sum(
+        ["n_x", "n_y", "n_both"]
+    )
+    if not sums:
+        return 0, 0, 0
+    return sums["sum(n_x)"], sums["sum(n_y)"], sums["sum(n_both)"]
+
+
+def _claim_row(**cols) -> pa.Table:
+    """One-row claim table: BIGINT for ints, BOOLEAN for bools."""
+    return pa.table({
+        k: pa.array([v], pa.bool_() if isinstance(v, bool) else pa.int64())
+        for k, v in cols.items()
+    })
+
+
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH candidate pairs over the near-dup corpus."""
-    return dd.minhash_lsh_candidates(_docs_with_neardups(sf_dir))
+    """MinHash+LSH candidate-generation RECALL gate.
+
+    Output: one claim row ``(n_truth_pairs, candidates_recall_ge_95pct)``
+    — the HLL/KLL gate pattern. Truth = injected near-dup pairs
+    (d, d+1e6) whose exact 5-gram Jaccard ≥ 0.8; computable per-doc
+    (j = |distinct shingles(text)| / |distinct shingles(text+' xqz')|,
+    since appending only ADDS windows), so the oracle recomputes
+    n_truth_pairs in SQL and the boolean pins the measured LSH recall
+    (1.0 at sf0.001/0.01; bar 95%). A banding/signature regression
+    (e.g. the r1 permutation-invariant band hash) flips the boolean."""
+    nd = _docs_with_neardups(sf_dir)
+    cands = dd.minhash_lsh_candidates(nd)
+
+    def _found(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(t.column("doc_b"), t.column("doc_a")),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table({"doc_id": t.filter(keep).column("doc_a")})
+
+    def _truth(t: pa.Table) -> pa.Table:
+        import numpy as np
+        out = []
+        for txt in t.column("text").to_pylist():
+            a = len(np.unique(dd._shingle_hashes(txt, 5)))
+            b = len(np.unique(dd._shingle_hashes(txt + " xqz", 5)))
+            if b > 0 and 5 * a >= 4 * b:
+                out.append(True)
+            else:
+                out.append(False)
+        return pa.table({"doc_id": t.column("doc_id").filter(pa.array(out))})
+
+    truth = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _truth, batch_format="pyarrow"
+    )
+    found = cands.map_batches(_found, batch_format="pyarrow")
+    n_truth, _, n_hit = _overlap_counts(truth, found, ("doc_id",))
+    return _claim_row(
+        n_truth_pairs=int(n_truth),
+        candidates_recall_ge_95pct=bool(100 * n_hit >= 95 * n_truth),
+    )
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
@@ -341,8 +433,52 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming ≤ 3) over the near-dup corpus."""
-    return dd.simhash_dedup_pairs(_docs_with_neardups(sf_dir))
+    """SimHash banding COMPLETENESS gate.
+
+    Corpus = documents ∪ exact copies (doc_id+1e6, same text). Every
+    identical-text pair has hamming(simhash)=0 and MUST be found by
+    the 4×16 banding (identical signatures share all four bands), so
+    the claim row is ``(n_exact_dup_pairs, all_exact_dups_found)`` —
+    n_exact_dup_pairs = Σ C(n,2) over identical-text groups is exact
+    SQL; the boolean pins blocking completeness (a banding bug or a
+    pair-cap regression flips it)."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _copy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": t.column("text"),
+        })
+
+    corpus = docs.union(docs.map_batches(_copy, batch_format="pyarrow"))
+    found = dd.simhash_dedup_pairs(corpus).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    # exact dup pairs: text-hash groupby → within-group pair explosion
+    def _group_pairs(g: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.sort(np.asarray(g.column("doc_id").to_pylist(),
+                                 dtype=np.int64))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({
+            "doc_a": pa.array(ids[ia], pa.int64()),
+            "doc_b": pa.array(ids[ib], pa.int64()),
+        })
+
+    exact = corpus.map_batches(
+        dd.add_text_hash, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
+        _group_pairs, batch_format="pyarrow"
+    )
+    n_exact, _, n_common = _overlap_counts(
+        exact, found, ("doc_a", "doc_b")
+    )
+    return _claim_row(
+        n_exact_dup_pairs=int(n_exact),
+        all_exact_dups_found=bool(n_common == n_exact),
+    )
 
 
 # ---- similarity queries --------------------------------------------------
@@ -351,12 +487,42 @@ def q_knn_bruteforce(sf_dir: str):
     return sim.knn_bruteforce(_emb(sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def _knn_recall_claim(sf_dir: str, approx_fn, bar_pct: int, col: str):
+    """Shared ANN recall gate: approx vs (oracle-verified) brute-force
+    top-k, overlap counted distributed; one claim row."""
+    emb = _emb(sf_dir)
+    keys = ("query_id", "neighbor_id")
+    bf = sim.knn_bruteforce(emb, KNN_QUERY_IDS, k=5).select_columns(
+        list(keys)
+    )
+    ap = approx_fn(emb).select_columns(list(keys))
+    n_exact, _, n_common = _overlap_counts(bf, ap, keys)
+    return _claim_row(**{
+        "n_exact_rows": int(n_exact),
+        col: bool(100 * n_common >= bar_pct * n_exact),
+    })
+
+
 def q_knn_lsh(sf_dir: str):
-    return sim.knn_lsh(_emb(sf_dir), KNN_QUERY_IDS, k=5)
+    """Multi-band LSH ANN recall gate vs exact top-5 (measured 0.68 at
+    sf0.001/0.01 with 6 bits × 24 bands on near-random embeddings;
+    bar 40%). n_exact_rows is recomputed by the SQL oracle."""
+    return _knn_recall_claim(
+        sf_dir,
+        lambda emb: sim.knn_lsh(emb, KNN_QUERY_IDS, k=5,
+                                n_bits=6, n_bands=24),
+        40, "macro_recall_ge_40pct",
+    )
 
 
 def q_knn_ivf(sf_dir: str):
-    return sim.knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=5)
+    """IVF ANN recall gate vs exact top-5 (measured 0.80-0.84 at
+    nprobe=8 of 16 clusters; bar 50%)."""
+    return _knn_recall_claim(
+        sf_dir,
+        lambda emb: sim.knn_ivf(emb, KNN_QUERY_IDS, k=5, nprobe=8),
+        50, "macro_recall_ge_50pct",
+    )
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -368,12 +534,28 @@ def q_dedup_clusters(sf_dir: str):
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
-    """Approximate (hyperplane-banded) embedding near-dup — the linear-
-    replication scale path; recall vs the exact block join is asserted
-    in tests (no SQL oracle: banding is signature-dependent)."""
-    return sim.embedding_neardup_lsh(
-        _emb(sf_dir), threshold=NEARDUP_COS_THRESHOLD
-    ).select_columns(["vec_a", "vec_b"])
+    """Banded embedding near-dup RECALL+PRECISION gate vs the exact
+    block self-join (itself oracle-verified as `embedding_neardup`).
+
+    Claim row ``(n_exact_pairs, recall_ge_70pct, no_false_pairs)`` —
+    n_exact_pairs is recomputed by the SQL cosine self-join; recall
+    measured 0.86-0.88 at sf0.001/0.01 (bar 70%); precision is exact
+    by construction (in-bucket float64 verify), so no_false_pairs
+    pins it."""
+    emb = _emb(sf_dir)
+    keys = ("vec_a", "vec_b")
+    exact = sim.embedding_neardup_pairs(
+        emb, threshold=NEARDUP_COS_THRESHOLD
+    ).select_columns(list(keys))
+    approx = sim.embedding_neardup_lsh(
+        emb, threshold=NEARDUP_COS_THRESHOLD
+    ).select_columns(list(keys))
+    n_exact, n_approx, n_common = _overlap_counts(exact, approx, keys)
+    return _claim_row(
+        n_exact_pairs=int(n_exact),
+        recall_ge_70pct=bool(10 * n_common >= 7 * n_exact),
+        no_false_pairs=bool(n_approx == n_common),
+    )
 
 
 def q_salted_rollup(sf_dir: str):

@@ -129,43 +129,63 @@ class HyperplaneHasher:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
 
-def knn_lsh(emb_ds, query_ids, k: int = 5, n_bits: int = 8,
-            id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 23):
-    """Approximate top-k: bucket by hyperplane signature, score only
-    vectors whose bucket matches a query's bucket (single-probe).
+def knn_lsh(emb_ds, query_ids, k: int = 5, n_bits: int = 6,
+            n_bands: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 23):
+    """Approximate top-k: MULTI-BAND hyperplane LSH — a vector is
+    scored against a query when its n_bits signature matches the
+    query's in ANY of the ``n_bands`` independent bands (same banding
+    idea as ``embedding_neardup_lsh``; a single-probe single-table
+    variant had ~0 recall on near-random embeddings).
 
-    Recall < 1 by construction; pytest checks recall vs brute force.
-    The bucket assignment is ONE map_batches; the candidate scoring
-    shuffles only matching buckets (groupby bucket)."""
+    P(scored | angle θ) = 1 - (1 - (1-θ/π)^n_bits)^n_bands; expected
+    scanned fraction ≈ 1-(1-2^-n_bits)^n_bands (≈12% at 6 bits × 8
+    bands). Recall < 1 by construction; pytest + the oracle claim row
+    check it against brute force.
+
+    Scale shape: ONE (d, n_bands·n_bits) matmul per batch, candidate
+    selection via vectorized np.isin per band, partial top-k per
+    batch, tiny per-query final reduce. Queries/planes broadcast once
+    via ray.put."""
     import ray
 
     qset, qm = _query_matrix(emb_ds, query_ids, id_col, vec_col)
-    hasher = HyperplaneHasher(qm.shape[1], n_bits, seed)
-    q_buckets = hasher.bucket(qm)
-    bucket_to_qs = {}
-    for q, b in zip(qset, q_buckets):
-        bucket_to_qs.setdefault(int(b), []).append(q)
-    ref = ray.put((hasher.planes, bucket_to_qs,
+    dim = qm.shape[1]
+    hashers = [HyperplaneHasher(dim, n_bits, seed + 101 * b)
+               for b in range(n_bands)]
+    planes = np.concatenate([h.planes for h in hashers], axis=1)
+    # per-band bucket → query ids (tiny dicts, broadcast once)
+    band_maps: list = []
+    for b, h in enumerate(hashers):
+        qb = h.bucket(qm)
+        m: dict = {}
+        for qi, q in enumerate(qset):
+            m.setdefault(int(qb[qi]), []).append(q)
+        band_maps.append(m)
+    ref = ray.put((planes, band_maps,
                    {q: qm[i] for i, q in enumerate(qset)}))
 
     def _score_bucketed(batch: pa.Table) -> pa.Table:
-        planes, b2q, qvecs = ray.get(ref)
+        planes, maps, qvecs = ray.get(ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         vecs = _normalize(_matrix(batch.column(vec_col)))
-        bits = (vecs @ planes) > 0
-        buckets = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
-        out_q, out_n, out_s = [], [], []
-        for i in range(len(ids)):
-            qs = b2q.get(int(buckets[i]))
-            if not qs:
+        bits = (vecs @ planes) > 0  # (n, n_bands*n_bits)
+        weights = 1 << np.arange(n_bits)
+        cand: set = set()
+        for b, m in enumerate(maps):
+            if not m:
                 continue
-            for q in qs:
-                if ids[i] == q:
-                    continue
-                out_q.append(q)
-                out_n.append(int(ids[i]))
-                out_s.append(float(vecs[i] @ qvecs[q]))
+            buckets = bits[:, b * n_bits:(b + 1) * n_bits] @ weights
+            hit = np.isin(buckets, np.fromiter(m.keys(), dtype=np.int64))
+            for i in np.nonzero(hit)[0]:
+                for q in m[int(buckets[i])]:
+                    if ids[i] != q:
+                        cand.add((int(i), q))
+        out_q, out_n, out_s = [], [], []
+        for i, q in cand:
+            out_q.append(q)
+            out_n.append(int(ids[i]))
+            out_s.append(float(vecs[i] @ qvecs[q]))
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "neighbor_id": pa.array(out_n, pa.int64()),
