@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "events_tumbling",
         "events_sessionize",
         "knn_ivf",
+        "knn_lsh",
         "dedup_clusters",
         "approx_distinct_urls",
         "dedup_ngram_jaccard",

@@ -65,9 +65,13 @@ class PipelineConfig:
     # (non-file) input always runs as one group.
     commit_groups: int = 1
     # commit groups running concurrently (each its own streaming
-    # execution on the shared cluster) — overlaps one group's
-    # ramp/drain/stats barriers with another's compute
-    groups_in_flight: int = 2
+    # execution on the shared cluster). Default 1: two streaming
+    # executors negotiating a cold cluster repeatedly measured
+    # 26-58 s/group vs 2.5-5 s/group sequential (they fight over
+    # worker startup / resource reservation); the ~2 s/group barrier
+    # overlap that motivated 2 never recovers that. Raise only for
+    # long-running groups on a warm cluster.
+    groups_in_flight: int = 1
 
     # input column pruning at the read
     input_columns: tuple = ("url", "warc_ts", "html")
