@@ -1153,4 +1153,21 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
+        "doc_clusters_kmeans": """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(8 AS BIGINT) AS k,
+       TRUE AS inertia_non_increasing,
+       TRUE AS all_assigned
+FROM embeddings
+""",
+        # semantic_dedup: ideal drops = vectors with a LOWER-id
+        # >=threshold neighbor anywhere in the corpus (the global
+        # first-seen-wins rule the cluster-local pass approximates)
+        "semantic_dedup": """
+SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_ideal_drops,
+       TRUE AS no_false_drops,
+       TRUE AS drop_recall_ge_60pct
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
     }

@@ -149,6 +149,8 @@ def run_bench() -> dict:
         "dedup_spans_strip",
         "dedup_spans_keepone",
         "doc_length_quantiles_sketch",
+        "doc_clusters_kmeans",
+        "semantic_dedup",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -1,0 +1,153 @@
+"""Distributed k-means + SemDeDup semantic dedup.
+
+Reference basis: the reference has no clustering op; these are the
+training-data curation additions (SemDeDup, Abbas et al. 2023 —
+cluster-then-compare). Correctness model: a plain-NumPy Lloyd's
+implementation with the SAME deterministic rules (init = k lowest ids,
+argmax tie→lowest index, empty cluster keeps centroid, normalize after
+mean).
+"""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_kmeans(ids, vecs, k, n_iters):
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")
+    cents = v[order[:k]].copy()
+    inertias = []
+    for _ in range(n_iters):
+        sims = v @ cents.T
+        a = np.argmax(sims, axis=1)
+        inertias.append(float(
+            (2.0 - 2.0 * sims[np.arange(len(a)), a]).sum()
+        ))
+        new = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = v[m].mean(axis=0)
+        cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+    return cents, inertias
+
+
+def _toy(n=60, d=8, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(4, d)
+    vecs = np.vstack([
+        base[i % 4] + 0.05 * rng.randn(d) for i in range(n)
+    ])
+    return np.arange(n, dtype=np.int64), vecs
+
+
+def _emb_ds(ids, vecs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1).astype(np.float64)), vecs.shape[1]
+        ),
+    })
+    return rd.from_arrow(t).repartition(6)
+
+
+class TestKMeans:
+    def test_matches_numpy_reference(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import kmeans_fit
+
+        ids, vecs = _toy()
+        got_c, got_i = kmeans_fit(_emb_ds(ids, vecs), k=4, n_iters=5)
+        ref_c, ref_i = _ref_kmeans(ids, vecs, 4, 5)
+        assert np.allclose(got_c, ref_c, atol=1e-9)
+        assert np.allclose(got_i, ref_i, atol=1e-6)
+
+    def test_inertia_non_increasing(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import kmeans_fit
+
+        ids, vecs = _toy(n=100, seed=11)
+        _, inertias = kmeans_fit(_emb_ds(ids, vecs), k=5, n_iters=8)
+        for a, b in zip(inertias, inertias[1:]):
+            assert b <= a + 1e-9
+
+    def test_assign_partitions_everything(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        ids, vecs = _toy()
+        ds = _emb_ds(ids, vecs)
+        cents, _ = kmeans_fit(ds, k=4, n_iters=3)
+        rows = kmeans_assign(ds, cents).take_all()
+        assert sorted(r["vec_id"] for r in rows) == sorted(ids.tolist())
+        assert all(0 <= r["cluster_id"] < 4 for r in rows)
+
+    def test_deterministic_across_runs(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import kmeans_fit
+
+        ids, vecs = _toy(seed=7)
+        a, ia = kmeans_fit(_emb_ds(ids, vecs), k=3, n_iters=4)
+        b, ib = kmeans_fit(_emb_ds(ids, vecs), k=3, n_iters=4)
+        assert np.array_equal(a, b)
+        assert ia == ib
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_dropped_first_wins(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import semantic_dedup
+
+        ids, vecs = _toy(n=40, seed=5)
+        # plant exact copies of ids 3 and 17 at high ids
+        ids = np.concatenate([ids, [100, 101]])
+        vecs = np.vstack([vecs, vecs[3], vecs[17]])
+        rows = semantic_dedup(_emb_ds(ids, vecs), k=4,
+                              threshold=0.999).take_all()
+        by_id = {r["vec_id"]: r for r in rows}
+        assert sorted(by_id) == sorted(ids.tolist())  # partition
+        assert not by_id[100]["keep"] and not by_id[101]["keep"]
+        assert by_id[3]["keep"] and by_id[17]["keep"]  # first wins
+
+    def test_no_false_drops(self, ray_session):
+        """Every dropped vector really has a LOWER-id ≥threshold
+        neighbor (globally — cluster-local pairs are a subset)."""
+        from web_mass_scraper_ocr_ray.stages.clustering import semantic_dedup
+
+        ids, vecs = _toy(n=80, seed=9)
+        th = 0.995
+        rows = semantic_dedup(_emb_ds(ids, vecs), k=4,
+                              threshold=th).take_all()
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = v @ v.T
+        for r in rows:
+            if not r["keep"]:
+                i = int(np.where(ids == r["vec_id"])[0][0])
+                lower = np.where(ids < r["vec_id"])[0]
+                assert (sims[i, lower] >= th - 1e-12).any()
+
+    def test_identity_when_no_dups(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.clustering import semantic_dedup
+
+        ids, vecs = _toy(n=30, seed=13)
+        rows = semantic_dedup(_emb_ds(ids, vecs), k=3,
+                              threshold=1.0001).take_all()
+        assert all(r["keep"] for r in rows)
+
+
+class TestQueryClaims:
+    @pytest.mark.parametrize("name", ["doc_clusters_kmeans",
+                                      "semantic_dedup"])
+    def test_claims_hold_at_sf(self, ray_session, name):
+        from web_mass_scraper_ocr_ray.pipelines.queries import QUERIES
+
+        t = QUERIES[name](SF)
+        row = t.to_pandas().iloc[0].to_dict() if hasattr(
+            t, "to_pandas"
+        ) else t
+        for k, v in row.items():
+            if isinstance(v, (bool, np.bool_)):
+                assert bool(v), f"{name}.{k} claim is False"

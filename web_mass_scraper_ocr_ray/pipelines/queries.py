@@ -558,6 +558,69 @@ def q_embedding_neardup_lsh(sf_dir: str):
     )
 
 
+def q_doc_clusters_kmeans(sf_dir: str):
+    """Distributed spherical k-means gate (corpus clustering for
+    curation). Claim row ``(n_vectors, k, inertia_non_increasing,
+    all_assigned)`` — n_vectors is exact SQL; Lloyd's monotonicity and
+    the assignment partition are the pipeline-verifiable invariants
+    (a broken partial-sum merge or centroid update flips them)."""
+    from ..stages import clustering as cl
+
+    emb = _emb(sf_dir)
+    k = 8
+    cents, inertias = cl.kmeans_fit(emb, k=k, n_iters=5)
+    n_vectors = emb.count()
+    n_assigned = cl.kmeans_assign(emb, cents).count()
+    mono = all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    return _claim_row(
+        n_vectors=int(n_vectors),
+        k=k,
+        inertia_non_increasing=bool(mono),
+        all_assigned=bool(n_assigned == n_vectors),
+    )
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup gate: cluster-then-compare near-dup drops vs the exact
+    global pair set (`embedding_neardup` oracle family).
+
+    ``n_ideal_drops`` = vectors with a LOWER-id ≥threshold neighbor
+    globally (exact SQL); ``no_false_drops`` pins that cluster-local
+    drops are a subset of that set (clusters partition the corpus, so
+    a within-cluster pair is always a global pair);
+    ``drop_recall_ge_60pct`` pins how many global drops the k=8
+    clustering retains (pairs split across clusters are the
+    approximation loss — measured 0.95/1.00 at sf0.001/0.01 with
+    nprobe=3 multi-probe; 0.32-0.53 single-probe)."""
+    from ..stages import clustering as cl
+
+    emb = _emb(sf_dir)
+    sd = cl.semantic_dedup(emb, k=8, threshold=NEARDUP_COS_THRESHOLD,
+                           nprobe=3)
+
+    def _dropped(t: pa.Table) -> pa.Table:
+        keep = t.column("keep")
+        return pa.table({
+            "vec_id": t.column("vec_id").filter(pc.invert(keep))
+        })
+
+    def _ideal(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t.column("vec_b")})
+
+    dropped = sd.map_batches(_dropped, batch_format="pyarrow")
+    ideal = sim.embedding_neardup_pairs(
+        emb, threshold=NEARDUP_COS_THRESHOLD
+    ).map_batches(_ideal, batch_format="pyarrow")
+    n_ideal, n_dropped, n_common = _overlap_counts(
+        ideal, dropped, ("vec_id",)
+    )
+    return _claim_row(
+        n_ideal_drops=int(n_ideal),
+        no_false_drops=bool(n_dropped == n_common),
+        drop_recall_ge_60pct=bool(10 * n_common >= 6 * n_ideal),
+    )
+
+
 def q_salted_rollup(sf_dir: str):
     """Per-source counts computed through the SALTED grouped path
     (groupby (key, salt) → merge by key) — exercises the hot-key
@@ -1444,6 +1507,8 @@ QUERIES: Dict[str, callable] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "salted_rollup": q_salted_rollup,
+    "doc_clusters_kmeans": q_doc_clusters_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
