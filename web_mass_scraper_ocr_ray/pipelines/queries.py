@@ -40,12 +40,12 @@ KNN_QUERY_IDS = (0, 1, 2, 3, 4)
 NEARDUP_COS_THRESHOLD = 0.4
 
 
-# The sf tables are single-file single-row-group Parquet, so a bare
-# read_parquet yields ONE block and zero downstream parallelism (every
-# stage shows '1 tasks used' in ds.stats()). A cheap repartition after
-# the pruned read restores parallel blocks; real corpora are multi-file
-# and split at the read instead.
-_SF_TABLE_BLOCKS = 16
+# The sf tables are single-file Parquet. Ray's read_parquet now
+# auto-splits a single file into parallel blocks (observed
+# SplitBlocks(64) even at 500 rows), so NO repartition after the read:
+# an explicit repartition(16) was an extra all-to-all per query that
+# also REDUCED parallelism 64→16. Real corpora are multi-file and
+# split at the read.
 
 
 def _docs(sf_dir: str):
@@ -53,7 +53,7 @@ def _docs(sf_dir: str):
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet"
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
 
 def _emb(sf_dir: str):
@@ -61,7 +61,7 @@ def _emb(sf_dir: str):
 
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet"
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
 
 def _extracted(sf_dir: str, **cfg_kwargs):
@@ -316,7 +316,7 @@ def _docs_with_neardups(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _mutate(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -729,7 +729,7 @@ def q_lineitem_pricing(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"],
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _cents(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -765,7 +765,7 @@ def q_order_customer_join(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"]
-                             ).repartition(_SF_TABLE_BLOCKS)
+                             )
 
     def _join(t: pa.Table) -> pa.Table:
         seg = ray.get(ref)
@@ -802,7 +802,7 @@ def q_events_tumbling(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"]
-                         ).repartition(_SF_TABLE_BLOCKS)
+                         )
 
     def _window(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -830,7 +830,7 @@ def q_events_sliding(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"]
-                         ).repartition(_SF_TABLE_BLOCKS)
+                         )
 
     def _expand(t: pa.Table) -> pa.Table:
         w0 = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
@@ -873,7 +873,7 @@ def q_events_sessionize(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"]
-                         ).repartition(_SF_TABLE_BLOCKS)
+                         )
 
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -901,7 +901,7 @@ def q_top_events_per_user(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "value"]
-                         ).repartition(_SF_TABLE_BLOCKS)
+                         )
 
     def _topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"],
@@ -959,7 +959,7 @@ def _events_of_type(sf_dir: str, event_type: str,
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=list(dict.fromkeys(list(columns) + ["event_type"])),
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _f(t: pa.Table) -> pa.Table:
         return t.filter(
@@ -1034,7 +1034,7 @@ def q_events_cumulative(sf_dir: str):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _cum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1344,7 +1344,7 @@ def q_doc_decontaminate(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _bench(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1376,7 +1376,7 @@ def _docs_with_spliced(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _splice(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1434,7 +1434,7 @@ def q_dedup_incremental(sf_dir: str):
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).repartition(_SF_TABLE_BLOCKS)
+    )
 
     def _new(t: pa.Table) -> pa.Table:
         import numpy as np
