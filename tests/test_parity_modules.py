@@ -355,6 +355,29 @@ class TestCLI:
         s2 = json.loads(r2.stdout)
         assert s2["urls_total"] == 200
 
+    def test_query_subcommand(self, tmp_path):
+        out = tmp_path / "q_out"
+        r = subprocess.run(
+            [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli", "query",
+             "doc_token_count", "--sf-dir", "/root/testdata/sf0.001",
+             "--output", str(out), "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["rows"] == 500
+        import ray.data as rd
+
+        assert rd.read_parquet(str(out)).count() == 500
+
+        r2 = subprocess.run(
+            [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli", "query",
+             "no_such_query", "--sf-dir", "/root/testdata/sf0.001"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r2.returncode == 2
+        assert "unknown query" in r2.stderr
+
 
 class TestUrlAntiJoinUtil:
     def test_filter_uncommitted_batch(self):

@@ -79,6 +79,38 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one named operator query (the __ray_entry__.queries surface)
+    from the command line: write Parquet with --output, else print the
+    first --limit rows as JSON lines plus a row count."""
+    from .pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; available: "
+              f"{', '.join(sorted(QUERIES))}", file=sys.stderr)
+        return 2
+    _ray_init(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    res = QUERIES[args.name](args.sf_dir)
+    if isinstance(res, pa.Table):
+        res = rd.from_arrow(res)
+    if args.output:
+        res.write_parquet(args.output)
+        print(json.dumps({"query": args.name, "rows": res.count(),
+                          "output": args.output}))
+    else:
+        rows = res.take(args.limit)
+        for r in rows:
+            print(json.dumps(r, default=str))
+        print(json.dumps({"query": args.name, "rows_shown": len(rows)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_summary(args) -> int:
     """Print the merged session summary from committed manifests (S11)."""
     from .functions.metadata import finalize_session_summary
@@ -108,7 +140,7 @@ def main(argv=None) -> int:
     runp.add_argument("--mode", default="both",
                       choices=["text", "ocr", "both"])
     runp.add_argument("--commit-groups", type=int, default=16)
-    runp.add_argument("--groups-in-flight", type=int, default=2)
+    runp.add_argument("--groups-in-flight", type=int, default=1)
     runp.add_argument("--num-partitions", type=int, default=64)
     runp.add_argument("--ocr-engine", default="stub",
                       choices=["stub", "tesseract"])
@@ -135,6 +167,17 @@ def main(argv=None) -> int:
     sump = sub.add_parser("summary", help="merged summary from manifests")
     sump.add_argument("--output", required=True)
     sump.set_defaults(fn=cmd_summary)
+
+    qp = sub.add_parser("query", help="run one named operator query")
+    qp.add_argument("name", help="query name (see __ray_entry__.queries)")
+    qp.add_argument("--sf-dir", required=True,
+                    help="directory with the input Parquet tables")
+    qp.add_argument("--output", default=None,
+                    help="write result Parquet here instead of printing")
+    qp.add_argument("--limit", type=int, default=20,
+                    help="rows to print without --output")
+    qp.add_argument("--num-cpus", type=int, default=None)
+    qp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
