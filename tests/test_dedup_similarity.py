@@ -422,3 +422,137 @@ class TestCrossCorpusDedup:
         od = [flags[1_000_000 + d] for d in range(1, 500, 2)]
         assert sum(ev) / len(ev) >= 0.95
         assert sum(od) == 0
+
+
+class TestPairCapOverflow:
+    """Degenerate (>cap member) fine buckets — the r2 VERDICT bug:
+    members past the dense-pair cap must still be linked into the
+    cluster (star links to the run-min doc), never silently dropped."""
+
+    @staticmethod
+    def _components(pairs):
+        """Connected components via union-find over (a, b) pairs."""
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_within_corpus_overflow_star_linked(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            PAIR_RUN_CAP,
+            _pairs_from_coarse_group,
+        )
+
+        n = PAIR_RUN_CAP + 320
+        df = pd.DataFrame({
+            "band_id": np.zeros(n, np.int32),
+            "band_hash": np.full(n, 7, np.uint64),
+            "doc_id": np.arange(n, dtype=np.int64),
+        })
+        with caplog.at_level(logging.WARNING,
+                             logger="web_mass_scraper_ocr_ray.stages.dedup"):
+            t = _pairs_from_coarse_group(df)
+        pairs = list(zip(t.column("doc_a").to_pylist(),
+                         t.column("doc_b").to_pylist()))
+        # every member occurs in >= 1 pair and the bucket is ONE
+        # connected component (keep/drop survives label propagation)
+        comp = self._components(pairs)
+        assert set(comp) == set(range(n))
+        assert len(set(comp.values())) == 1
+        # pair count is O(cap^2 + n), not O(n^2)
+        assert len(pairs) == PAIR_RUN_CAP * (PAIR_RUN_CAP - 1) // 2 + 320
+        # overflow members link to the run-min doc
+        assert all((0, m) in set(pairs) for m in range(PAIR_RUN_CAP, n))
+        # the truncation counter is observable
+        assert any("pair cap engaged" in r.message for r in caplog.records)
+
+    def test_cross_corpus_overflow_every_new_doc_paired(self):
+        import pandas as pd
+
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            PAIR_RUN_CAP,
+            _cross_pairs_from_coarse_group,
+        )
+
+        n_old, n_new = PAIR_RUN_CAP + 50, PAIR_RUN_CAP + 70
+        n = n_old + n_new
+        df = pd.DataFrame({
+            "band_id": np.zeros(n, np.int32),
+            "band_hash": np.full(n, 7, np.uint64),
+            "doc_id": np.concatenate([
+                np.arange(n_old, dtype=np.int64),
+                1_000_000 + np.arange(n_new, dtype=np.int64),
+            ]),
+            "side": np.concatenate([
+                np.zeros(n_old, np.int8), np.ones(n_new, np.int8),
+            ]),
+        })
+        t = _cross_pairs_from_coarse_group(df)
+        a = t.column("doc_a").to_pylist()
+        b = t.column("doc_b").to_pylist()
+        # normalization: doc_a old side, doc_b new side
+        assert all(x < 1_000_000 for x in a)
+        assert all(x >= 1_000_000 for x in b)
+        # EVERY new doc has at least one old partner (the flag
+        # semantics of incremental dedup), and every old doc is
+        # reachable too
+        assert set(b) == {1_000_000 + i for i in range(n_new)}
+        assert set(a) == set(range(n_old))
+        # bounded: cap^2 dense + star links, not n_old*n_new
+        assert len(a) <= PAIR_RUN_CAP ** 2 + 50 + 70
+
+    def test_minhash_end_to_end_giant_bucket(self, ray_session):
+        """>cap identical texts: candidates + verify + clustering must
+        put ALL copies in one cluster (the boilerplate-corpus case)."""
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            PAIR_RUN_CAP,
+            cluster_pairs_driver,
+            minhash_dedup_pairs,
+        )
+
+        n = PAIR_RUN_CAP + 60
+        text = "the same viral boilerplate page body words " * 3
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text] * n),
+        }))
+        verified = minhash_dedup_pairs(docs, threshold=0.8)
+        labels = cluster_pairs_driver(verified)
+        lab = dict(zip(labels.column("doc_id").to_pylist(),
+                       labels.column("cluster_id").to_pylist()))
+        assert set(lab) == set(range(n))
+        assert set(lab.values()) == {0}
+
+    def test_simhash_end_to_end_giant_bucket(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            PAIR_RUN_CAP,
+            simhash_dedup_pairs,
+        )
+
+        n = PAIR_RUN_CAP + 40
+        text = "identical content words for simhash blocking " * 3
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text] * n),
+        }))
+        t = simhash_dedup_pairs(docs, max_hamming=3).take_all()
+        comp = self._components([(r["doc_a"], r["doc_b"]) for r in t])
+        assert set(comp) == set(range(n))
+        assert len(set(comp.values())) == 1
