@@ -1084,7 +1084,8 @@ FROM tt LEFT JOIN agg a USING (doc_id)
         # 5-gram Jaccard >= 0.8. Appending ' xqz' only ADDS distinct
         # windows, so j = |sh(text)| / |sh(text || ' xqz')| per doc.
         "dedup_minhash": """
-WITH t AS (SELECT doc_id, text, text || ' xqz' AS ext FROM documents),
+WITH t AS (SELECT doc_id, text, text || ' xqz' AS ext FROM documents
+           WHERE length(text) >= 5),
 a AS (
   SELECT doc_id, count(DISTINCT substr(text, i, 5)) AS n
   FROM t, unnest(range(1, length(text) - 3)) AS u(i) GROUP BY doc_id

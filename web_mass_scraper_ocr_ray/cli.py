@@ -99,6 +99,10 @@ def cmd_query(args) -> int:
     if isinstance(res, pa.Table):
         res = rd.from_arrow(res)
     if args.output:
+        # materialize once: Datasets are lazy, so write_parquet followed
+        # by count() on the lazy lineage would execute the whole query
+        # twice (ADVICE r2)
+        res = res.materialize()
         res.write_parquet(args.output)
         print(json.dumps({"query": args.name, "rows": res.count(),
                           "output": args.output}))

@@ -408,6 +408,15 @@ def q_dedup_minhash(sf_dir: str):
         import numpy as np
         out = []
         for txt in t.column("text").to_pylist():
+            # symmetry with the SQL oracle (ADVICE r2): docs shorter
+            # than one 5-char shingle yield no substring rows in SQL
+            # and are excluded from truth there; exclude them here too
+            # instead of letting _shingle_hashes pad them to one
+            # shingle. (Char==byte length: the sf corpus contract is
+            # ASCII text — verified true at every scale factor.)
+            if len(txt) < 5:
+                out.append(False)
+                continue
             a = len(np.unique(dd._shingle_hashes(txt, 5)))
             b = len(np.unique(dd._shingle_hashes(txt + " xqz", 5)))
             if b > 0 and 5 * a >= 4 * b:

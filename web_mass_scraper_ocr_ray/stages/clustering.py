@@ -29,9 +29,12 @@ import pyarrow as pa
 from .similarity import _matrix, _normalize
 
 
-def _partial_stats(t: pa.Table, cents: np.ndarray, id_col: str,
+def _partial_stats(t: pa.Table, cents: np.ndarray,
                    vec_col: str) -> pa.Table:
-    """One batch → per-centroid (sum-vector, count, inertia) partials."""
+    """One batch → per-centroid (sum-vector, count, inertia) partials.
+    ``inertia`` is the TRUE per-cluster sum of squared distances
+    (scatter-added per assignment, like ``vec_sum`` — ADVICE r2: the
+    old even spread made the per-cluster column meaningless)."""
     vecs = _normalize(_matrix(t.column(vec_col)))
     k, d = cents.shape
     # squared euclidean on normalized vectors ⇔ cosine ordering
@@ -40,14 +43,16 @@ def _partial_stats(t: pa.Table, cents: np.ndarray, id_col: str,
     sums = np.zeros((k, d), dtype=np.float64)
     np.add.at(sums, assign, vecs)
     counts = np.bincount(assign, minlength=k).astype(np.int64)
-    inertia = float((2.0 - 2.0 * sims[np.arange(len(assign)), assign]).sum())
+    per_row = 2.0 - 2.0 * sims[np.arange(len(assign)), assign]
+    inertia = np.zeros(k, dtype=np.float64)
+    np.add.at(inertia, assign, per_row)
     return pa.table({
         "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
         "vec_sum": pa.FixedSizeListArray.from_arrays(
             pa.array(sums.reshape(-1), pa.float64()), d
         ),
         "n": pa.array(counts),
-        "inertia": pa.array(np.full(k, inertia / k, dtype=np.float64)),
+        "inertia": pa.array(inertia),
     })
 
 
@@ -81,7 +86,7 @@ def kmeans_fit(emb_ds, k: int = 8, n_iters: int = 10,
         ref = ray.put(cents)
 
         def _partials(t: pa.Table) -> pa.Table:
-            return _partial_stats(t, ray.get(ref), id_col, vec_col)
+            return _partial_stats(t, ray.get(ref), vec_col)
 
         stats = emb_ds.select_columns([id_col, vec_col]).map_batches(
             _partials, batch_format="pyarrow"
