@@ -267,6 +267,67 @@ class TestCorpusFreqScore:
         assert out.loc[0].tolist() == [1, 3, 6, 2]   # 2+2+2 → avg 2
         assert out.loc[1].tolist() == [2, 2, 3, 1]   # 2+1 → avg 1
 
+    def test_topm_cap_bounds_broadcast(self, ray_session):
+        """vocab ≫ M: the broadcast table holds exactly the M most
+        frequent tokens; docs made of top-M tokens score identically
+        to the uncapped path; tail tokens take tail_freq."""
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            _vocab_topm,
+            corpus_freq_score,
+        )
+
+        # 3 frequent tokens (freq 50 each) + 300 singletons
+        frequent = "hot warm tepid"
+        docs = _ds({
+            "doc_id": list(range(1, 51)) + [100],
+            "text": [frequent] * 50
+                    + [" ".join(f"junk{i:04d}" for i in range(300))],
+        })
+        capped = corpus_freq_score(docs, top_m=3, tail_freq=1)
+        exact = corpus_freq_score(docs)
+        cp = capped.to_pandas().set_index("doc_id").sort_index()
+        ex = exact.to_pandas().set_index("doc_id").sort_index()
+        # top-M-token docs: identical to the exact path
+        for d in range(1, 51):
+            assert cp.loc[d].tolist() == ex.loc[d].tolist()
+        # tail doc: 300 tokens × tail_freq=1
+        assert cp.loc[100].tolist() == [300, 300, 1]
+        # the broadcast table itself is bounded at M rows
+        from ray.data.aggregate import Sum  # rebuild the vocab table
+        import pyarrow.compute as pc
+
+        def _partial(t):
+            toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+            flat = pc.list_flatten(toks)
+            flat = flat.filter(pc.not_equal(flat, ""))
+            res = pa.table({"word": flat}).group_by(["word"]).aggregate(
+                [([], "count_all")])
+            return res.rename_columns(["word", "n"])
+
+        vocab_ds = docs.map_batches(
+            _partial, batch_format="pyarrow"
+        ).groupby("word").aggregate(Sum("n", alias_name="n"))
+        top = _vocab_topm(vocab_ds, 3, "n")
+        assert len(top) == 3
+        assert sorted(top["word"]) == ["hot", "tepid", "warm"]
+
+    def test_tfidf_topm_matches_exact_on_common_terms(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.textstats import tfidf_topk
+
+        docs = _ds({
+            "doc_id": [1, 2, 3],
+            "text": ["common common rare1", "common rare2", "common rare3"],
+        })
+        # top_m=1 keeps only 'common' (df=3); rare terms fall back to
+        # df=1 — which IS their true df, so ranks match exactly here
+        capped = sorted(
+            (r["doc_id"], r["term"], r["score"])
+            for r in tfidf_topk(docs, k=2, top_m=1).take_all())
+        exact = sorted(
+            (r["doc_id"], r["term"], r["score"])
+            for r in tfidf_topk(docs, k=2).take_all())
+        assert capped == exact
+
 
 # ---- property-based: joins vs brute-force reference models ---------------
 

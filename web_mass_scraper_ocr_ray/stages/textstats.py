@@ -360,7 +360,30 @@ def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
     ).limit(k)
 
 
-def corpus_freq_score(docs_ds, text_col: str = "text"):
+def _vocab_topm(vocab_ds, m: int, val_col: str):
+    """Exact global top-``m`` rows of a (word, val) table by
+    (val desc, word asc) WITHOUT sorting the whole vocab: the table has
+    one row per word after its groupby-sum, so a per-block top-m is an
+    exact partial; the distributed sort then touches only the
+    m × n_blocks sliver (the k-means seed trick). This is what bounds
+    the driver pull + broadcast for the corpus-statistics scorers at
+    web scale, where the raw distinct-token table (URL/hash junk) is
+    tens of GBs."""
+    import pyarrow.compute as pc_
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc_.sort_indices(
+            t, sort_keys=[(val_col, "descending"), ("word", "ascending")]
+        )
+        return t.take(idx[:m])
+
+    return vocab_ds.map_batches(
+        _block_top, batch_format="pyarrow"
+    ).sort([val_col, "word"], descending=[True, False]).limit(m).to_pandas()
+
+
+def corpus_freq_score(docs_ds, text_col: str = "text",
+                      top_m: int | None = None, tail_freq: int = 1):
     """Two-pass corpus-statistics scoring — the distributed shape of
     model-based quality filtering (a unigram 'LM' stands in for the
     classifier): pass 1 builds the global token-frequency table
@@ -371,10 +394,14 @@ def corpus_freq_score(docs_ds, text_col: str = "text"):
     Integer outputs (sum / floor-avg of token corpus frequencies) so
     the DuckDB oracle (tokens ⋈ vocab) reproduces them exactly.
 
-    Scale note: the vocab table is heaps-law sublinear in the corpus
-    and lives in the object store (zero-copy to every actor). At
-    100 TB cap it to the top-M tokens with a default tail frequency —
-    same plumbing, bounded broadcast.
+    Scale note: the raw vocab table is heaps-law sublinear but still
+    unbounded on web text (URL/hash junk tokens). ``top_m`` caps the
+    broadcast to the M globally most frequent tokens (exact, via
+    per-block top-M partials — see :func:`_vocab_topm`); tokens
+    outside the cap score ``tail_freq`` (they are rarer than the Mth
+    token by construction, so a small default bounds the error).
+    ``top_m=None`` keeps the exact unbounded behavior for small runs
+    and the SQL oracle.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -389,9 +416,12 @@ def corpus_freq_score(docs_ds, text_col: str = "text"):
             [([], "count_all")])
         return res.rename_columns(["word", "n"])
 
-    vocab = docs_ds.map_batches(
+    vocab_ds = docs_ds.map_batches(
         _partial, batch_format="pyarrow"
-    ).groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    ).groupby("word").aggregate(Sum("n", alias_name="n"))
+    vocab = (vocab_ds.to_pandas() if top_m is None
+             else _vocab_topm(vocab_ds, top_m, "n"))
+    miss_freq = 0 if top_m is None else int(tail_freq)
     order = np.argsort(vocab["word"].to_numpy())
     words_sorted = vocab["word"].to_numpy()[order]
     freq_sorted = vocab["n"].to_numpy()[order].astype(np.int64)
@@ -410,10 +440,14 @@ def corpus_freq_score(docs_ds, text_col: str = "text"):
         row = row[vmask]
         words = flat.filter(valid).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(ws, words)
-        # every token is in the pass-1 vocab by construction; clip
-        # guards the lookup if a caller scores a DIFFERENT corpus
-        idx = np.clip(idx, 0, len(ws) - 1)
-        freq = np.where(ws[idx] == words, fs[idx], 0)
+        # uncapped: every token is in the pass-1 vocab by construction
+        # (clip guards scoring a DIFFERENT corpus → 0); capped: tokens
+        # outside the top-M take the tail default
+        idx = np.clip(idx, 0, max(len(ws) - 1, 0))
+        if len(ws):
+            freq = np.where(ws[idx] == words, fs[idx], miss_freq)
+        else:
+            freq = np.full(len(words), miss_freq, np.int64)
         n_rows = t.num_rows
         n = np.bincount(row, minlength=n_rows).astype(np.int64)
         # int64 scatter-add (bincount's float weights would lose
@@ -431,7 +465,8 @@ def corpus_freq_score(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(_score, batch_format="pyarrow")
 
 
-def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text"):
+def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text",
+               top_m: int | None = None):
     """Per-document top-k terms by an integer TF-IDF surrogate —
     keyword extraction over the corpus.
 
@@ -445,7 +480,14 @@ def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text"):
     per-batch DISTINCT (term, doc) combiner; pass 2 broadcasts it
     once via ``ray.put`` and ranks per document with pandas C
     group-sorts — no per-doc Python. Output: (doc_id, term, tf, df,
-    score, rank), rank 1..k."""
+    score, rank), rank 1..k.
+
+    ``top_m`` bounds the broadcast at web scale: keep only the M terms
+    with the highest document frequency (exact per-block partials →
+    tiny merge, :func:`_vocab_topm`); a term outside the cap takes the
+    df=1 default the missing-term path already uses — it is rarer than
+    the Mth most common term, so its true df is small and the rarity
+    weighting errs only modestly high. ``None`` = exact/unbounded."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -468,9 +510,11 @@ def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text"):
             [([], "count_all")])
         return part.rename_columns(["word", "df"])
 
-    vocab = docs_ds.map_batches(
+    vocab_ds = docs_ds.map_batches(
         _df_partial, batch_format="pyarrow"
-    ).groupby("word").aggregate(Sum("df", alias_name="df")).to_pandas()
+    ).groupby("word").aggregate(Sum("df", alias_name="df"))
+    vocab = (vocab_ds.to_pandas() if top_m is None
+             else _vocab_topm(vocab_ds, top_m, "df"))
     order = np.argsort(vocab["word"].to_numpy())
     ref = ray.put((vocab["word"].to_numpy()[order],
                    vocab["df"].to_numpy()[order].astype(np.int64)))
