@@ -137,6 +137,55 @@ class TestSemanticDedup:
                               threshold=1.0001).take_all()
         assert all(r["keep"] for r in rows)
 
+    def test_auto_k_scales_with_n(self, ray_session):
+        """k=None → k ≈ √N (floor 8): the scale-safe default; output
+        is still a partition of the ids with valid cluster ids."""
+        from web_mass_scraper_ocr_ray.stages.clustering import semantic_dedup
+
+        ids, vecs = _toy(n=300, seed=21)
+        rows = semantic_dedup(_emb_ds(ids, vecs), k=None, n_iters=2,
+                              threshold=0.999).take_all()
+        assert sorted(r["vec_id"] for r in rows) == sorted(ids.tolist())
+        n_clusters = len({r["cluster_id"] for r in rows})
+        # √300 ≈ 17 target clusters; at least clearly more than the
+        # old fixed default of 8 materialize on spread data
+        assert n_clusters > 8
+
+    def test_giant_cluster_split_no_false_drops(self, ray_session,
+                                                caplog):
+        """A cluster above max_cluster_size is LSH-sub-bucketed: the
+        pass completes, every drop is still genuine (within-sub-bucket
+        pairs are real pairs), planted duplicates in the giant cluster
+        are still caught (copies share all sign bits), and the split
+        is observable in the log."""
+        import logging
+
+        from web_mass_scraper_ocr_ray.stages.clustering import semantic_dedup
+
+        ids, vecs = _toy(n=240, seed=33)
+        # plant copies of ids 5 and 50 at high ids
+        ids = np.concatenate([ids, [9000, 9001]])
+        vecs = np.vstack([vecs, vecs[5], vecs[50]])
+        th = 0.999
+        with caplog.at_level(
+                logging.WARNING,
+                logger="web_mass_scraper_ocr_ray.stages.clustering"):
+            rows = semantic_dedup(_emb_ds(ids, vecs), k=1, n_iters=1,
+                                  threshold=th,
+                                  max_cluster_size=60).take_all()
+        assert any("max_cluster_size" in r.message for r in caplog.records)
+        by_id = {r["vec_id"]: r for r in rows}
+        assert sorted(by_id) == sorted(ids.tolist())
+        assert not by_id[9000]["keep"] and not by_id[9001]["keep"]
+        # no false drops: every dropped id has a true lower-id neighbor
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = v @ v.T
+        for r in rows:
+            if not r["keep"]:
+                i = int(np.where(ids == r["vec_id"])[0][0])
+                lower = np.where(ids < r["vec_id"])[0]
+                assert (sims[i, lower] >= th - 1e-12).any()
+
 
 class TestQueryClaims:
     @pytest.mark.parametrize("name", ["doc_clusters_kmeans",

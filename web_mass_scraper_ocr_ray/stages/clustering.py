@@ -23,10 +23,14 @@ to the lowest centroid id; empty clusters keep their previous centroid
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 from .similarity import _matrix, _normalize
+
+_logger = logging.getLogger(__name__)
 
 
 def _partial_stats(t: pa.Table, cents: np.ndarray,
@@ -153,9 +157,10 @@ def kmeans_assign(emb_ds, centroids: np.ndarray,
     )
 
 
-def semantic_dedup(emb_ds, k: int = 8, threshold: float = 0.9,
+def semantic_dedup(emb_ds, k: int | None = 8, threshold: float = 0.9,
                    n_iters: int = 10, nprobe: int = 2,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster_size: int = 100_000, sub_seed: int = 57):
     """SemDeDup: drop the higher-id member of every within-cluster pair
     with cosine ≥ threshold. Returns (doc/vec id, cluster_id, keep)
     with cluster_id = the primary (nearest-centroid) assignment.
@@ -168,12 +173,28 @@ def semantic_dedup(emb_ds, k: int = 8, threshold: float = 0.9,
     0.79-0.89 (2) → 0.95-1.0 (3) on the sf corpora — at nprobe×
     replication cost. Keep rule: a vector
     is dropped iff some LOWER id in ANY shared cluster is ≥
-    threshold-similar (first-wins, deterministic)."""
+    threshold-similar (first-wins, deterministic).
+
+    Scale safety (r2 VERDICT): a whole cluster must fit one worker, so
+    (a) ``k=None`` auto-sizes k ≈ √N (the knn_ivf heuristic; bounded
+    below by 8) instead of leaving ~N/8-row groups at a fixed default,
+    and (b) any cluster whose MEMBER COUNT still exceeds
+    ``max_cluster_size`` is split into hyperplane-LSH sub-buckets
+    (angular locality preserved — near-identical vectors share all
+    sign bits, so the degenerate many-copies cluster stays comparable;
+    genuinely spread giant clusters trade a little recall for a
+    bounded worker heap, the same approximation ``nprobe`` already
+    makes at the cluster boundary). The cluster-size census is a tiny
+    k-row aggregate, never per-vector driver data."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    if k is None:
+        n_total = emb_ds.count()
+        k = max(8, int(np.sqrt(max(n_total, 0))))
 
     cents, _ = kmeans_fit(emb_ds, k=k, n_iters=n_iters,
                           id_col=id_col, vec_col=vec_col)
-    import ray
-    from ray.data.aggregate import Max, Min
 
     p = min(nprobe, len(cents))
     ref = ray.put(cents)
@@ -216,7 +237,56 @@ def semantic_dedup(emb_ds, k: int = 8, threshold: float = 0.9,
     assigned = emb_ds.select_columns([id_col, vec_col]).map_batches(
         _assign_probes, batch_format="pyarrow"
     )
-    per_group = assigned.groupby("cluster_id").map_groups(
+
+    # giant-cluster guard: census is k tiny rows; only when some
+    # cluster exceeds the budget do we pay the sub-bucketing column
+    sizes = assigned.groupby("cluster_id").count().take_all()
+    bits = {
+        int(r["cluster_id"]): min(
+            int(np.ceil(np.log2(r["count()"] / max_cluster_size))), 21)
+        for r in sizes if r["count()"] > max_cluster_size
+    }
+    if bits:
+        _logger.warning(
+            "semantic_dedup: %d cluster(s) exceed max_cluster_size=%d "
+            "(largest=%d); splitting into hyperplane-LSH sub-buckets "
+            "(angular locality kept; cross-sub-bucket pairs of a SPREAD "
+            "giant cluster are approximated away — run exact dedup "
+            "first if the mass is identical copies)",
+            len(bits), max_cluster_size,
+            max(r["count()"] for r in sizes),
+        )
+        d = cents.shape[1]
+        max_bits = max(bits.values())
+        rng = np.random.RandomState(sub_seed)
+        planes = rng.randn(d, max_bits).astype(np.float64)
+        nb_arr = np.zeros(len(cents), dtype=np.int64)
+        for cid, nb in bits.items():
+            nb_arr[cid] = nb
+        sub_ref = ray.put((planes, nb_arr))
+
+        def _with_gkey(t: pa.Table) -> pa.Table:
+            planes, nb_arr = ray.get(sub_ref)
+            vecs = _normalize(_matrix(t.column(vec_col)))
+            cids = np.asarray(t.column("cluster_id").to_pylist(),
+                              dtype=np.int64)
+            b = (vecs @ planes) > 0
+            v = (b * (1 << np.arange(planes.shape[1]))).sum(axis=1) \
+                .astype(np.int64)
+            sub = v & ((np.int64(1) << nb_arr[cids]) - 1)
+            return t.append_column(
+                "gkey", pa.array(cids * (1 << 21) + sub, pa.int64()))
+
+        keyed = assigned.map_batches(_with_gkey, batch_format="pyarrow")
+    else:
+        def _cluster_as_gkey(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "gkey", pa.compute.cast(t.column("cluster_id"), pa.int64()))
+
+        keyed = assigned.map_batches(_cluster_as_gkey,
+                                     batch_format="pyarrow")
+
+    per_group = keyed.groupby("gkey").map_groups(
         _dedup_group, batch_format="pyarrow"
     )
     # a vector keeps iff NO shared cluster dropped it (min over probes)
