@@ -170,6 +170,12 @@ FROM ext
 WITH {_EXT_CTE}
 SELECT url FROM ext WHERE doc_id % 3 <> 0
 """,
+        # same semantics as resume_filter; the pipeline side runs the
+        # hash-partitioned keyed anti-join instead of a broadcast set
+        "resume_filter_large": f"""
+WITH {_EXT_CTE}
+SELECT url FROM ext WHERE doc_id % 3 <> 0
+""",
         "images_enum": f"""
 WITH {_EXT_CTE}, {_IMGS_CTE},
 rc AS (

@@ -428,3 +428,37 @@ class TestTfidfTopk:
         assert len(rows) == 3
         assert [r["rank"] for r in
                 sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+class TestAntiJoin:
+    def test_string_key_drops_matches(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import anti_join
+
+        left = _ds({"url": [f"https://x.test/{i}" for i in range(20)],
+                    "n": list(range(20))})
+        right = _ds({"url": [f"https://x.test/{i}"
+                             for i in range(0, 20, 3)]})
+        out = anti_join(left, right, on="url").to_pandas()
+        assert sorted(out["n"]) == [i for i in range(20) if i % 3 != 0]
+        # left schema preserved (no pandas dtype coercion en route)
+        assert str(out["n"].dtype) == "int64"
+
+    def test_int_key_and_empty_right(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import anti_join
+
+        left = _ds({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+        out = anti_join(left, _ds({"k": [2, 4, 99]}), on="k").to_pandas()
+        assert sorted(out["v"]) == ["a", "c"]
+
+    def test_matches_broadcast_resume_filter(self, ray_session):
+        """The large-set anti-join path returns the SAME url set as the
+        broadcast resume filter (J2's two variants agree)."""
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_resume_filter,
+            q_resume_filter_large,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        small = sorted(r["url"] for r in q_resume_filter(sf).take_all())
+        large = sorted(r["url"] for r in q_resume_filter_large(sf).take_all())
+        assert small == large

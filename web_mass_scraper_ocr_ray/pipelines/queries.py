@@ -170,6 +170,29 @@ def q_resume_filter(sf_dir: str):
     )
 
 
+def q_resume_filter_large(sf_dir: str):
+    """J2 anti-join resume, LARGE-set variant: identical output to
+    :func:`q_resume_filter` but via the hash-partitioned keyed
+    ``anti_join`` (stages/joins.py) instead of a broadcast set — the
+    path when the committed-url set no longer fits a ``ray.put``
+    (10⁹ urls ≈ tens of GBs). Same oracle as resume_filter."""
+    import ray.data as rd
+
+    from ..stages.joins import anti_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def _committed(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
+        return pa.table({"url": pa.array([page_url(d) for d in ids],
+                                         pa.string())})
+
+    committed = docs.map_batches(_committed, batch_format="pyarrow")
+    left = synth_pages_dataset(sf_dir).select_columns(["url"])
+    return anti_join(left, committed, on="url")
+
+
 def q_images_enum(sf_dir: str):
     """M5 image enumeration + payload routing counts, pre-OCR."""
     ds = synth_pages_dataset(sf_dir).select_columns(
@@ -1495,6 +1518,7 @@ QUERIES: Dict[str, callable] = {
     "top_pages": q_top_pages,
     "dedup_exact_pages": q_dedup_exact_pages,
     "resume_filter": q_resume_filter,
+    "resume_filter_large": q_resume_filter_large,
     "images_enum": q_images_enum,
     "ocr_rollup": q_ocr_rollup,
     "company_join": q_company_join,

@@ -283,3 +283,87 @@ def range_count_join(left_ds, right_ds, key: str, on: str,
     return tagged.map_batches(_pack, batch_format="pyarrow").groupby(
         "coarse"
     ).map_groups(_count_coarse, batch_format="pandas")
+
+
+# ---- keyed anti-join -------------------------------------------------------
+
+def _bucket_of(keys_col, n_buckets: int) -> pa.Array:
+    """Coarse shuffle bucket from a key column (integer or string)."""
+    if pa.types.is_integer(keys_col.type):
+        keys = pc.cast(keys_col, pa.uint64())
+        mixed = pc.multiply(keys, pa.scalar(0x9E3779B97F4A7C15,
+                                            pa.uint64()))
+        bucket = pc.bit_wise_and(
+            pc.shift_right(mixed, pa.scalar(np.uint64(32), pa.uint64())),
+            pa.scalar(np.uint64(n_buckets - 1), pa.uint64()),
+        )
+        return pc.cast(bucket, pa.int64())
+    from ..functions.hashing import fnv64_bulk
+
+    hs = fnv64_bulk(keys_col.to_pylist())
+    return pa.array(
+        ((hs >> np.uint64(32)) & np.uint64(n_buckets - 1)).astype(np.int64)
+    )
+
+
+def anti_join(left_ds, right_keys_ds, on: str,
+              n_buckets: int = N_JOIN_BUCKETS):
+    """LEFT ANTI join: rows of ``left_ds`` whose ``on`` key does NOT
+    appear in ``right_keys_ds`` — the hash-partitioned completion of
+    SURVEY J2 ("broadcast set (small) or hash-partition anti-join
+    (large)"). The broadcast variant (queries.q_resume_filter,
+    state/manifest) is right while the committed set fits the object
+    store; THIS is the resume path at 10^9 committed urls, where the
+    key set itself must stay distributed. Reference analog: the
+    already-scraped skip (reference src/scraper_app/db_utils.py:76-123)
+    lifted to a keyed shuffle.
+
+    Shape: both sides co-partition by hash(key) — ONE all-to-all of
+    the left rows plus the right keys; membership inside each bucket
+    is a vectorized Arrow ``is_in``. No driver state, no broadcast;
+    group memory is bounded by the bucket (raise ``n_buckets`` with
+    the corpus). Right-side rows travel as typed nulls in the left
+    schema so the whole path stays zero-copy Arrow (no pandas dtype
+    coercion of nullable int columns).
+    """
+    schema = left_ds.schema()
+    all_cols = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    if on not in types:
+        raise ValueError(f"anti_join key {on!r} not in left columns "
+                         f"{all_cols}")
+
+    def _left(t: pa.Table) -> pa.Table:
+        cols = {name: t.column(name) for name in all_cols}
+        cols["side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["bucket"] = _bucket_of(
+            t.column(on).combine_chunks(), n_buckets)
+        return pa.table(cols)
+
+    def _right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = pc.cast(t.column(on), types[on]).combine_chunks()
+        cols = {name: (key if name == on else pa.nulls(n, types[name]))
+                for name in all_cols}
+        cols["side"] = pa.array(np.ones(n, np.int8))
+        cols["bucket"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    rows = left_ds.map_batches(_left, batch_format="pyarrow").union(
+        right_keys_ds.select_columns([on]).map_batches(
+            _right, batch_format="pyarrow")
+    )
+
+    def _filter(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        right = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))) \
+                 .column(on).combine_chunks()
+        left = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        if len(right):
+            keep = pc.invert(pc.is_in(left.column(on), value_set=right))
+            left = left.filter(keep)
+        return left.drop_columns(["side", "bucket"])
+
+    return rows.groupby("bucket").map_groups(
+        _filter, batch_format="pyarrow"
+    )
