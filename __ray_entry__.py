@@ -668,6 +668,52 @@ SELECT doc_id,
   pii_hits
 FROM ded
 """,
+        # two-pass dedup path — same semantics, same oracle
+        "corpus_prep_twopass": r"""
+WITH nd AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+),
+w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS w
+  FROM nd
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d
+        FROM wc GROUP BY doc_id),
+q AS (
+  SELECT nd.doc_id, nd.source, a.n AS n_toks,
+    (a.n < 25 OR 10000 - (10000 * a.d) // a.n > 6500) AS lowq,
+    regexp_replace(regexp_replace(regexp_replace(nd.text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,3}-\d{3}-\d{4,}', '<PHONE>', 'g') AS red,
+    CAST(len(regexp_extract_all(nd.text,
+      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})'
+      || '|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)'
+      || '|(?:\+\d{1,3}-\d{3}-\d{4,})')) AS BIGINT) AS pii_hits
+  FROM nd JOIN agg a USING (doc_id)
+),
+ded AS (
+  SELECT q.*,
+    min(doc_id) FILTER (WHERE NOT lowq)
+      OVER (PARTITION BY md5(red)) AS survivor
+  FROM q
+)
+SELECT doc_id,
+  CAST(CASE
+    WHEN lowq THEN 1
+    WHEN doc_id <> survivor THEN 2
+    WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
+         >= 1000 + 700 * (CAST(substr(source, 4) AS BIGINT) % 8) THEN 3
+    ELSE 0 END AS BIGINT) AS drop_reason,
+  CAST(n_toks AS BIGINT) AS n_toks,
+  pii_hits
+FROM ded
+""",
         "token_search": r"""
 WITH w AS (
   SELECT doc_id,

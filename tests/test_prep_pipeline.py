@@ -134,3 +134,50 @@ class TestPrepRun:
         ids = out.loc[out["drop_reason"] == DROP_SAMPLED_OUT,
                       "doc_id"].to_numpy()
         assert (sample_buckets(ids) >= 5000).all()
+
+
+class TestTwoPassDedup:
+    def test_two_pass_matches_one_pass(self, ray_session, tmp_path):
+        """The two-pass scale path (skinny decision shuffle + doc_id
+        update join) is byte-identical to one-pass, including a giant
+        duplicate group that the one-pass shuffle would co-locate."""
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            build_prep_pipeline,
+        )
+
+        n_copies = 300  # one text_hash group far wider than the others
+        rows = {
+            "doc_id": list(range(1, 6)) + list(range(100, 100 + n_copies)),
+            "source": ["src0"] * 5 + ["src1"] * n_copies,
+            "text": [
+                GOOD, GOOD, "tiny doc", "spam " * 100,
+                GOOD + " plus a distinct tail",
+            ] + [GOOD + " viral boilerplate body"] * n_copies,
+        }
+        cfg1 = _cfg(tmp_path / "a",
+                    sample_rates_bp={"src0": 10000, "src1": 10000})
+        cfg2 = _cfg(tmp_path / "b",
+                    sample_rates_bp={"src0": 10000, "src1": 10000},
+                    dedup_two_pass=True)
+        one = build_prep_pipeline(_ds(rows), cfg1).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        two = build_prep_pipeline(_ds(rows), cfg2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        cols = ["doc_id", "drop_reason", "n_toks", "pii_hits", "text"]
+        assert one[cols].equals(two[cols])
+        # the giant group: exactly one survivor
+        giant = two[two["doc_id"] >= 100]
+        assert (giant["drop_reason"] == 0).sum() == 1
+        assert giant.loc[giant["drop_reason"] == 0, "doc_id"].item() == 100
+
+    def test_run_pipeline_two_pass_counters(self, ray_session, tmp_path):
+        from web_mass_scraper_ocr_ray.pipelines.prep_pipeline import (
+            run_prep_pipeline,
+        )
+
+        stats = run_prep_pipeline(_corpus(),
+                                  _cfg(tmp_path, dedup_two_pass=True))
+        assert stats["docs_total"] == 5
+        assert stats["docs_kept"] == 2
+        assert stats["drop_duplicate"] == 1
+        assert stats["drop_lowquality"] == 2

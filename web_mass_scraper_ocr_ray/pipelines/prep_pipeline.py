@@ -59,6 +59,15 @@ class PrepConfig:
     sample_default_bp: int = 10000
     output_dir: Optional[str] = None
     manifest_dirname: str = "_manifest"
+    # Two-pass global dedup — the 100 TB default. One-pass groupby
+    # (text_hash) moves FULL rows (incl. text) keyed by content, so a
+    # viral page's whole text mass lands on one worker; two-pass first
+    # shuffles only (doc_id, text_hash, drop_reason, source) — ~tens
+    # of bytes/row — to compute the dup/sample decisions, then joins
+    # the changed decisions back onto the wide rows keyed by the
+    # UNIFORM doc_id (stages/joins.apply_keyed_updates). Identical
+    # output; the content-keyed shuffle never sees the text column.
+    dedup_two_pass: bool = False
 
 
 def _flag_quality_and_scrub(t: pa.Table, cfg: PrepConfig) -> pa.Table:
@@ -132,19 +141,78 @@ def _mark_dups(g, cfg: PrepConfig):
     return out
 
 
+def _decisions_from_group(g, cfg: PrepConfig):
+    """Skinny two-pass variant of :func:`_mark_dups`: one text_hash
+    group of (doc_id, drop_reason, source) rows → ONLY the rows whose
+    reason CHANGES (duplicate / sampled-out). Text never enters this
+    shuffle. Decision logic is identical — survivor = min doc_id among
+    quality-passers; the survivor takes the deterministic sample
+    draw — so the composed output is byte-identical to one-pass."""
+    import pandas as pd
+
+    from ..stages.sampling import sample_buckets
+
+    reason = g["drop_reason"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    ok = reason == KEEP
+    out_ids: list = []
+    out_reason: list = []
+    if ok.any():
+        survivor = ids[ok].min()
+        dup = ok & (ids != survivor)
+        if dup.any():
+            out_ids.append(ids[dup])
+            out_reason.append(
+                np.full(int(dup.sum()), DROP_DUPLICATE, np.int8))
+        if cfg.sample_rates_bp is not None:
+            srow = ok & (ids == survivor)
+            bucket = int(sample_buckets(ids[srow][:1])[0])
+            stratum = g["source"].to_numpy()[srow][0]
+            rate = cfg.sample_rates_bp.get(stratum, cfg.sample_default_bp)
+            if bucket >= rate:
+                out_ids.append(ids[srow])
+                out_reason.append(np.full(1, DROP_SAMPLED_OUT, np.int8))
+    return pd.DataFrame({
+        "doc_id": (np.concatenate(out_ids) if out_ids
+                   else np.zeros(0, np.int64)).astype(np.int64),
+        "drop_reason": (np.concatenate(out_reason) if out_reason
+                        else np.zeros(0, np.int8)),
+    })
+
+
 def build_prep_pipeline(docs_ds, cfg: Optional[PrepConfig] = None):
     """documents Dataset → flag-annotated Dataset (drop_reason per
-    row; KEEP rows carry the redacted text). Lazy; no driver data."""
+    row; KEEP rows carry the redacted text). Lazy; no driver data.
+
+    ``cfg.dedup_two_pass`` picks the dedup shape (see PrepConfig):
+    one-pass = single content-keyed shuffle of full rows (fine while
+    no text_hash group outgrows a worker); two-pass = skinny
+    content-keyed shuffle for the decisions + uniform doc_id-keyed
+    update join of the changed flags onto the wide rows. The flagging
+    map runs twice on the two-pass path (once per lineage branch) —
+    deterministic stateless compute, traded for never shuffling text
+    by a skewed content key."""
     cfg = cfg or PrepConfig()
 
     flagged = docs_ds.map_batches(
         lambda t: _flag_quality_and_scrub(t, cfg),
         batch_format="pyarrow",
     )
-    # global exact dedup: the one all-to-all, keyed by 64-bit hash
-    return flagged.groupby("text_hash").map_groups(
-        lambda g: _mark_dups(g, cfg), batch_format="pandas"
+    if not cfg.dedup_two_pass:
+        # global exact dedup: the one all-to-all, keyed by 64-bit hash
+        return flagged.groupby("text_hash").map_groups(
+            lambda g: _mark_dups(g, cfg), batch_format="pandas"
+        )
+
+    from ..stages.joins import apply_keyed_updates
+
+    skinny = flagged.select_columns(
+        ["doc_id", "text_hash", "drop_reason", "source"])
+    decisions = skinny.groupby("text_hash").map_groups(
+        lambda g: _decisions_from_group(g, cfg), batch_format="pandas"
     )
+    return apply_keyed_updates(flagged, decisions,
+                               on="doc_id", col="drop_reason")
 
 
 _PREP_COUNTERS = (

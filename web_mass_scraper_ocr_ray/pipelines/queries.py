@@ -1235,6 +1235,31 @@ def q_corpus_prep(sf_dir: str):
     return flagged.map_batches(_out, batch_format="pyarrow")
 
 
+def q_corpus_prep_twopass(sf_dir: str):
+    """Same composed prep flags as :func:`q_corpus_prep`, via the
+    two-pass scale path (skinny decision shuffle + doc_id-keyed update
+    join — PrepConfig.dedup_two_pass). Byte-identical output, same
+    oracle."""
+    from .prep_pipeline import PrepConfig, build_prep_pipeline
+
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    cfg = PrepConfig(min_tokens=PREP_MIN_TOKENS,
+                     max_dup_word_bp=PREP_MAX_DUP_BP,
+                     sample_rates_bp=rates,
+                     dedup_two_pass=True)
+    flagged = build_prep_pipeline(_docs_with_exact_dups(sf_dir), cfg)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "drop_reason": pc.cast(t.column("drop_reason"), pa.int64()),
+            "n_toks": t.column("n_toks"),
+            "pii_hits": t.column("pii_hits"),
+        })
+
+    return flagged.map_batches(_out, batch_format="pyarrow")
+
+
 def q_main_content(sf_dir: str):
     """Boilerplate-strip main-content extraction (north_star DOM
     heuristics) over the deterministic boilerplate corpus. The oracle
@@ -1562,6 +1587,7 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_corpus_freq": q_doc_corpus_freq,
     "corpus_prep": q_corpus_prep,
+    "corpus_prep_twopass": q_corpus_prep_twopass,
     "token_search": q_token_search,
     "main_content": q_main_content,
     "dom_block_stats": q_dom_block_stats,

@@ -367,3 +367,81 @@ def anti_join(left_ds, right_keys_ds, on: str,
     return rows.groupby("bucket").map_groups(
         _filter, batch_format="pyarrow"
     )
+
+
+def apply_keyed_updates(rows_ds, updates_ds, on: str, col: str,
+                        n_buckets: int = N_JOIN_BUCKETS):
+    """LEFT UPDATE join: overwrite ``col`` of ``rows_ds`` with the
+    value carried by ``updates_ds`` (columns exactly ``[on, col]``,
+    unique keys) wherever keys match; unmatched rows keep their value.
+
+    Same one-shuffle hash co-partition as :func:`anti_join`; inside a
+    bucket the lookup is a numpy searchsorted over the (sorted) update
+    keys — int64 keys only, which is what a doc_id-keyed decision
+    table needs. The point at corpus scale: a skinny decision table
+    (key + one small column) can be joined onto wide rows WITHOUT
+    broadcasting it and WITHOUT shuffling the wide rows by a skewed
+    content key — the shuffle key here is the uniform ``on`` id.
+    """
+    schema = rows_ds.schema()
+    all_cols = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    for c in (on, col):
+        if c not in types:
+            raise ValueError(f"apply_keyed_updates: {c!r} not in rows "
+                             f"columns {all_cols}")
+    if not pa.types.is_integer(types[on]):
+        raise ValueError("apply_keyed_updates requires an integer key")
+
+    def _rows(t: pa.Table) -> pa.Table:
+        cols = {name: t.column(name) for name in all_cols}
+        cols["side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["bucket"] = _bucket_of(
+            t.column(on).combine_chunks(), n_buckets)
+        return pa.table(cols)
+
+    def _upd(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = pc.cast(t.column(on), types[on]).combine_chunks()
+        val = pc.cast(t.column(col), types[col])
+        cols = {}
+        for name in all_cols:
+            if name == on:
+                cols[name] = key
+            elif name == col:
+                cols[name] = val
+            else:
+                cols[name] = pa.nulls(n, types[name])
+        cols["side"] = pa.array(np.ones(n, np.int8))
+        cols["bucket"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    rows = rows_ds.map_batches(_rows, batch_format="pyarrow").union(
+        updates_ds.select_columns([on, col]).map_batches(
+            _upd, batch_format="pyarrow")
+    )
+
+    def _apply(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        upd = g.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        base = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        if upd.num_rows and base.num_rows:
+            k = upd.column(on).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = upd.column(col).to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            k, v = k[order], v[order]
+            bk = base.column(on).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            idx = np.clip(np.searchsorted(k, bk), 0, len(k) - 1)
+            hit = k[idx] == bk
+            vals = base.column(col).to_numpy(zero_copy_only=False).copy()
+            vals[hit] = v[idx][hit]
+            i = base.column_names.index(col)
+            base = base.set_column(
+                i, col, pa.array(vals).cast(types[col]))
+        return base.drop_columns(["side", "bucket"])
+
+    return rows.groupby("bucket").map_groups(
+        _apply, batch_format="pyarrow"
+    )
