@@ -123,3 +123,32 @@ class TestDecontaminate:
         train = _from_rows([{"doc_id": 0, "text": "a b c d"}])
         (row,) = decontaminate(train, bench, n=3).take_all()
         assert row["n_grams"] == 2 and row["n_contaminated"] == 0
+
+
+class TestBoilerplateSizeGuard:
+    def test_adversarial_every_line_frequent_raises(self, ray_session):
+        """Adversarial corpus where EVERY line is boilerplate: the
+        'small by definition' broadcast assumption breaks and the guard
+        must refuse loudly instead of pulling the set to the driver."""
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.decontam import (
+            remove_boilerplate_lines,
+        )
+
+        shared = "\n".join(f"shared line {i}" for i in range(50))
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "source": pa.array(["s"] * 10),
+            "text": pa.array([shared] * 10),
+        }))
+        with pytest.raises(ValueError, match="not small"):
+            remove_boilerplate_lines(docs, min_docs=2,
+                                     max_boiler_lines=10)
+        with pytest.raises(ValueError, match="not small"):
+            remove_boilerplate_lines(docs, min_docs=2,
+                                     max_boiler_bytes=64)
+        # generous budget → same corpus passes and strips everything
+        out = remove_boilerplate_lines(docs, min_docs=2).take_all()
+        assert all(r["text_clean"] == "" for r in out)
+        assert all(r["n_boiler"] == 50 for r in out)

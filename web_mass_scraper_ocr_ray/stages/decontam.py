@@ -92,7 +92,9 @@ def _join_keys(grp: pa.Array, lines: pa.Array) -> pa.Array:
 
 def remove_boilerplate_lines(docs_ds, min_docs: int = 3,
                              group_col: str = "source",
-                             text_col: str = "text", delim: str = "\n"):
+                             text_col: str = "text", delim: str = "\n",
+                             max_boiler_lines: int = 5_000_000,
+                             max_boiler_bytes: int = 256 << 20):
     """Strip lines appearing in ≥ min_docs documents of the same group.
 
     → (doc_id, text_clean, n_lines, n_boiler); text_clean keeps the
@@ -102,6 +104,14 @@ def remove_boilerplate_lines(docs_ds, min_docs: int = 3,
     filtered to ≥ min_docs) is the SMALL side by definition — repeated
     content — and is broadcast once via ``ray.put`` as a sorted key
     array; membership inside each batch is a vectorized searchsorted.
+
+    Belt-and-braces: "small by definition" is an assumption, so it is
+    ENFORCED — the frequent-line set is materialized (object store,
+    spillable) and its row/byte census checked against
+    ``max_boiler_lines``/``max_boiler_bytes`` BEFORE anything reaches
+    driver pandas or a broadcast. Overflow raises with the remedies
+    (raise min_docs, raise the budget, or strip per-(group, line) via
+    a keyed membership join) instead of silently OOMing the driver.
     """
     import ray
     import pyarrow.compute as pc
@@ -112,7 +122,22 @@ def remove_boilerplate_lines(docs_ds, min_docs: int = 3,
         return t.filter(pc.greater_equal(t.column("n_docs"),
                                          pa.scalar(min_docs)))
 
-    boiler = freq.map_batches(_frequent, batch_format="pyarrow").to_pandas()
+    boiler_ds = freq.map_batches(
+        _frequent, batch_format="pyarrow"
+    ).materialize()
+    n_boiler_keys = boiler_ds.count()
+    boiler_bytes = boiler_ds.size_bytes() or 0
+    if (n_boiler_keys > max_boiler_lines
+            or boiler_bytes > max_boiler_bytes):
+        raise ValueError(
+            f"remove_boilerplate_lines: frequent-line set is not small "
+            f"({n_boiler_keys} lines, {boiler_bytes} bytes; budget "
+            f"{max_boiler_lines} lines / {max_boiler_bytes} bytes). "
+            f"Raise min_docs (currently {min_docs}) or the budget, or "
+            f"switch to a keyed membership join on (group, line) "
+            f"instead of the broadcast path."
+        )
+    boiler = boiler_ds.to_pandas()
     # a fully-filtered Dataset surfaces as a 0-column frame
     vals = (boiler["gl"].to_numpy() if "gl" in boiler.columns
             else np.empty(0, dtype=object))
