@@ -64,6 +64,19 @@ FIXTURES = [
     b'<img data-src="d.png" src="r.png">',
     b'<img alt="src is decoy" src="real.png">',
     b'<img srcset="a.png 2x" src="b.png">',
+    # same-document <style> class visibility (VERDICT r2 missing #3)
+    b'<style>.gone{display:none}</style><p class="gone">x</p><p>y</p>',
+    b'<style>.gone{visibility: hidden;}</style><span class="a gone">x</span>y',
+    b'<p class="gone">x</p><style>.gone{display:none}</style><p>y</p>',
+    b'<style>/* .fake{display:none} */ .real{display:none}</style>'
+    b'<p class="fake">a</p><p class="real">b</p>',
+    b'<style>.a,.b{display:none}</style><p class=a>x</p><p class=b>y</p>z',
+    b'<style>div.compound{display:none}</style><div class="compound">kept</div>',
+    b'<style>.gone{color:red}</style><p class="gone">kept</p>',
+    b'<style>.gone{display:none}</style><p class="gonezo">kept</p>',
+    b'<STYLE>.g{DISPLAY:NONE}</STYLE><p CLASS="g">x</p>y',
+    b'<style>.g{display:none}</style><div class="g"><img src="h.png"></div>'
+    b'<img src="v.png">',
 ]
 
 

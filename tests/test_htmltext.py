@@ -72,6 +72,68 @@ class TestSkipTags:
         assert text_of(b"<svg><text>sv</text></svg>ok<iframe>if</iframe>") == "ok"
 
 
+class TestStyleBlockClasses:
+    """Same-document <style> .class{display:none} map (VERDICT r2 #3).
+
+    A browser's inner_text honors the full CSS cascade (reference
+    scraper.py:210-215); the no-browser approximation applies SIMPLE
+    single-class selectors only, document-wide.
+    """
+
+    def test_display_none_class(self):
+        html = b'<style>.gone{display:none}</style><p class="gone">x</p><p>y</p>'
+        assert text_of(html) == "y"
+
+    def test_visibility_hidden_class(self):
+        html = b'<style>.h{visibility: hidden;}</style><span class="h">x</span>y'
+        assert text_of(html) == "y"
+
+    def test_style_block_after_element_still_applies(self):
+        # CSS is document-wide, not positional
+        html = b'<p class="gone">x</p><style>.gone{display:none}</style><p>y</p>'
+        assert text_of(html) == "y"
+
+    def test_class_token_list(self):
+        html = b'<style>.gone{display:none}</style><p class="a gone b">x</p>y'
+        assert text_of(html) == "y"
+
+    def test_token_match_not_substring(self):
+        html = b'<style>.gone{display:none}</style><p class="gonezo">kept</p>'
+        assert text_of(html) == "kept"
+
+    def test_comma_selector_list(self):
+        html = b'<style>.a,.b{display:none}</style><p class=a>x</p><p class=b>y</p>z'
+        assert text_of(html) == "z"
+
+    def test_compound_selector_conservatively_ignored(self):
+        # div.c / .a .b / pseudo-classes never hide (would need a cascade)
+        html = b'<style>div.c{display:none}</style><div class="c">kept</div>'
+        assert text_of(html) == "kept"
+
+    def test_non_hiding_rule_ignored(self):
+        html = b'<style>.red{color:red}</style><p class="red">kept</p>'
+        assert text_of(html) == "kept"
+
+    def test_css_comment_stripped(self):
+        html = (
+            b"<style>/* .fake{display:none} */ .real{display:none}</style>"
+            b'<p class="fake">a</p><p class="real">b</p>'
+        )
+        assert text_of(html) == "a"
+
+    def test_hidden_class_imgs_still_enumerated(self):
+        # query_selector_all('img') sees hidden elements (scraper.py:219)
+        from web_mass_scraper_ocr_ray.functions.htmltext import extract_visible_text
+
+        html = (
+            b'<style>.g{display:none}</style>'
+            b'<div class="g"><img src="h.png"></div><img src="v.png">'
+        )
+        r = extract_visible_text(html)
+        assert r.text == ""
+        assert r.images == ["h.png", "v.png"]
+
+
 class TestNested:
     def test_inline_no_space_inserted(self):
         assert text_of(b"a<b>b</b><i>c</i>d") == "abcd"

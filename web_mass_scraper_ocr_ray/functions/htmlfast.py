@@ -36,6 +36,8 @@ from .htmltext import (
     _VOID_TAGS,
     ExtractResult,
     Span,
+    _class_hit,
+    hidden_classes_from_html,
 )
 from .textclean import clean_text
 
@@ -62,6 +64,7 @@ _ATTRFIND = re.compile(
 _ATTR_LEAD = re.compile(r"(?:\s|/(?!>))*")
 # cheap gate: full attr parsing only runs when a relevant name can occur
 _VIS_PRECHECK = re.compile(r"hidden|style", re.I)
+_CLASS_PRECHECK = re.compile(r"class", re.I)
 _SRC_PRECHECK = re.compile(r"src", re.I)
 # fast path for the overwhelmingly common shape — the WHOLE attrs chunk
 # is a single src attribute, so no other attr name can shadow it
@@ -96,12 +99,17 @@ def _iter_attrs(attrs: str):
         k = m.end()
 
 
-def _is_hidden_attrs(attrs: str) -> bool:
+def _is_hidden_attrs(attrs: str,
+                     hidden_classes: frozenset = frozenset()) -> bool:
     """hidden iff an attribute NAMED 'hidden' exists (any value — the
     HTML spec makes hidden a boolean attribute, so hidden="false" still
-    hides) or an attribute NAMED 'style' contains display:none /
-    visibility:hidden. Matches htmltext._VisibleTextParser._is_hidden."""
-    if not attrs or not _VIS_PRECHECK.search(attrs):
+    hides), an attribute NAMED 'style' contains display:none /
+    visibility:hidden, or a 'class' token is hidden by a same-document
+    <style> block. Matches htmltext._VisibleTextParser._is_hidden."""
+    if not attrs:
+        return False
+    if not _VIS_PRECHECK.search(attrs) and not (
+            hidden_classes and _CLASS_PRECHECK.search(attrs)):
         return False
     for name, value in _iter_attrs(attrs):
         if name == "hidden":
@@ -110,6 +118,9 @@ def _is_hidden_attrs(attrs: str) -> bool:
             style = value.replace(" ", "").lower()
             if "display:none" in style or "visibility:hidden" in style:
                 return True
+        if (name == "class" and hidden_classes
+                and _class_hit(value, hidden_classes)):
+            return True
     return False
 
 
@@ -153,6 +164,7 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
     if isinstance(html, memoryview):
         html = html.tobytes()
     s = html.decode("utf-8", errors="replace")
+    hidden_classes = hidden_classes_from_html(s)
 
     stack: List[str] = []
     hidden_deltas: List[int] = []
@@ -229,7 +241,7 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
                 pos = cm.end() if cm else n
                 continue
 
-            hidden = _is_hidden_attrs(attrs)
+            hidden = _is_hidden_attrs(attrs, hidden_classes)
             self_closing = bool(attrs) and attrs.rstrip().endswith("/")
 
             if tag == "p" and stack and stack[-1] == "p":

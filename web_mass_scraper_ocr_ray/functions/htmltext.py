@@ -18,11 +18,12 @@ two adjacent runs. Therefore:
   - non-rendered subtrees contribute nothing: ``script``, ``style``,
     ``template``, ``noscript`` (JS-on browsers treat its content as raw
     text), ``head`` (and ``title``), ``iframe``, ``svg``;
-  - elements with the ``hidden`` attribute or an inline
-    ``display:none`` / ``visibility:hidden`` style are excluded, as
-    rendered ``inner_text`` excludes them (we support inline styles
-    only — there is no external-CSS cascade without a browser; fixtures
-    pin this, FIXTURES.md §1);
+  - elements with the ``hidden`` attribute, an inline ``display:none``
+    / ``visibility:hidden`` style, or a class hidden by a
+    SAME-DOCUMENT ``<style>`` block (simple ``.class`` selectors only
+    — see ``hidden_classes_from_html``) are excluded, as rendered
+    ``inner_text`` excludes them (there is no external-CSS cascade
+    without a browser; fixtures pin this, FIXTURES.md §1);
   - a document with no content (or undecodable bytes) yields ""
     (reference empty-body fallback, scraper.py:212-214). Implicit-body
     semantics: anything outside ``head`` is body content, matching
@@ -74,6 +75,48 @@ _BLOCK_TAGS = frozenset({
 # enough to keep the open-element stack sane on real-world markup).
 _P_CLOSERS = _BLOCK_TAGS - {"html", "body"}
 
+# ---- same-document <style> class visibility -------------------------------
+# A browser's inner_text also honors `<style>.x{display:none}</style>`
+# classes (reference scraper.py:210-215 renders with the full cascade).
+# This is the minimal no-browser approximation: collect class names from
+# SIMPLE single-class selectors (`.foo`) whose rule body contains
+# display:none / visibility:hidden, document-wide (a pre-scan, so style
+# blocks after the element still apply, like real CSS). Compound
+# selectors (`div.foo`, `.a .b`, pseudo-classes) are conservatively
+# IGNORED — an unmatched rule never hides content that a browser would
+# show. External stylesheets remain out of scope (SURVEY §7.4 fidelity
+# bound: no network, no cascade).
+import re as _re
+
+_STYLE_BLOCK_RE = _re.compile(r"<\s*style\b[^>]*>(.*?)</\s*style\s*>",
+                              _re.I | _re.S)
+_CSS_COMMENT_RE = _re.compile(r"/\*.*?\*/", _re.S)
+_CSS_RULE_RE = _re.compile(r"([^{}]+)\{([^{}]*)\}", _re.S)
+_CLASS_SELECTOR_RE = _re.compile(r"\.([A-Za-z_][\w-]*)\Z")
+
+
+def hidden_classes_from_html(s: str) -> frozenset:
+    """Class names hidden by same-document ``<style>`` blocks."""
+    if "<style" not in s and "<STYLE" not in s and "<Style" not in s:
+        return frozenset()
+    classes: set = set()
+    for m in _STYLE_BLOCK_RE.finditer(s):
+        css = _CSS_COMMENT_RE.sub("", m.group(1))
+        for rm in _CSS_RULE_RE.finditer(css):
+            body = rm.group(2).replace(" ", "").replace("\t", "").lower()
+            if ("display:none" not in body
+                    and "visibility:hidden" not in body):
+                continue
+            for part in rm.group(1).split(","):
+                cm = _CLASS_SELECTOR_RE.match(part.strip())
+                if cm:
+                    classes.add(cm.group(1))
+    return frozenset(classes)
+
+
+def _class_hit(value: Optional[str], hidden_classes: frozenset) -> bool:
+    return bool(value) and not hidden_classes.isdisjoint(value.split())
+
 
 @dataclass
 class Span:
@@ -97,8 +140,9 @@ class ExtractResult:
 class _VisibleTextParser(HTMLParser):
     """One-pass SAX walk accumulating (raw_segment, dom_path) pairs."""
 
-    def __init__(self) -> None:
+    def __init__(self, hidden_classes: frozenset = frozenset()) -> None:
         super().__init__(convert_charrefs=True)
+        self._hidden_classes = hidden_classes
         self._stack: List[str] = []
         self._raw_skip = 0     # inside script/style/template/noscript
         self._text_skip = 0    # inside head/hidden/etc. (imgs still seen)
@@ -120,8 +164,7 @@ class _VisibleTextParser(HTMLParser):
             self._buf = []
             self._buf_path = None
 
-    @staticmethod
-    def _is_hidden(attrs) -> bool:
+    def _is_hidden(self, attrs) -> bool:
         for name, value in attrs:
             if name == "hidden":
                 return True
@@ -129,6 +172,9 @@ class _VisibleTextParser(HTMLParser):
                 style = value.replace(" ", "").lower()
                 if "display:none" in style or "visibility:hidden" in style:
                     return True
+            if (name == "class" and self._hidden_classes
+                    and _class_hit(value, self._hidden_classes)):
+                return True
         return False
 
     # -- HTMLParser hooks ---------------------------------------------
@@ -231,7 +277,7 @@ def extract_visible_text(html: Optional[bytes]) -> ExtractResult:
     if isinstance(html, memoryview):
         html = html.tobytes()
     text_str = html.decode("utf-8", errors="replace")
-    parser = _VisibleTextParser()
+    parser = _VisibleTextParser(hidden_classes_from_html(text_str))
     try:
         parser.feed(text_str)
         parser.close()
