@@ -338,9 +338,13 @@ def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
 
     Two-phase: tokenize + Arrow C++ hash-aggregate INSIDE each batch
     (the combiner — shuffles O(batch vocab), never token instances),
-    then a small groupby-sum over partials and a distributed sort +
-    limit. Exact counts; for top-k under adversarial skew at 100 TB
-    the same shape works with a count-min + heap per batch."""
+    then a small groupby-sum over partials. The final sort never
+    touches the whole vocab table: after the groupby each word appears
+    exactly ONCE, so a per-block top-k is an exact partial and the
+    distributed sort only sees the k × n_blocks sliver. Exact counts;
+    for top-k under adversarial skew at 100 TB the same shape works
+    with a count-min + heap per batch."""
+    import pyarrow.compute as pc_
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -353,9 +357,16 @@ def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
             [([], "count_all")])
         return res.rename_columns(["word", "n"])
 
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc_.sort_indices(
+            t, sort_keys=[("n", "descending"), ("word", "ascending")])
+        return t.take(idx[:k])
+
     return docs_ds.map_batches(
         _partial, batch_format="pyarrow"
-    ).groupby("word").aggregate(Sum("n", alias_name="n")).sort(
+    ).groupby("word").aggregate(Sum("n", alias_name="n")).map_batches(
+        _block_top, batch_format="pyarrow"
+    ).sort(
         ["n", "word"], descending=[True, False]
     ).limit(k)
 
