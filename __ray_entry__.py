@@ -176,6 +176,12 @@ SELECT url FROM ext WHERE doc_id % 3 <> 0
 WITH {_EXT_CTE}
 SELECT url FROM ext WHERE doc_id % 3 <> 0
 """,
+        # same semantics again; the pipeline side routes bloom-negative
+        # rows past the shuffle and exact-checks the positive sliver
+        "resume_filter_bloom": f"""
+WITH {_EXT_CTE}
+SELECT url FROM ext WHERE doc_id % 3 <> 0
+""",
         "images_enum": f"""
 WITH {_EXT_CTE}, {_IMGS_CTE},
 rc AS (

@@ -193,6 +193,31 @@ def q_resume_filter_large(sf_dir: str):
     return anti_join(left, committed, on="url")
 
 
+def q_resume_filter_bloom(sf_dir: str):
+    """J2 anti-join resume, Bloom-routed variant: identical output to
+    :func:`q_resume_filter`, via ``membership.bloom_anti_join`` — the
+    middle rung where the committed-key BITSET fits a broadcast after
+    the raw keys no longer do. Bloom negatives skip the shuffle;
+    positives get the exact keyed anti-join. Same oracle."""
+    import ray.data as rd
+
+    from ..stages.membership import bloom_anti_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def _committed(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
+        return pa.table({"url": pa.array([page_url(d) for d in ids],
+                                         pa.string())})
+
+    committed = docs.map_batches(_committed, batch_format="pyarrow")
+    left = synth_pages_dataset(sf_dir).select_columns(["url"])
+    # small log2_bits on purpose: the sf corpora then exercise real
+    # false positives through the exact-check branch
+    return bloom_anti_join(left, committed, on="url", log2_bits=16)
+
+
 def q_images_enum(sf_dir: str):
     """M5 image enumeration + payload routing counts, pre-OCR."""
     ds = synth_pages_dataset(sf_dir).select_columns(
@@ -1544,6 +1569,7 @@ QUERIES: Dict[str, callable] = {
     "dedup_exact_pages": q_dedup_exact_pages,
     "resume_filter": q_resume_filter,
     "resume_filter_large": q_resume_filter_large,
+    "resume_filter_bloom": q_resume_filter_bloom,
     "images_enum": q_images_enum,
     "ocr_rollup": q_ocr_rollup,
     "company_join": q_company_join,
