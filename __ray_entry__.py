@@ -614,6 +614,13 @@ FROM documents
 WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
       < 1000 + 700 * (CAST(substr(source, 4) AS BIGINT) % 8)
 """,
+        "doc_cap_per_source": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
         "doc_corpus_freq": r"""
 WITH w AS (
   SELECT doc_id,

@@ -1,0 +1,76 @@
+"""cap_per_group (stages/sampling.py) — the per-domain cap.
+
+Exactness contract: output == first k rows per group under the order,
+regardless of how rows are split across batches (the per-batch partial
+must never cut a row that belongs to the global top-k).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from web_mass_scraper_ocr_ray.stages.sampling import (
+    _group_topk,
+    cap_per_group,
+)
+
+
+class TestGroupTopkKernel:
+    def test_basic(self):
+        t = pa.table({
+            "g": ["a", "b", "a", "a", "b"],
+            "o": [3, 1, 1, 2, 2],
+        })
+        out = _group_topk(t, "g", 2, [("o", "ascending")])
+        rows = sorted(zip(out.column("g").to_pylist(),
+                          out.column("o").to_pylist()))
+        assert rows == [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+
+    def test_k_exceeds_group(self):
+        t = pa.table({"g": ["a"], "o": [9]})
+        out = _group_topk(t, "g", 5, [("o", "ascending")])
+        assert out.num_rows == 1
+
+    def test_empty(self):
+        t = pa.table({"g": pa.array([], pa.string()),
+                      "o": pa.array([], pa.int64())})
+        assert _group_topk(t, "g", 3, [("o", "ascending")]).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCapPerGroup:
+    def test_hot_group_spanning_blocks(self):
+        """A 600-row 'viral' domain split over many blocks must still
+        yield exactly its k globally-first rows."""
+        import ray.data as rd
+
+        rng = np.random.RandomState(7)
+        order = rng.permutation(600)
+        tables = [
+            pa.table({
+                "host": pa.array(["hot"] * 60 + [f"cold{i}" for i in range(5)]),
+                "ord": pa.array(list(order[b * 60:(b + 1) * 60])
+                                + list(range(5)), pa.int64()),
+            })
+            for b in range(10)
+        ]
+        ds = rd.from_arrow(tables)
+        out = cap_per_group(ds, "host", k=4, order_col="ord").to_pandas()
+        hot = sorted(out[out.host == "hot"]["ord"].tolist())
+        assert hot == [0, 1, 2, 3]  # the 4 globally smallest, not per-block
+        # every cold group kept at most 4 of its 10 duplicated ords
+        for g, sub in out[out.host != "hot"].groupby("host"):
+            i = int(g[4:])  # cold<i> carries ord=i in all 10 blocks
+            assert len(sub) == 4 and sorted(sub["ord"]) == [i] * 4
+
+    def test_tiebreak_column(self):
+        import ray.data as rd
+
+        t = pa.table({
+            "g": ["x"] * 4,
+            "o": [1, 1, 1, 1],
+            "tie": [4, 2, 3, 1],
+        })
+        out = cap_per_group(rd.from_arrow(t), "g", k=2,
+                            order_col="o", tiebreak_col="tie").to_pandas()
+        assert sorted(out["tie"].tolist()) == [1, 2]

@@ -1178,6 +1178,19 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+def q_doc_cap_per_source(sf_dir: str):
+    """Per-domain cap: keep the first 5 documents (by doc_id) of
+    every source — bounds any one host's contribution to a training
+    corpus. Exact two-phase top-k: per-batch per-group partials prune
+    hot domains BEFORE the shuffle (stages/sampling.cap_per_group)."""
+    from ..stages.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        group_col="source", k=5, order_col="doc_id",
+    )
+
+
 def q_doc_corpus_freq(sf_dir: str):
     """Model-based-quality-scoring shape: two-pass corpus unigram
     frequency table, broadcast once, vectorized per-doc scoring."""
@@ -1611,6 +1624,7 @@ QUERIES: Dict[str, callable] = {
     "vocab_topk": q_vocab_topk,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_cap_per_source": q_doc_cap_per_source,
     "doc_corpus_freq": q_doc_corpus_freq,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_twopass": q_corpus_prep_twopass,

@@ -53,3 +53,49 @@ def stratified_sample(ds, id_col: str, strata_col: str,
         return t.filter(pa.array(buckets < limits))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _group_topk(t: pa.Table, group_col: str, k: int,
+                sort_keys) -> pa.Table:
+    """First k rows of each group under ``sort_keys`` order — fully
+    vectorized: one multi-key sort, then rank-within-group from the
+    first-occurrence index of each (sorted) group run."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending")]
+                          + list(sort_keys))
+    s = t.take(idx)
+    grp = s.column(group_col).to_numpy(zero_copy_only=False)
+    # first index of each run of equal group values (sorted ⇒ runs)
+    change = np.empty(len(grp), dtype=bool)
+    change[0] = True
+    change[1:] = grp[1:] != grp[:-1]
+    first = np.maximum.accumulate(
+        np.where(change, np.arange(len(grp)), 0))
+    rank = np.arange(len(grp)) - first
+    return s.filter(pa.array(rank < k))
+
+
+def cap_per_group(ds, group_col: str, k: int, order_col: str,
+                  tiebreak_col: str | None = None):
+    """Keep the first ``k`` rows of every group, ordered by
+    ``(order_col, tiebreak_col)`` — the per-domain cap of web-corpus
+    prep (bound any one host's contribution to the training set).
+
+    Exact two-phase: a per-batch per-group top-k is a valid PARTIAL
+    (a batch's rows beyond its own k-th for a group can never be in
+    that group's global top-k), so the groupby shuffle carries at most
+    k rows per (group, batch) instead of every row of hot domains —
+    the same pruning shape as vocab_topk. The final per-group top-k
+    runs inside ``map_groups``; group memory is bounded by
+    k × n_blocks rows, not by the hottest domain's row count.
+    """
+    keys = [(order_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else [])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return _group_topk(t, group_col, k, keys)
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(group_col).map_groups(_partial, batch_format="pyarrow")
