@@ -913,6 +913,36 @@ SELECT a.doc_id,
   CAST(a.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_boiler
 FROM agg a LEFT JOIN kept k USING (doc_id)
 """,
+        # keep-first line dedup over the same 4-line reshaped corpus as
+        # doc_boilerplate; rn=1 marks each line's globally first
+        # (doc_id, pos) occurrence, empties are always kept
+        "doc_dedup_lines": r"""
+WITH src AS (
+  SELECT doc_id,
+    string_split('nav menu ' || source || chr(10) || text || chr(10)
+      || 'cookie consent banner' || chr(10) || 'ref ' || doc_id,
+      chr(10)) AS ls
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line,
+         len(ls) AS n_lines
+  FROM src, unnest(range(1, len(ls) + 1)) AS u(i)
+),
+rk AS (
+  SELECT doc_id, pos, line, n_lines,
+    CASE WHEN line = '' THEN 1 ELSE
+      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+    END AS rn
+  FROM ln
+)
+SELECT doc_id,
+  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (rn = 1), '')
+    AS text_dedup,
+  CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+  CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+FROM rk GROUP BY doc_id
+""",
         "doc_decontaminate": r"""
 WITH tr AS (
   SELECT doc_id, text FROM documents

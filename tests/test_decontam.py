@@ -152,3 +152,51 @@ class TestBoilerplateSizeGuard:
         out = remove_boilerplate_lines(docs, min_docs=2).take_all()
         assert all(r["text_clean"] == "" for r in out)
         assert all(r["n_boiler"] == 50 for r in out)
+
+
+class TestDedupLinesKeepFirst:
+    def _out(self, rows):
+        from web_mass_scraper_ocr_ray.stages.decontam import (
+            dedup_lines_keep_first,
+        )
+
+        out = dedup_lines_keep_first(_from_rows(rows)).take_all()
+        return {r["doc_id"]: r for r in out}
+
+    def test_keep_first_across_docs(self, ray_session):
+        got = self._out([
+            {"doc_id": 0, "text": "shared\nunique0"},
+            {"doc_id": 1, "text": "unique1\nshared"},
+            {"doc_id": 2, "text": "shared"},
+        ])
+        assert got[0]["text_dedup"] == "shared\nunique0"
+        assert got[1]["text_dedup"] == "unique1"
+        assert got[2]["text_dedup"] == ""
+        assert (got[0]["n_dropped"], got[1]["n_dropped"],
+                got[2]["n_dropped"]) == (0, 1, 1)
+
+    def test_within_doc_later_copy_drops(self, ray_session):
+        got = self._out([{"doc_id": 5, "text": "a\nb\na"}])
+        assert got[5]["text_dedup"] == "a\nb"
+        assert got[5]["n_lines"] == 3 and got[5]["n_dropped"] == 1
+
+    def test_empty_lines_always_kept(self, ray_session):
+        got = self._out([
+            {"doc_id": 0, "text": "x\n\ny"},
+            {"doc_id": 1, "text": "\n\nx"},
+        ])
+        assert got[0]["text_dedup"] == "x\n\ny"
+        # doc 1 loses 'x' (doc 0 owns it) but keeps both empties
+        assert got[1]["text_dedup"] == "\n"
+        assert got[1]["n_lines"] == 3 and got[1]["n_dropped"] == 1
+
+    def test_position_breaks_tie_within_doc(self, ray_session):
+        # first occurrence by (doc_id, pos): doc 0 pos 0 wins over pos 2
+        got = self._out([{"doc_id": 0, "text": "t\nmid\nt\nend"}])
+        assert got[0]["text_dedup"] == "t\nmid\nend"
+
+    def test_every_doc_in_output(self, ray_session):
+        rows = [{"doc_id": i, "text": f"only{i}"} for i in range(20)]
+        got = self._out(rows)
+        assert len(got) == 20
+        assert all(got[i]["text_dedup"] == f"only{i}" for i in range(20))

@@ -1430,6 +1430,16 @@ def q_doc_boilerplate(sf_dir: str):
         _docs_with_lines(sf_dir), min_docs=3, group_col="source")
 
 
+def q_doc_dedup_lines(sf_dir: str):
+    """Corpus-wide keep-first line dedup (Lee-et-al keep-one policy at
+    line granularity): every distinct non-empty line survives only at
+    its globally first (doc_id, pos) occurrence. Runs on the same
+    4-line reshaped corpus as doc_boilerplate, where the nav/cookie
+    lines repeat across documents and the body repeats whenever the
+    underlying text does."""
+    return dc.dedup_lines_keep_first(_docs_with_lines(sf_dir))
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Token-8-gram benchmark decontamination: docs with doc_id % 97
     == 0 form the held-out benchmark; the training corpus is documents
@@ -1634,6 +1644,7 @@ QUERIES: Dict[str, callable] = {
     "pdf_payloads": q_pdf_payloads,
     "pdf_status_rollup": q_pdf_status_rollup,
     "doc_boilerplate": q_doc_boilerplate,
+    "doc_dedup_lines": q_doc_dedup_lines,
     "doc_decontaminate": q_doc_decontaminate,
     "dedup_spans": q_dedup_spans,
     "dedup_incremental": q_dedup_incremental,

@@ -261,3 +261,179 @@ def decontaminate(train_ds, bench_ds, n: int = 8, text_col: str = "text"):
         })
 
     return train_ds.map_batches(_flag, batch_format="pyarrow")
+
+
+# ---- corpus-wide line dedup (keep-first) ----------------------------------
+
+def _lines_with_pos(t: pa.Table, text_col: str, delim: str):
+    """batch → (row index, within-doc line position, flat line values).
+    Positions count ALL lines (empties included) so a drop decision
+    lands on the right original index at rebuild time."""
+    import pyarrow.compute as pc
+
+    ls = pc.split_pattern(t.column(text_col), delim)
+    row = np.asarray(pc.list_parent_indices(ls), dtype=np.int64)
+    flat = pc.list_flatten(ls).combine_chunks()
+    n = len(row)
+    if n:
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = row[1:] != row[:-1]
+        firsts = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0))
+        pos = np.arange(n) - firsts
+    else:
+        pos = np.empty(0, np.int64)
+    return row, pos, flat
+
+
+def dedup_lines_keep_first(docs_ds, id_col: str = "doc_id",
+                           text_col: str = "text", delim: str = "\n",
+                           n_coarse: int = 64):
+    """CCNet-style corpus-wide line (paragraph) dedup: every distinct
+    non-empty line survives in exactly ONE place — its globally first
+    occurrence by (doc_id, position) — and is stripped everywhere
+    else, including later copies inside the same document. Empty lines
+    always survive (they carry structure, not content).
+
+    → (doc_id, text_dedup, n_lines, n_dropped); surviving lines keep
+    their original order, re-joined with ``delim``.
+
+    Differs from :func:`remove_boilerplate_lines` (which strips
+    FREQUENT lines from *all* docs, keeping none) — here one canonical
+    copy is kept, the Lee-et-al keep-one policy at line granularity.
+
+    Shape (two co-partition shuffles, no broadcast, no driver state):
+
+    1. explode (line_hash, doc_id, pos) — 24 bytes/line, never text —
+       and pick each hash's winner inside a coarse-bucket
+       ``map_groups``; non-winner occurrences emit (doc_id, pos) drops;
+    2. drops ∪ document texts co-partitioned by doc_id; per bucket a
+       vectorized positional mask rebuilds the text. Texts move ONCE.
+
+    Lines travel as fnv64+fmix64 hashes (CCNet shuffles hashes too): a
+    collision merges two distinct lines and wrongly drops the later
+    one, with expected count ~n²/2⁶⁵ over n distinct lines — at 10¹²
+    lines that is ~0.03 lines; pass the line text through the shuffle
+    instead if even that is unacceptable.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv64_bulk
+    from .spandedup import _with_coarse
+
+    def _explode(t: pa.Table) -> pa.Table:
+        row, pos, flat = _lines_with_pos(t, text_col, delim)
+        ids = np.asarray(
+            pc.cast(t.column(id_col), pa.int64()).combine_chunks())
+        ne = np.asarray(pc.not_equal(flat, ""))
+        lh = fnv64_bulk(flat.filter(pa.array(ne)).to_pylist())
+        return pa.table({
+            "lh": pa.array(lh.view(np.int64)),
+            "doc_id": pa.array(ids[row[ne]], pa.int64()),
+            "pos": pa.array(pos[ne], pa.int64()),
+        })
+
+    occ = docs_ds.map_batches(
+        _explode, batch_format="pyarrow"
+    ).map_batches(_with_coarse("lh", n_coarse), batch_format="pyarrow")
+
+    _empty_pos = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "pos": pd.Series([], dtype="int64"),
+    })
+
+    def _drops(df):
+        if len(df) == 0:
+            return _empty_pos
+        s = df.sort_values(["lh", "doc_id", "pos"], kind="stable")
+        lh = s["lh"].to_numpy()
+        winner = np.empty(len(s), dtype=bool)
+        winner[0] = True
+        winner[1:] = lh[1:] != lh[:-1]
+        out = s.loc[~winner, ["doc_id", "pos"]]
+        return out.astype({"doc_id": "int64", "pos": "int64"})
+
+    drops = occ.groupby("coarse").map_groups(
+        _drops, batch_format="pandas")
+
+    def _pos_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pos": t.column("pos"),
+            "text": pa.nulls(t.num_rows, pa.large_string()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def _text_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column(id_col), pa.int64()),
+            "pos": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column(text_col).cast(pa.large_string()),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    rows = drops.map_batches(
+        _pos_rows, batch_format="pyarrow"
+    ).union(
+        docs_ds.map_batches(_text_rows, batch_format="pyarrow")
+    ).map_batches(_with_coarse("doc_id", n_coarse),
+                  batch_format="pyarrow")
+
+    _empty_out = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text_dedup": pd.Series([], dtype="object"),
+        "n_lines": pd.Series([], dtype="int64"),
+        "n_dropped": pd.Series([], dtype="int64"),
+    })
+
+    def _rebuild(df):
+        texts = df[df["kind"] == 1]
+        if len(texts) == 0:
+            return _empty_out
+        docs = texts["doc_id"].to_numpy(dtype=np.int64)
+        line_lists = texts["text"].str.split(delim)  # keeps empties
+        lens = np.fromiter((len(x) for x in line_lists),
+                           dtype=np.int64, count=len(texts))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        off = 0
+        for x in line_lists:  # per-DOC append, not per-line work
+            flat[off:off + len(x)] = x
+            off += len(x)
+        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        j = np.arange(total, dtype=np.int64) - starts[docidx]
+
+        dp = df[df["kind"] == 0]
+        M = int(lens.max()) + 1 if len(lens) else 1
+        if len(dp):
+            idxmap = pd.Series(np.arange(len(texts), dtype=np.int64),
+                               index=docs)
+            pdoc = idxmap.reindex(dp["doc_id"].to_numpy()).to_numpy()
+            dropped = pdoc.astype(np.int64) * M \
+                + dp["pos"].to_numpy(dtype=np.int64)
+            kept = ~np.isin(docidx * M + j, dropped)
+        else:
+            kept = np.ones(total, dtype=bool)
+
+        kept_counts = np.bincount(docidx[kept], minlength=len(texts))
+        offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(flat[kept], pa.string()))
+        import pyarrow.compute as pc_
+
+        clean = pc_.binary_join(lst, delim).to_pylist()
+        return pd.DataFrame({
+            "doc_id": docs,
+            "text_dedup": clean,
+            "n_lines": lens,
+            "n_dropped": lens - kept_counts.astype(np.int64),
+        })
+
+    return rows.groupby("coarse").map_groups(
+        _rebuild, batch_format="pandas")
