@@ -621,6 +621,11 @@ SELECT doc_id, source, n_chars FROM (
   FROM documents
 ) WHERE rn <= 5
 """,
+        "doc_mixture_upsample": """
+SELECT doc_id, source, n_chars, CAST(u.i AS BIGINT) AS copy_idx
+FROM documents,
+     unnest(range(1 + (CAST(substr(source, 4) AS BIGINT) % 3))) AS u(i)
+""",
         "doc_corpus_freq": r"""
 WITH w AS (
   SELECT doc_id,

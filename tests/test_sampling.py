@@ -74,3 +74,34 @@ class TestCapPerGroup:
         out = cap_per_group(rd.from_arrow(t), "g", k=2,
                             order_col="o", tiebreak_col="tie").to_pandas()
         assert sorted(out["tie"].tolist()) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUpsampleByGroup:
+    def test_factors_and_copy_idx(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            upsample_by_group,
+        )
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "g": ["a", "b", "c"],
+        })
+        out = upsample_by_group(
+            rd.from_arrow(t), "g", {"a": 1, "b": 3, "c": 0},
+        ).to_pandas().sort_values(["id", "copy_idx"])
+        assert out["id"].tolist() == [1, 2, 2, 2]
+        assert out[out.id == 2]["copy_idx"].tolist() == [0, 1, 2]
+
+    def test_default_factor(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            upsample_by_group,
+        )
+
+        t = pa.table({"id": [7], "g": ["unknown"]})
+        out = upsample_by_group(rd.from_arrow(t), "g", {}, default=2)
+        assert out.count() == 2

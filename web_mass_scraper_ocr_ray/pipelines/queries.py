@@ -1191,6 +1191,20 @@ def q_doc_cap_per_source(sf_dir: str):
     )
 
 
+def q_doc_mixture_upsample(sf_dir: str):
+    """Deterministic data-mixture upsampling: source src<i> is
+    repeated 1 + (i % 3) times (factor 0 would drop it), each copy
+    tagged with its epoch index — the integer-repetition mixing step
+    of an LLM training recipe. Stateless, no shuffle."""
+    from ..stages.sampling import upsample_by_group
+
+    factors = {f"src{i}": 1 + (i % 3) for i in range(64)}
+    return upsample_by_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        group_col="source", factors=factors,
+    )
+
+
 def q_doc_corpus_freq(sf_dir: str):
     """Model-based-quality-scoring shape: two-pass corpus unigram
     frequency table, broadcast once, vectorized per-doc scoring."""
@@ -1635,6 +1649,7 @@ QUERIES: Dict[str, callable] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_cap_per_source": q_doc_cap_per_source,
+    "doc_mixture_upsample": q_doc_mixture_upsample,
     "doc_corpus_freq": q_doc_corpus_freq,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_twopass": q_corpus_prep_twopass,

@@ -55,6 +55,44 @@ def stratified_sample(ds, id_col: str, strata_col: str,
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def upsample_by_group(ds, group_col: str,
+                      factors: Dict[str, int], default: int = 1):
+    """Deterministic mixture upsampling: emit every row ``factor``
+    times (factor looked up by its group, e.g. per-source repetition
+    in an LLM data-mixture recipe), with a ``copy_idx`` column
+    0..factor-1 distinguishing the epochs.
+
+    Stateless ``map_batches`` — the factor table is a small dict in
+    the task closure, rows are replicated with one ``take`` per batch
+    (no shuffle, no driver state). factor 0 drops the group entirely.
+    Deterministic and order-free, so it composes with resumable
+    writes; downstream shuffles (or a plain ``random_shuffle`` before
+    training) interleave the copies.
+    """
+
+    def _rep(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("copy_idx",
+                                   pa.array([], pa.int64()))
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(grp)
+        per_uniq = np.array([factors.get(u, default) for u in uniq],
+                            dtype=np.int64)
+        reps = per_uniq[codes]
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        total = len(idx)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(reps[:-1], out=starts[1:])
+        copy = np.arange(total, dtype=np.int64) - starts[idx]
+        return t.take(pa.array(idx)).append_column(
+            "copy_idx", pa.array(copy, pa.int64()))
+
+    return ds.map_batches(_rep, batch_format="pyarrow")
+
+
 def _group_topk(t: pa.Table, group_col: str, k: int,
                 sort_keys) -> pa.Table:
     """First k rows of each group under ``sort_keys`` order — fully
