@@ -626,6 +626,20 @@ SELECT doc_id, source, n_chars, CAST(u.i AS BIGINT) AS copy_idx
 FROM documents,
      unnest(range(1 + (CAST(substr(source, 4) AS BIGINT) % 3))) AS u(i)
 """,
+        # mix(id) = (id * 2654435761) mod 2^32 — the same multiplicative
+        # hash the sampling stage uses; rank within shard by (mix, id)
+        "doc_shard_for_training": """
+WITH h AS (
+  SELECT doc_id, source,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(hv % 8 AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+       AS BIGINT) AS pos_in_shard
+FROM h
+""",
         "doc_corpus_freq": r"""
 WITH w AS (
   SELECT doc_id,

@@ -105,3 +105,42 @@ class TestUpsampleByGroup:
         t = pa.table({"id": [7], "g": ["unknown"]})
         out = upsample_by_group(rd.from_arrow(t), "g", {}, default=2)
         assert out.count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardByHash:
+    def test_partition_and_order(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_buckets,
+            shard_by_hash,
+        )
+
+        ids = np.arange(100, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+        out = shard_by_hash(ds, "doc_id", 4).to_pandas()
+        assert len(out) == 100
+        assert set(out["shard"].unique()) <= set(range(4))
+        h = (out["doc_id"].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(2**32)
+        # within every shard, pos_in_shard follows (hash, id) order 0..n-1
+        for s, sub in out.groupby("shard"):
+            sub = sub.sort_values("pos_in_shard")
+            assert sub["pos_in_shard"].tolist() == list(range(len(sub)))
+            hh = (sub["doc_id"].to_numpy().astype(np.uint64)
+                  * np.uint64(2654435761)) % np.uint64(2**32)
+            assert (np.diff(hh.astype(np.int64)) >= 0).all()
+
+    def test_deterministic_across_runs(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import shard_by_hash
+
+        ds = rd.from_arrow(pa.table(
+            {"doc_id": pa.array(list(range(50)), pa.int64())}))
+        a = shard_by_hash(ds, "doc_id", 4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = shard_by_hash(ds, "doc_id", 4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)

@@ -1191,6 +1191,19 @@ def q_doc_cap_per_source(sf_dir: str):
     )
 
 
+def q_doc_shard_for_training(sf_dir: str):
+    """Deterministic hash-ordered training shards (the RNG-free
+    'global shuffle'): shard = mix(doc_id) % 8, position = rank of the
+    hash within the shard. One keyed all-to-all; each group is one
+    training output file."""
+    from ..stages.sampling import shard_by_hash
+
+    return shard_by_hash(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        id_col="doc_id", n_shards=8,
+    )
+
+
 def q_doc_mixture_upsample(sf_dir: str):
     """Deterministic data-mixture upsampling: source src<i> is
     repeated 1 + (i % 3) times (factor 0 would drop it), each copy
@@ -1650,6 +1663,7 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_cap_per_source": q_doc_cap_per_source,
     "doc_mixture_upsample": q_doc_mixture_upsample,
+    "doc_shard_for_training": q_doc_shard_for_training,
     "doc_corpus_freq": q_doc_corpus_freq,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_twopass": q_corpus_prep_twopass,

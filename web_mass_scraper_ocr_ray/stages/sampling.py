@@ -55,6 +55,41 @@ def stratified_sample(ds, id_col: str, strata_col: str,
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def shard_by_hash(ds, id_col: str, n_shards: int):
+    """Deterministic training-output sharding — the reproducible
+    'global shuffle': shard = mix(id) % n_shards, position within the
+    shard = rank of mix(id) (ties by id). Ordering rows by a hash of
+    their id is the standard RNG-free permutation: reproducible across
+    runs/engines/cluster sizes, resumable (a re-run reassigns every
+    row identically), and auditable in SQL.
+
+    → input columns + (shard, pos_in_shard). One all-to-all keyed by
+    shard; each group is exactly one output shard, so size n_shards to
+    the intended training-file granularity (a shard must fit a worker
+    — at 100 TB that means thousands of shards, which also keeps the
+    groupby balanced because the mix is uniform)."""
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        h = (ids.astype(np.uint64) * _MIX) % _M32
+        return t.append_column(
+            "shard",
+            pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+        ).append_column("h", pa.array(h.astype(np.int64)))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("h", "ascending"), (id_col, "ascending")])
+        s = t.take(idx)
+        return s.drop_columns(["h"]).append_column(
+            "pos_in_shard",
+            pa.array(np.arange(s.num_rows, dtype=np.int64)))
+
+    return ds.map_batches(
+        _assign, batch_format="pyarrow"
+    ).groupby("shard").map_groups(_rank, batch_format="pyarrow")
+
+
 def upsample_by_group(ds, group_col: str,
                       factors: Dict[str, int], default: int = 1):
     """Deterministic mixture upsampling: emit every row ``factor``
