@@ -425,6 +425,16 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
 """,
+        # same rollup; the pipeline side runs the large-large
+        # co-partition equi_join instead of a broadcast lookup
+        "order_customer_join_large": """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_price_centi
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+""",
         "events_tumbling": """
 SELECT user_id,
   date_trunc('hour', ts) AS window_start,

@@ -151,6 +151,11 @@ def run_bench() -> dict:
         "doc_length_quantiles_sketch",
         "doc_clusters_kmeans",
         "semantic_dedup",
+        "corpus_prep_twopass",
+        "resume_filter_large",
+        "resume_filter_bloom",
+        "doc_cap_per_source",
+        "doc_dedup_lines",
     )
     for name in query_names:
         t0 = time.monotonic()

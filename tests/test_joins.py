@@ -462,3 +462,52 @@ class TestAntiJoin:
         small = sorted(r["url"] for r in q_resume_filter(sf).take_all())
         large = sorted(r["url"] for r in q_resume_filter_large(sf).take_all())
         assert small == large
+
+
+class TestEquiJoin:
+    def test_inner_with_duplicate_keys(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1, 1, 2, 3], "lv": ["a", "b", "c", "d"]})
+        right = _ds({"rk": [1, 2, 2, 9], "rv": [10, 20, 21, 90]})
+        out = equi_join(left, right, "k", "rk", ["rv"],
+                        how="inner").to_pandas()
+        got = sorted(zip(out["lv"], out["rv"]))
+        # key 1: two left rows x one right; key 2: one left x two right
+        assert got == [("a", 10), ("b", 10), ("c", 20), ("c", 21)]
+
+    def test_left_null_fill_int_column(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1, 2], "lv": ["a", "b"]})
+        right = _ds({"rk": [1], "rv": [10]})
+        out = equi_join(left, right, "k", "rk", ["rv"],
+                        how="left").to_pandas().sort_values("k")
+        assert out["lv"].tolist() == ["a", "b"]
+        assert out["rv"].tolist()[0] == 10
+        assert pd.isna(out["rv"].tolist()[1])
+
+    def test_string_keys_and_collision_guard(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": ["x", "y"], "v": [1, 2]})
+        right = _ds({"k2": ["y"], "w": ["hit"]})
+        out = equi_join(left, right, "k", "k2", ["w"]).to_pandas()
+        assert out["v"].tolist() == [2] and out["w"].tolist() == ["hit"]
+        with pytest.raises(ValueError, match="collide"):
+            equi_join(left, right, "k", "k2", ["v"])
+
+    def test_matches_broadcast_rollup(self, ray_session):
+        """equi_join-based rollup equals the broadcast join's output
+        (J1's two variants agree)."""
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_order_customer_join,
+            q_order_customer_join_large,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = q_order_customer_join(sf).to_pandas() \
+            .sort_values("c_mktsegment").reset_index(drop=True)
+        b = q_order_customer_join_large(sf).to_pandas() \
+            .sort_values("c_mktsegment").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

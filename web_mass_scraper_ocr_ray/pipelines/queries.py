@@ -1178,6 +1178,40 @@ def q_doc_sample_stratified(sf_dir: str):
     )
 
 
+def q_order_customer_join_large(sf_dir: str):
+    """Large×large co-partition equi-join (stages/joins.equi_join):
+    identical rollup to :func:`q_order_customer_join`, but neither
+    side is broadcast — the path when the customer table itself no
+    longer fits the object store. Same oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import equi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = equi_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey",
+                       right_cols=["c_mktsegment"], how="left")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": pc.coalesce(
+                t.column("c_mktsegment"), pa.scalar("UNKNOWN")),
+            "price_centi": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64()),
+        })
+
+    return joined.map_batches(_prep, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_centi", alias_name="sum_price_centi"),
+    )
+
+
 def q_doc_cap_per_source(sf_dir: str):
     """Per-domain cap: keep the first 5 documents (by doc_id) of
     every source — bounds any one host's contribution to a training
@@ -1653,6 +1687,7 @@ QUERIES: Dict[str, callable] = {
     "source_rollup": q_source_rollup,
     "lineitem_pricing": q_lineitem_pricing,
     "order_customer_join": q_order_customer_join,
+    "order_customer_join_large": q_order_customer_join_large,
     "events_asof_join": q_events_asof_join,
     "events_range_count": q_events_range_count,
     "events_cumulative": q_events_cumulative,

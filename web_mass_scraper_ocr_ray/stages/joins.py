@@ -445,3 +445,96 @@ def apply_keyed_updates(rows_ds, updates_ds, on: str, col: str,
     return rows.groupby("bucket").map_groups(
         _apply, batch_format="pyarrow"
     )
+
+
+def equi_join(left_ds, right_ds, left_on: str, right_on: str,
+              right_cols: Sequence[str], how: str = "inner",
+              n_buckets: int = N_JOIN_BUCKETS):
+    """Generic large×large equi-join — the co-partition completion of
+    the join family (broadcast lookup J1 stays right while one side
+    fits the object store; THIS is the path when neither does).
+
+    → left columns + ``right_cols``; ``how`` is ``inner`` or ``left``
+    (unmatched left rows keep nulls in ``right_cols``). Duplicate keys
+    on either side produce the full per-key cross product (SQL join
+    semantics), so hot keys bound group memory — salt or pre-aggregate
+    the hot side first, exactly like any keyed shuffle here.
+
+    Shape: same single all-to-all as :func:`anti_join` — tag each
+    side, align to the combined schema with typed nulls, union, ONE
+    ``groupby(hash(key)).map_groups``; the per-bucket kernel is a
+    vectorized ``pandas.merge``. We deliberately do NOT use Ray Data's
+    native ``Dataset.join``: it pins one aggregator actor per
+    partition and deadlocks two-join pipelines on small clusters
+    (measured in round 2 — SURVEY §9.2).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"equi_join: how={how!r} not in (inner, left)")
+    lschema = left_ds.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rschema = right_ds.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    clash = set(right_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"equi_join: right_cols collide with left "
+                         f"columns: {sorted(clash)}")
+    missing = [c for c in (right_on, *right_cols) if c not in rtypes]
+    if missing:
+        raise ValueError(f"equi_join: {missing} not in right columns")
+    right_cols = list(right_cols)
+    out_cols = lcols + right_cols
+
+    def _left(t: pa.Table) -> pa.Table:
+        cols = {name: t.column(name) for name in lcols}
+        for name in right_cols:
+            cols[name] = pa.nulls(t.num_rows, rtypes[name])
+        cols["side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["bucket"] = _bucket_of(
+            t.column(left_on).combine_chunks(), n_buckets)
+        return pa.table(cols)
+
+    def _right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = pc.cast(t.column(right_on), ltypes[left_on]).combine_chunks()
+        cols = {name: (key if name == left_on else pa.nulls(n, ltypes[name]))
+                for name in lcols}
+        for name in right_cols:
+            cols[name] = t.column(name)
+        cols["side"] = pa.array(np.ones(n, np.int8))
+        cols["bucket"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    rows = left_ds.map_batches(_left, batch_format="pyarrow").union(
+        right_ds.select_columns([right_on, *right_cols]).map_batches(
+            _right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(n, ltypes[n]) for n in lcols]
+        + [(n, rtypes[n]) for n in right_cols])
+    _empty = out_schema.empty_table()
+
+    def _merge(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = g.column("side")
+        left = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        if left.num_rows == 0:
+            return _empty
+        right = g.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        if right.num_rows == 0 and how == "inner":
+            return _empty
+        # Arrow-backed frames: merge's null-fill stays typed (a plain
+        # to_pandas would NaN-float an unmatched int column and break
+        # the cast back)
+        ldf = left.select(lcols).to_pandas(types_mapper=pd.ArrowDtype)
+        rdf = right.select([left_on, *right_cols]).to_pandas(
+            types_mapper=pd.ArrowDtype)
+        merged = ldf.merge(rdf, how=how, on=left_on)
+        return pa.Table.from_pandas(
+            merged[out_cols], preserve_index=False
+        ).cast(out_schema)
+
+    return rows.groupby("bucket").map_groups(
+        _merge, batch_format="pyarrow")
