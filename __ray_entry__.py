@@ -604,6 +604,20 @@ SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
 FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
 GROUP BY q.q_bp
 """,
+        # same integer rank rule per source group
+        "doc_length_quantiles_by_source": """
+WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents
+           GROUP BY source, n_chars),
+s AS (SELECT source, n_chars,
+        sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        sum(c) OVER (PARTITION BY source) AS tot
+      FROM h),
+q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
+SELECT s.source, CAST(q.q_bp AS BIGINT) AS q_bp,
+       CAST(min(s.n_chars) AS BIGINT) AS value
+FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+GROUP BY s.source, q.q_bp
+""",
         "doc_length_quantiles_sketch": """
 WITH h AS (SELECT n_chars, count(*) AS c FROM documents
            GROUP BY n_chars),

@@ -223,6 +223,24 @@ class TestExactQuantiles:
         out = exact_quantiles(ds, "n_chars", qs_bp=(5000,)).to_pandas()
         assert out["value"].tolist() == [30]
 
+    def test_grouped_matches_per_group_global(self, ray_session):
+        """grouped_exact_quantiles on group g == exact_quantiles run on
+        g's rows alone, for every group."""
+        from web_mass_scraper_ocr_ray.stages.sketches import (
+            exact_quantiles,
+            grouped_exact_quantiles,
+        )
+
+        rows = {"src": ["a"] * 7 + ["b"] * 4,
+                "n": [70, 10, 30, 20, 40, 60, 50, 5, 6, 7, 8]}
+        got = grouped_exact_quantiles(
+            _ds(rows), "n", "src").to_pandas()
+        for g in ("a", "b"):
+            vals = [v for s, v in zip(rows["src"], rows["n"]) if s == g]
+            solo = exact_quantiles(_ds({"n": vals}), "n").to_pandas()
+            sub = got[got.src == g].sort_values("q_bp")
+            assert sub["value"].tolist() == solo["value"].tolist()
+
 
 class TestStratifiedSample:
     def test_deterministic_and_rate_bounded(self, ray_session):

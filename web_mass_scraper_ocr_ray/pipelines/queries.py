@@ -1164,6 +1164,17 @@ def q_doc_length_quantiles(sf_dir: str):
         _docs(sf_dir).select_columns(["n_chars"]), column="n_chars")
 
 
+def q_doc_length_quantiles_by_source(sf_dir: str):
+    """Per-source exact length quantiles — the grouped audit variant:
+    the selection scan runs inside map_groups, nothing reaches the
+    driver (stages/sketches.grouped_exact_quantiles)."""
+    from ..stages.sketches import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        column="n_chars", group_col="source")
+
+
 def q_doc_sample_stratified(sf_dir: str):
     """Deterministic stratified Bernoulli sample of documents: each
     source stratum src<i> keeps rate 1000 + 700*(i % 8) basis points
@@ -1697,6 +1708,7 @@ QUERIES: Dict[str, callable] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_cap_per_source": q_doc_cap_per_source,
+    "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
     "doc_mixture_upsample": q_doc_mixture_upsample,
     "doc_shard_for_training": q_doc_shard_for_training,
     "doc_corpus_freq": q_doc_corpus_freq,

@@ -160,6 +160,46 @@ def exact_quantiles(ds, column: str,
     })
 
 
+def grouped_exact_quantiles(ds, column: str, group_col: str,
+                            qs_bp=(2500, 5000, 7500, 9000, 9900)):
+    """Per-GROUP exact discrete quantiles — :func:`exact_quantiles`
+    with the histogram keyed by (group, value) and the selection scan
+    run inside ``groupby(group).map_groups``: unlike the global
+    variant, NOTHING reaches the driver; the output is a Dataset of
+    (group, q_bp, value) rows. Same integer percentile_disc rank rule
+    (target rank ceil(q*n) = (q_bp*n + 9999)//10000) so the SQL
+    oracle reproduces it bit-exactly. The shuffle carries O(groups ×
+    distinct values) count rows — the audit-table shape (per-source
+    length distributions) at any corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        res = t.select([group_col, column]).group_by(
+            [group_col, column]).aggregate([([], "count_all")])
+        return res.rename_columns([group_col, column, "cnt"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        [group_col, column]
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(column)
+        cum = g["cnt"].to_numpy().cumsum()
+        tot = int(cum[-1])
+        values = g[column].to_numpy()
+        rows = []
+        for q_bp in qs_bp:
+            target = (q_bp * tot + 9999) // 10000
+            idx = int(np.searchsorted(cum, max(target, 1)))
+            rows.append((g[group_col].iloc[0], int(q_bp),
+                         int(values[min(idx, len(values) - 1)])))
+        return pd.DataFrame(rows, columns=[group_col, "q_bp", "value"])
+
+    return hist.groupby(group_col).map_groups(
+        _select, batch_format="pandas")
+
+
 class KLLQuantileSketch:
     """Deterministic uniform-capacity compactor quantile sketch (the
     KLL/Manku-family scheme; cf. Karnin-Lang-Liberty 2016 and
