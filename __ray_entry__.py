@@ -592,6 +592,25 @@ FROM w GROUP BY word
 ORDER BY n DESC, word ASC
 LIMIT 20
 """,
+        # claim gate (HLL/KLL pattern): exact anchors recomputed here,
+        # sketch-correctness booleans pinned as literals — the pipeline
+        # measures them, a regression flips one and fails the compare
+        "vocab_topk_sketch": r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+t AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+  ORDER BY n DESC, word ASC LIMIT 20
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(sum(n) AS BIGINT) AS sum_exact_topk,
+       TRUE AS topk_sets_equal,
+       TRUE AS est_never_under
+FROM t
+""",
         "doc_length_quantiles": """
 WITH h AS (SELECT n_chars, count(*) AS c FROM documents
            GROUP BY n_chars),

@@ -575,3 +575,60 @@ class TestCLIPrep:
         assert s["drop_sampled_out"] > 0
         assert s["docs_kept"] + s["drop_lowquality"] + \
             s["drop_duplicate"] + s["drop_sampled_out"] == 500
+
+
+class TestCountMinSketch:
+    def test_never_underestimates(self):
+        from web_mass_scraper_ocr_ray.stages.sketches import CountMinSketch
+
+        import numpy as np
+
+        words = [f"w{i}" for i in range(500)]
+        counts = np.arange(1, 501, dtype=np.int64)
+        cm = CountMinSketch(depth=4, log2_width=10)  # tight: collisions
+        cm.add_weighted(words, counts)
+        est = cm.estimate(words)
+        assert (est >= counts).all()
+
+    def test_merge_equals_single_pass(self):
+        from web_mass_scraper_ocr_ray.stages.sketches import CountMinSketch
+
+        import numpy as np
+
+        a_words, a_n = ["x", "y"], np.array([5, 7], dtype=np.int64)
+        b_words, b_n = ["y", "z"], np.array([3, 2], dtype=np.int64)
+        one = CountMinSketch().add_weighted(a_words + b_words,
+                                            np.r_[a_n, b_n])
+        two = CountMinSketch().add_weighted(a_words, a_n).merge(
+            CountMinSketch().add_weighted(b_words, b_n))
+        assert (one.counts == two.counts).all()
+        assert two.estimate(["y"])[0] == 10
+
+    def test_wire_roundtrip(self):
+        from web_mass_scraper_ocr_ray.stages.sketches import CountMinSketch
+
+        import numpy as np
+
+        cm = CountMinSketch(depth=3, log2_width=8)
+        cm.add_weighted(["a"], np.array([9], dtype=np.int64))
+        back = CountMinSketch.from_bytes(cm.to_bytes(), 3, 8)
+        assert back.estimate(["a"])[0] == 9
+
+    def test_heavy_hitters_exact_on_skew(self, ray_session):
+        """On a zipf-ish corpus, sketch top-k equals exact top-k."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sketches import vocab_topk_cm
+
+        texts = []
+        for b in range(8):
+            toks = []
+            for i in range(40):
+                toks += [f"heavy{i % 5}"] * (50 - i)
+                toks.append(f"rare{b}_{i}")
+            texts.append(" ".join(toks))
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+        top = vocab_topk_cm(ds, k=5, log2_width=12)
+        assert sorted(top.column("word").to_pylist()) == [
+            f"heavy{i}" for i in range(5)]

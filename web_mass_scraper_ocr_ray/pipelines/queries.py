@@ -1154,6 +1154,34 @@ def q_vocab_topk(sf_dir: str):
     return ts.vocab_topk(_docs(sf_dir).select_columns(["text"]), k=20)
 
 
+def q_vocab_topk_sketch(sf_dir: str):
+    """Claim-gated count-min heavy hitters (the HLL/KLL gate pattern):
+    runs the fixed-size sketch path AND the exact top-k, outputs one
+    row of exact anchors (k, sum of exact top-k counts — the SQL
+    oracle recomputes both) plus booleans pinning the sketch claims:
+    the sketch's top-k word set equals the exact set, and count-min
+    never under-estimates. A sketch regression flips a boolean and
+    fails the driver's hash compare."""
+    from ..stages.sketches import vocab_topk_cm
+
+    docs = _docs(sf_dir).select_columns(["text"])
+    exact = ts.vocab_topk(docs, k=20).take_all()
+    sk = vocab_topk_cm(docs, k=20)
+    exact_by_word = {r["word"]: r["n"] for r in exact}
+    sk_words = sk.column("word").to_pylist()
+    sk_est = sk.column("n_est").to_pylist()
+    sets_equal = set(sk_words) == set(exact_by_word)
+    est_ge = all(e >= exact_by_word.get(w, 0)
+                 for w, e in zip(sk_words, sk_est))
+    return pa.table({
+        "k": pa.array([20], pa.int64()),
+        "sum_exact_topk": pa.array(
+            [sum(exact_by_word.values())], pa.int64()),
+        "topk_sets_equal": pa.array([bool(sets_equal)], pa.bool_()),
+        "est_never_under": pa.array([bool(est_ge)], pa.bool_()),
+    })
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length via the
     distributed value-count histogram (integer percentile_disc
@@ -1709,6 +1737,7 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_cap_per_source": q_doc_cap_per_source,
     "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
+    "vocab_topk_sketch": q_vocab_topk_sketch,
     "doc_mixture_upsample": q_doc_mixture_upsample,
     "doc_shard_for_training": q_doc_shard_for_training,
     "doc_corpus_freq": q_doc_corpus_freq,

@@ -160,6 +160,144 @@ def exact_quantiles(ds, column: str,
     })
 
 
+class CountMinSketch:
+    """Mergeable count-min sketch (Cormode-Muthukrishnan 2005): depth
+    rows of width counters; an item's estimate is the MIN over rows —
+    always an over-estimate, with error ≤ 2N/width at 1-2^-depth
+    confidence. Row hashes come from one fnv64+fmix64 per word,
+    expanded Kirsch-Mitzenmacher-style (h1 + i·h2), so hashing cost
+    doesn't grow with depth. Fixed size (depth × width × 8 bytes)
+    regardless of vocabulary — the skew-proof top-k path: `vocab_topk`
+    shuffles O(distinct words per batch), which an adversarial corpus
+    (hash-junk tokens) can inflate; the sketch never grows."""
+
+    def __init__(self, depth: int = 4, log2_width: int = 16):
+        self.depth = depth
+        self.log2_width = log2_width
+        self.width = 1 << log2_width
+        self.counts = np.zeros((depth, self.width), dtype=np.int64)
+
+    def _positions(self, words) -> np.ndarray:
+        h = fnv64_bulk(list(words))
+        mask = np.uint64(self.width - 1)
+        h1 = h & mask
+        h2 = ((h >> np.uint64(32)) | np.uint64(1)) & mask
+        i = np.arange(self.depth, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return ((h1[:, None] + i[None, :] * h2[:, None]) & mask) \
+                .astype(np.int64)
+
+    def add_weighted(self, words, weights: np.ndarray) -> "CountMinSketch":
+        if len(words) == 0:
+            return self
+        pos = self._positions(words)
+        w = np.asarray(weights, dtype=np.int64)
+        for i in range(self.depth):
+            np.add.at(self.counts[i], pos[:, i], w)
+        return self
+
+    def estimate(self, words) -> np.ndarray:
+        if len(words) == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self._positions(words)
+        ests = np.stack([self.counts[i][pos[:, i]]
+                         for i in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, depth: int = 4,
+                   log2_width: int = 16) -> "CountMinSketch":
+        s = cls(depth, log2_width)
+        s.counts = np.frombuffer(data, dtype=np.int64) \
+            .reshape(depth, s.width).copy()
+        return s
+
+
+def vocab_topk_cm(docs_ds, k: int = 20, text_col: str = "text",
+                  depth: int = 4, log2_width: int = 16,
+                  cand_per_batch: int = 256):
+    """Approximate top-k tokens via count-min + candidate set — the
+    adversarial-skew alternative to the exact ``vocab_topk``: the
+    shuffle/driver cost is FIXED (one sketch per batch + ≤
+    cand_per_batch candidate words per batch) no matter how many
+    distinct junk tokens the corpus carries.
+
+    One pass emits, per batch, a partial sketch row AND the batch's
+    local top-``cand_per_batch`` words (a global heavy hitter is a
+    local heavy hitter in at least one batch at these margins);
+    sketches fold like HLL, candidates dedup through a tiny groupby,
+    and the broadcast sketch scores them. Returns a pyarrow Table of
+    (word, n_est) — estimates are exact when the sketch has no
+    collisions among heavy words (claim-gated in the query)."""
+    import ray
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Count
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        agg = pa.table({"w": flat}).group_by(["w"]).aggregate(
+            [([], "count_all")]).rename_columns(["w", "n"])
+        words = agg.column("w").to_pylist()
+        ns = np.asarray(agg.column("n"), dtype=np.int64)
+        cm = CountMinSketch(depth, log2_width).add_weighted(words, ns)
+        top = np.argsort(-ns, kind="stable")[:cand_per_batch]
+        cand = [words[i] for i in top]
+        return pa.table({
+            "word": pa.array([None] + cand, pa.string()),
+            "sketch": pa.array(
+                [cm.to_bytes()] + [None] * len(cand), pa.binary()),
+        })
+
+    parts = docs_ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).materialize()
+
+    merged = CountMinSketch(depth, log2_width)
+    for b in parts.filter(
+        lambda r: r["word"] is None
+    ).iter_batches(batch_format="pyarrow", batch_size=64):
+        for raw in b.column("sketch").to_pylist():
+            merged.merge(CountMinSketch.from_bytes(
+                raw, depth, log2_width))
+
+    cands = parts.filter(lambda r: r["word"] is not None) \
+        .groupby("word").aggregate(Count(alias_name="_n"))
+    ref = ray.put(merged.to_bytes())
+
+    def _score(t: pa.Table) -> pa.Table:
+        cm = CountMinSketch.from_bytes(ray.get(ref), depth, log2_width)
+        words = t.column("word").to_pylist()
+        return pa.table({
+            "word": t.column("word"),
+            "n_est": pa.array(cm.estimate(words), pa.int64()),
+        })
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc_.sort_indices(
+            t, sort_keys=[("n_est", "descending"), ("word", "ascending")])
+        return t.take(idx[:k])
+
+    scored = cands.map_batches(_score, batch_format="pyarrow") \
+        .map_batches(_block_top, batch_format="pyarrow") \
+        .sort(["n_est", "word"], descending=[True, False]).limit(k)
+    rows = scored.take_all()
+    return pa.table({
+        "word": pa.array([r["word"] for r in rows], pa.string()),
+        "n_est": pa.array([r["n_est"] for r in rows], pa.int64()),
+    })
+
+
 def grouped_exact_quantiles(ds, column: str, group_col: str,
                             qs_bp=(2500, 5000, 7500, 9000, 9900)):
     """Per-GROUP exact discrete quantiles — :func:`exact_quantiles`
