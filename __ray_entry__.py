@@ -357,6 +357,26 @@ SELECT doc_id,
   CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_len
 FROM documents
 """,
+        # integer linear model over the doc_quality features:
+        # score = 100 + 2*tokens + 5*stopwords - 3*punct
+        "doc_quality_model": """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS token_count,
+    CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      AS stopword_count,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+      AS punct_count
+  FROM documents
+)
+SELECT doc_id,
+  CAST(100 + 2 * token_count + 5 * stopword_count - 3 * punct_count
+       AS BIGINT) AS score,
+  (100 + 2 * token_count + 5 * stopword_count - 3 * punct_count) >= 150
+    AS kept
+FROM f
+""",
         "doc_size_histogram": """
 SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket,
   CAST(count(*) AS BIGINT) AS n_pages,

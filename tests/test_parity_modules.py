@@ -632,3 +632,40 @@ class TestCountMinSketch:
         top = vocab_topk_cm(ds, k=5, log2_width=12)
         assert sorted(top.column("word").to_pylist()) == [
             f"heavy{i}" for i in range(5)]
+
+
+class TestLinearQualityModel:
+    def test_score_math_and_threshold(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.quality_model import (
+            score_quality,
+        )
+
+        # "the of and" → 3 tokens, 3 stopwords, 0 punct →
+        # 100 + 6 + 15 = 121 < 150 → dropped
+        # 30 stopword tokens → 100 + 60 + 150 = 310 → kept
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the of and", " ".join(["the"] * 30)],
+        }))
+        out = {r["doc_id"]: r for r in score_quality(ds).take_all()}
+        assert out[1]["score"] == 121 and not out[1]["kept"]
+        assert out[2]["score"] == 310 and out[2]["kept"]
+
+    def test_custom_weights(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.quality_model import (
+            score_quality,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["abc def!"],
+        }))
+        row = score_quality(ds, weights={"punct_count": -10},
+                            bias=0, threshold=-5).take_all()[0]
+        assert row["score"] == -10 and not row["kept"]

@@ -1154,6 +1154,17 @@ def q_vocab_topk(sf_dir: str):
     return ts.vocab_topk(_docs(sf_dir).select_columns(["text"]), k=20)
 
 
+def q_doc_quality_model(sf_dir: str):
+    """Model-based quality filtering in the batched-inference shape:
+    an actor pool loads the (integer) weight vector once per actor and
+    scores every batch vectorized — the drop-in seam for a real
+    classifier. Streaming map, no shuffle."""
+    from ..stages.quality_model import score_quality
+
+    return score_quality(
+        _docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_vocab_topk_sketch(sf_dir: str):
     """Claim-gated count-min heavy hitters (the HLL/KLL gate pattern):
     runs the fixed-size sketch path AND the exact top-k, outputs one
@@ -1738,6 +1749,7 @@ QUERIES: Dict[str, callable] = {
     "doc_cap_per_source": q_doc_cap_per_source,
     "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
     "vocab_topk_sketch": q_vocab_topk_sketch,
+    "doc_quality_model": q_doc_quality_model,
     "doc_mixture_upsample": q_doc_mixture_upsample,
     "doc_shard_for_training": q_doc_shard_for_training,
     "doc_corpus_freq": q_doc_corpus_freq,
