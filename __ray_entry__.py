@@ -182,6 +182,29 @@ SELECT url FROM ext WHERE doc_id % 3 <> 0
 WITH {_EXT_CTE}
 SELECT url FROM ext WHERE doc_id % 3 <> 0
 """,
+        # noisy-url construction mirrored from q_dedup_canonical_urls;
+        # canonicalization = the same two regexes the Arrow kernel runs
+        "dedup_canonical_urls": """
+WITH n AS (
+  SELECT doc_id,
+    'https://www.host'
+      || lpad(CAST((doc_id % 200) % 50 AS VARCHAR), 3, '0')
+      || '.example.com/docs/' || (doc_id % 200)
+      || CASE WHEN doc_id % 3 = 0 THEN '#sec'
+              WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '')
+      AS canonical_url
+  FROM n
+)
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_dups,
+  CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM c GROUP BY canonical_url
+""",
         "images_enum": f"""
 WITH {_EXT_CTE}, {_IMGS_CTE},
 rc AS (
@@ -454,6 +477,11 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
     AS sum_price_centi
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+""",
+        "events_hourly_distinct": """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
         "events_tumbling": """
 SELECT user_id,

@@ -158,3 +158,16 @@ def get_url_specific_safe_dirname(url: str) -> str:
         return f"{host_part}_{_md5_hex(path_query)[:8]}"
     except Exception:
         return _md5_hex(url)
+
+
+def canonicalize_url_batch(col):
+    """Vectorized crawl-style URL canonicalization (beyond-reference
+    training-data op; the reference validates but never canonicalizes):
+    strip the fragment, strip ONE trailing slash — the two transforms
+    whose inverse images are pure duplicates for a crawler. Arrow RE2
+    kernels, no Python over rows; the SQL oracle mirrors the same two
+    regexes, so keep them trivially translatable."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring_regex(col, pattern="#.*$", replacement="")
+    return pc.replace_substring_regex(out, pattern="/$", replacement="")

@@ -218,6 +218,45 @@ def q_resume_filter_bloom(sf_dir: str):
     return bloom_anti_join(left, committed, on="url", log2_bits=16)
 
 
+def q_dedup_canonical_urls(sf_dir: str):
+    """Crawl-frontier dedup by CANONICAL url: a derived noisy-url
+    corpus (base url of doc_id % 200, plus a #fragment for id%3==0 or
+    a trailing slash for id%3==1 — the same construction mirrored in
+    the oracle CTE) is canonicalized vectorized
+    (functions/urltools.canonicalize_url_batch) and deduped by the
+    canonical form → (canonical_url, n_dups, first_doc_id). One
+    groupby keyed by canonical url; ~3 noisy variants collapse per
+    base."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.urltools import canonicalize_url_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def _noisy(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        base = [page_url(int(d) % 200) for d in ids]
+        suffix = np.where(ids % 3 == 0, "#sec",
+                          np.where(ids % 3 == 1, "/", ""))
+        urls = pa.array([b + s for b, s in zip(base, suffix)],
+                        pa.string())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "canonical_url": canonicalize_url_batch(urls),
+        })
+
+    return docs.map_batches(_noisy, batch_format="pyarrow").groupby(
+        "canonical_url"
+    ).aggregate(
+        Count(alias_name="n_dups"),
+        Min("doc_id", alias_name="first_doc_id"),
+    )
+
+
 def q_images_enum(sf_dir: str):
     """M5 image enumeration + payload routing counts, pre-OCR."""
     ds = synth_pages_dataset(sf_dir).select_columns(
@@ -843,6 +882,34 @@ def q_order_customer_join(sf_dir: str):
 
 
 # ---- streaming-shaped (events) ------------------------------------------
+
+def q_events_hourly_distinct(sf_dir: str):
+    """Distinct users per tumbling hour — COUNT(DISTINCT) done right
+    at scale: each batch collapses to its distinct (window, user)
+    pairs BEFORE the shuffle (Arrow hash-aggregate combiner), the
+    global groupby dedups the pairs, and a second tiny groupby counts
+    per window. The all-to-all moves one row per (window, user) per
+    batch, never per event; for extreme cardinalities swap the exact
+    pair dedup for the HLL sketch (stages/sketches.py) per window."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({
+            "window_start": w, "user_id": t.column("user_id"),
+        }).group_by(["window_start", "user_id"]).aggregate([])
+
+    distinct = ev.map_batches(_pairs, batch_format="pyarrow") \
+        .groupby(["window_start", "user_id"]) \
+        .aggregate(Count(alias_name="_n"))  # distinct via grouped count
+    return distinct.map_batches(
+        lambda t: t.select(["window_start"]), batch_format="pyarrow"
+    ).groupby("window_start").aggregate(Count(alias_name="n_users"))
+
 
 def q_events_tumbling(sf_dir: str):
     """Tumbling 1h window per user over the events log — the
@@ -1704,6 +1771,7 @@ QUERIES: Dict[str, callable] = {
     "resume_filter": q_resume_filter,
     "resume_filter_large": q_resume_filter_large,
     "resume_filter_bloom": q_resume_filter_bloom,
+    "dedup_canonical_urls": q_dedup_canonical_urls,
     "images_enum": q_images_enum,
     "ocr_rollup": q_ocr_rollup,
     "company_join": q_company_join,
@@ -1729,6 +1797,7 @@ QUERIES: Dict[str, callable] = {
     "semantic_dedup": q_semantic_dedup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
+    "events_hourly_distinct": q_events_hourly_distinct,
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "top_events_per_user": q_top_events_per_user,
