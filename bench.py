@@ -156,6 +156,14 @@ def run_bench() -> dict:
         "resume_filter_bloom",
         "doc_cap_per_source",
         "doc_dedup_lines",
+        "doc_mixture_upsample",
+        "doc_shard_for_training",
+        "order_customer_join_large",
+        "doc_length_quantiles_by_source",
+        "vocab_topk_sketch",
+        "doc_quality_model",
+        "dedup_canonical_urls",
+        "events_hourly_distinct",
     )
     for name in query_names:
         t0 = time.monotonic()

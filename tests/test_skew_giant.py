@@ -97,3 +97,36 @@ def test_giant_doc_span_dedup(ray_session):
     # the small docs only share w<8-token... their 5-token bodies have
     # no 8-windows at all
     assert all(out[i]["n_windows"] == 0 for i in range(1, 9))
+
+
+def test_hot_key_equi_join(ray_session):
+    """A hot join key spanning many blocks on both sides must produce
+    the full per-key cross product, exactly once each (the documented
+    SQL semantics — group memory is bounded by the hottest key)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+    # hot key 7: 300 left rows x 4 right rows = 1200 output rows,
+    # spread over 10 left blocks and 4 right blocks
+    left = rd.from_arrow([
+        pa.table({
+            "k": pa.array([7] * 30 + [100 + b], pa.int64()),
+            "lv": pa.array(list(range(b * 31, b * 31 + 31)), pa.int64()),
+        })
+        for b in range(10)
+    ])
+    right = rd.from_arrow([
+        pa.table({"rk": pa.array([7], pa.int64()),
+                  "rv": pa.array([r], pa.int64())})
+        for r in range(4)
+    ])
+    out = equi_join(left, right, "k", "rk", ["rv"]).to_pandas()
+    hot = out[out.k == 7]
+    assert len(hot) == 300 * 4
+    # every (lv, rv) combination exactly once
+    assert not hot.duplicated(["lv", "rv"]).any()
+    assert set(hot["rv"].unique()) == {0, 1, 2, 3}
+    # the cold keys (one left row each, no right match) drop on inner
+    assert (out.k == 7).all()
