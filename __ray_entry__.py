@@ -296,6 +296,21 @@ SELECT doc_id,
   coalesce(hsort[3], 0) AS fp2, coalesce(hsort[4], 0) AS fp3
 FROM hs
 """,
+        # planted-duplicate image corpus: payload text of doc_id % 100
+        "image_dedup_phash": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substr(md5('STUB1:' || (
+           SELECT d2.text FROM documents d2
+           WHERE d2.doc_id = d.doc_id % 100
+         )), 1, 16) AS phash
+  FROM documents d
+)
+SELECT phash,
+  CAST(count(*) AS BIGINT) AS n_copies,
+  CAST(min(media_id) AS BIGINT) AS first_media_id
+FROM m GROUP BY phash
+""",
         "multimodal_decode": """
 WITH m AS (
   SELECT doc_id AS media_id, 'STUB1:' || text AS p,

@@ -669,3 +669,62 @@ class TestLinearQualityModel:
         row = score_quality(ds, weights={"punct_count": -10},
                             bias=0, threshold=-5).take_all()[0]
         assert row["score"] == -10 and not row["kept"]
+
+
+class TestPerceptualHasher:
+    def test_identical_payloads_share_phash(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.multimodal import (
+            PerceptualHasher,
+        )
+
+        tbl = pa.table({
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [b"STUB1:same", b"STUB1:same", b"STUB1:other"],
+                pa.binary()),
+            "mime": ["image/png", "image/jpeg", "image/png"],
+        })
+        out = rd.from_arrow(tbl).map_batches(
+            PerceptualHasher, batch_format="pyarrow", concurrency=1,
+        ).to_pandas().sort_values("media_id")
+        p = out["phash"].tolist()
+        assert p[0] == p[1] != p[2]
+        assert all(len(x) == 16 for x in p)
+
+    def test_non_image_rows_pass_through_null(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.multimodal import (
+            PerceptualHasher,
+        )
+
+        tbl = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"STUB1:a", b"STUB1:a"], pa.binary()),
+            "mime": ["audio/wav", "image/png"],
+        })
+        out = {r["media_id"]: r["phash"]
+               for r in rd.from_arrow(tbl).map_batches(
+                   PerceptualHasher, batch_format="pyarrow",
+                   concurrency=1).take_all()}
+        assert out[1] is None and out[2] is not None
+
+    def test_strict_seam_raises_on_real_payload(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from web_mass_scraper_ocr_ray.stages.multimodal import (
+            PerceptualHasher,
+        )
+
+        batch = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\x89PNG realbytes"], pa.binary()),
+            "mime": ["image/png"],
+        })
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            PerceptualHasher(strict=True)(batch)

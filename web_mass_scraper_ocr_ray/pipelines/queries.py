@@ -746,6 +746,39 @@ def q_embedding_neardup(sf_dir: str):
 
 # ---- multimodal ----------------------------------------------------------
 
+def q_image_dedup_phash(sf_dir: str):
+    """Image dedup by perceptual hash — the multimodal dedup op: a
+    derived image corpus with planted duplicates (payload from the
+    text of doc_id % 100, so ~5 copies per group) goes through the
+    actor-pool PerceptualHasher (stub = md5-prefix phash; PIL DCT
+    pHash in deployment) and one groupby(phash) →
+    (phash, n_copies, first_media_id)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = docs.column("text").to_pylist()
+    ids = docs.column("doc_id").to_pylist()
+    by_id = dict(zip(ids, texts))
+    tbl = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(
+            [b"STUB1:" + by_id[i % 100].encode("utf-8") for i in ids],
+            pa.binary()),
+        "mime": pa.array(["image/png"] * len(ids), pa.string()),
+    })
+    hashed = rd.from_arrow(tbl).repartition(8).map_batches(
+        mm.PerceptualHasher, batch_format="pyarrow", concurrency=2,
+    )
+    return hashed.select_columns(["phash", "media_id"]).groupby(
+        "phash"
+    ).aggregate(
+        Count(alias_name="n_copies"),
+        Min("media_id", alias_name="first_media_id"),
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Actor-pool media decode, flattened to scalar columns — the stub
     decode is deterministic arithmetic over the payload digest, so the
@@ -1796,6 +1829,7 @@ QUERIES: Dict[str, callable] = {
     "doc_clusters_kmeans": q_doc_clusters_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "multimodal_decode": q_multimodal_decode,
+    "image_dedup_phash": q_image_dedup_phash,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
     "events_sliding": q_events_sliding,

@@ -123,6 +123,40 @@ class FrameSampler:
         )
 
 
+class PerceptualHasher:
+    """Image perceptual-hash stage (stub kernel, real plumbing).
+
+    Real deployment: PIL loaded once per actor in ``__init__``, DCT
+    pHash (or difference hash) per image in ``__call__``. The stub
+    derives a deterministic 64-bit hash (16 hex chars of the payload's
+    md5) so dedup semantics and the SQL oracle are exact; ``strict``
+    surfaces the seam like :class:`MediaDecoder`. Non-image rows get a
+    null phash (they pass through for downstream routing).
+
+    Identical images share a phash → exact-dup groups via one groupby;
+    NEAR-dup extends by banding the 64 bits 4×16 and reusing the
+    simhash candidate machinery (stages/dedup.py) — same shuffle shape.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        out = []
+        for p, m in zip(payloads, mimes):
+            if not (m or "").startswith("image/") or p is None:
+                out.append(None)
+                continue
+            if self.strict and not bytes(p).startswith(b"STUB1:"):
+                raise NotImplementedError(
+                    "real image decode requires PIL — inject a "
+                    "PIL-backed hasher in deployment")
+            out.append(hashlib.md5(bytes(p)).hexdigest()[:16])
+        return batch.append_column("phash", pa.array(out, pa.string()))
+
+
 def synth_media_dataset(sf_dir: str):
     """Deterministic media table derived from documents.parquet:
     payload = STUB1:<text bytes>, mime cycles image/audio/video."""
