@@ -576,6 +576,24 @@ class TestCLIPrep:
         assert s["docs_kept"] + s["drop_lowquality"] + \
             s["drop_duplicate"] + s["drop_sampled_out"] == 500
 
+    def test_prep_two_pass_flag_same_accounting(self, tmp_path):
+        def run(extra, out):
+            r = subprocess.run(
+                [sys.executable, "-m", "web_mass_scraper_ocr_ray.cli",
+                 "prep",
+                 "--input", "/root/testdata/sf0.001/documents.parquet",
+                 "--output", str(out), "--num-cpus", "4"] + extra,
+                capture_output=True, text=True, timeout=240,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            return json.loads(r.stdout.strip().splitlines()[-1])
+
+        one = run([], tmp_path / "one")
+        two = run(["--two-pass"], tmp_path / "two")
+        for k in ("docs_total", "docs_kept", "drop_lowquality",
+                  "drop_duplicate", "drop_sampled_out"):
+            assert one[k] == two[k], k
+
 
 class TestCountMinSketch:
     def test_never_underestimates(self):

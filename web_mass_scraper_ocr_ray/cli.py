@@ -72,6 +72,7 @@ def cmd_prep(args) -> int:
         sample_rates_bp=rates,
         sample_default_bp=args.sample_default_bp,
         output_dir=args.output,
+        dedup_two_pass=args.two_pass,
     )
     summary = run_prep_pipeline(args.input, cfg)
     print(json.dumps(summary, default=str))
@@ -165,6 +166,11 @@ def main(argv=None) -> int:
     prep.add_argument("--sample-rates", default=None,
                       help='JSON {"stratum": rate_bp, ...}')
     prep.add_argument("--sample-default-bp", type=int, default=10000)
+    prep.add_argument("--two-pass", action="store_true",
+                      help="two-pass global dedup: shuffle only "
+                           "(doc_id, text_hash, flags) by content key, "
+                           "join decisions back by doc_id - the 100 TB "
+                           "path; identical output to one-pass")
     prep.add_argument("--num-cpus", type=int, default=None)
     prep.set_defaults(fn=cmd_prep)
 
