@@ -296,6 +296,16 @@ SELECT doc_id,
   coalesce(hsort[3], 0) AS fp2, coalesce(hsort[4], 0) AS fp3
 FROM hs
 """,
+        # trunc(x*10000) int64 per component — order-independent exact
+        "embedding_centroids": """
+SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+  CAST(sum(CAST(trunc(CAST(embedding[u.i] AS DOUBLE) * 10000)
+                AS BIGINT)) AS BIGINT)
+    AS sum_scaled,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, pos
+""",
         # planted-duplicate image corpus: payload text of doc_id % 100
         "image_dedup_phash": """
 WITH m AS (

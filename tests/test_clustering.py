@@ -200,3 +200,41 @@ class TestQueryClaims:
         for k, v in row.items():
             if isinstance(v, (bool, np.bool_)):
                 assert bool(v), f"{name}.{k} claim is False"
+
+
+class TestLabelCentroids:
+    def test_exact_integer_sums_across_blocks(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.clustering import (
+            label_centroids,
+        )
+
+        # two labels, d=3, vectors split over 4 blocks
+        vecs = np.array([
+            [0.11, -0.22, 0.33],
+            [0.11, -0.22, 0.33],
+            [1.0, 2.0, -3.0],
+            [0.5, 0.5, 0.5],
+        ], dtype=np.float32)
+        labels = [0, 1, 0, 1]
+        tables = [
+            pa.table({
+                "label": pa.array([labels[i]], pa.int32()),
+                "embedding": pa.array([vecs[i].tolist()],
+                                      pa.list_(pa.float32())),
+            })
+            for i in range(4)
+        ]
+        out = label_centroids(rd.from_arrow(tables)).to_pandas()
+        exp = {}
+        for lab, v in zip(labels, vecs):
+            s = np.trunc(v.astype(np.float64) * 10000).astype(np.int64)
+            acc = exp.setdefault(lab, np.zeros(3, np.int64))
+            acc += s
+        for lab, sums in exp.items():
+            sub = out[out.label == lab].sort_values("pos")
+            assert sub["sum_scaled"].tolist() == sums.tolist()
+            assert (sub["n_vecs"] == 2).all()

@@ -779,6 +779,15 @@ def q_image_dedup_phash(sf_dir: str):
     )
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label centroid numerators in exact integer arithmetic
+    (order-independent, so the distributed sum matches SQL
+    bit-exactly); divide by n_vecs for the float centroid."""
+    from ..stages.clustering import label_centroids
+
+    return label_centroids(_emb(sf_dir))
+
+
 def q_multimodal_decode(sf_dir: str):
     """Actor-pool media decode, flattened to scalar columns — the stub
     decode is deterministic arithmetic over the payload digest, so the
@@ -1830,6 +1839,7 @@ QUERIES: Dict[str, callable] = {
     "semantic_dedup": q_semantic_dedup,
     "multimodal_decode": q_multimodal_decode,
     "image_dedup_phash": q_image_dedup_phash,
+    "embedding_centroids": q_embedding_centroids,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
     "events_sliding": q_events_sliding,

@@ -305,3 +305,51 @@ def semantic_dedup(emb_ds, k: int | None = 8, threshold: float = 0.9,
         })
 
     return merged.map_batches(_finish, batch_format="pyarrow")
+
+
+def label_centroids(emb_ds, label_col: str = "label",
+                    emb_col: str = "embedding", scale: int = 10_000):
+    """Per-label centroid NUMERATORS in exact integer arithmetic —
+    the embedding-curation rollup (class prototypes, per-source mean
+    vectors) shaped for a distributed exact check: each component is
+    trunc(value × scale) summed as int64, so the result is identical
+    regardless of summation order (float sums are order-dependent and
+    would flap against any oracle). Consumers divide by n_vecs for the
+    float centroid.
+
+    → (label, pos, sum_scaled, n_vecs), one row per (label,
+    dimension). Per-batch combiner: np.add.at over label codes — the
+    shuffle carries labels × d partial rows per batch, never vectors.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .similarity import _matrix
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mat = _matrix(t.column(emb_col))
+        scaled = np.trunc(mat * scale).astype(np.int64)
+        labels = np.asarray(
+            pc.cast(t.column(label_col), pa.int64()).combine_chunks())
+        codes, uniq = pd.factorize(labels)
+        d = scaled.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, codes, scaled)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        pos = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "sum_scaled": pa.array(sums.ravel(), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    return emb_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(["label", "pos"]).aggregate(
+        Sum("sum_scaled", alias_name="sum_scaled"),
+        Sum("n_vecs", alias_name="n_vecs"),
+    )
