@@ -503,6 +503,18 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
 """,
+        # same regex as the Arrow kernel — extraction semantics pinned
+        "events_json_extract": r"""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+       AS BIGINT) AS sum_k,
+  CAST(min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+       AS BIGINT) AS min_k,
+  CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+       AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
         "events_hourly_distinct": """
 SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -925,6 +925,37 @@ def q_order_customer_join(sf_dir: str):
 
 # ---- streaming-shaped (events) ------------------------------------------
 
+def q_events_json_extract(sf_dir: str):
+    """JSON scalar extraction in the hot path done vectorized: the
+    flat props field is pulled with ONE Arrow RE2 kernel per batch
+    (no json.loads per row — a Python JSON parse in a per-row loop is
+    exactly the hot-path antipattern), then rolled up per event_type.
+    The oracle uses the same regex via DuckDB regexp_extract so the
+    extraction semantics are pinned, not approximated."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def _extract(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t.column("props"), r'"k":\s*(?P<v>\d+)')
+        vals = pc.cast(pc.struct_field(k, "v"), pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "k": vals,
+        })
+
+    return ev.map_batches(_extract, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("k", alias_name="sum_k"),
+        Min("k", alias_name="min_k"),
+        Max("k", alias_name="max_k"),
+    )
+
+
 def q_events_hourly_distinct(sf_dir: str):
     """Distinct users per tumbling hour — COUNT(DISTINCT) done right
     at scale: each batch collapses to its distinct (window, user)
@@ -1842,6 +1873,7 @@ QUERIES: Dict[str, callable] = {
     "embedding_centroids": q_embedding_centroids,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
+    "events_json_extract": q_events_json_extract,
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "top_events_per_user": q_top_events_per_user,
