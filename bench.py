@@ -164,6 +164,9 @@ def run_bench() -> dict:
         "doc_quality_model",
         "dedup_canonical_urls",
         "events_hourly_distinct",
+        "image_dedup_phash",
+        "embedding_centroids",
+        "events_json_extract",
     )
     for name in query_names:
         t0 = time.monotonic()
