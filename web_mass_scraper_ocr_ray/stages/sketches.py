@@ -263,13 +263,27 @@ def vocab_topk_cm(docs_ds, k: int = 20, text_col: str = "text",
         _partial, batch_format="pyarrow"
     ).materialize()
 
-    merged = CountMinSketch(depth, log2_width)
-    for b in parts.filter(
-        lambda r: r["word"] is None
-    ).iter_batches(batch_format="pyarrow", batch_size=64):
-        for raw in b.column("sketch").to_pylist():
-            merged.merge(CountMinSketch.from_bytes(
-                raw, depth, log2_width))
+    # Tree-fold the per-batch sketches with bounded fan-in (the bloom
+    # build's reduce shape): sketches are depth×width×8 bytes — a
+    # driver-side fold would ingest n_batches × sketch_size, which at
+    # web scale is hundreds of GBs through one process. The driver
+    # receives exactly ONE sketch.
+    def _sum_rows(t: pa.Table) -> pa.Table:
+        acc = CountMinSketch(depth, log2_width)
+        for raw in t.column("sketch").to_pylist():
+            acc.merge(CountMinSketch.from_bytes(raw, depth, log2_width))
+        return pa.table({"sketch": pa.array([acc.to_bytes()],
+                                            pa.binary())})
+
+    sk = parts.filter(lambda r: r["word"] is None) \
+        .select_columns(["sketch"]).materialize()
+    while sk.count() > 1:
+        sk = sk.repartition(
+            max(1, -(-sk.count() // 8))
+        ).map_batches(_sum_rows, batch_format="pyarrow").materialize()
+    merged = (CountMinSketch.from_bytes(sk.take(1)[0]["sketch"],
+                                        depth, log2_width)
+              if sk.count() else CountMinSketch(depth, log2_width))
 
     cands = parts.filter(lambda r: r["word"] is not None) \
         .groupby("word").aggregate(Count(alias_name="_n"))
