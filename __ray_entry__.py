@@ -384,6 +384,33 @@ reach(a, b) AS (
 SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY a
 """,
+        # cluster-size histogram over the same recursive components
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {_ND_JACCARD_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = inter.doc_a
+  JOIN sz sb ON sb.doc_id = inter.doc_b
+  WHERE 100 * i >= 80 * (sa.n + sb.n - i)
+),
+sym(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+per AS (SELECT cluster_id, count(*) AS n_members FROM comp
+        GROUP BY cluster_id)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM per GROUP BY n_members
+""",
         "salted_rollup": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY source
@@ -502,6 +529,30 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
     AS sum_price_centi
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+""",
+        # greedy-earliest ordered funnel, strict > between steps
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS steps_completed,
+  CAST(CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
 """,
         # same regex as the Arrow kernel — extraction semantics pinned
         "events_json_extract": r"""

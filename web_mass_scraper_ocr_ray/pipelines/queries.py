@@ -629,6 +629,23 @@ def q_dedup_clusters(sf_dir: str):
     return dd.cluster_pairs_driver(pairs)
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-SIZE histogram — the dedup audit rollup (how
+    much mass sits in how-big duplicate clusters): members per cluster,
+    then clusters per size. Two tiny grouped aggregates on top of the
+    verified pair → component path; singletons (docs in no pair) are
+    excluded, matching the components oracle."""
+    clusters = q_dedup_clusters(sf_dir)  # pa.Table (small by nature:
+    # one row per doc that is IN a verified near-dup pair)
+    per_cluster = clusters.group_by(["cluster_id"]).aggregate(
+        [([], "count_all")]).rename_columns(["cluster_id", "n_members"])
+    hist = per_cluster.select(["n_members"]).group_by(
+        ["n_members"]).aggregate([([], "count_all")])
+    return hist.rename_columns(["n_members", "n_clusters"]).cast(
+        pa.schema([("n_members", pa.int64()),
+                   ("n_clusters", pa.int64())]))
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Banded embedding near-dup RECALL+PRECISION gate vs the exact
     block self-join (itself oracle-verified as `embedding_neardup`).
@@ -924,6 +941,47 @@ def q_order_customer_join(sf_dir: str):
 
 
 # ---- streaming-shaped (events) ------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-funnel match per user (view → click → purchase with
+    strictly increasing timestamps, greedy-earliest — correct for
+    existence): the sequential-pattern operator of event analytics.
+    One shuffle keyed by user; inside each group the chain is three
+    ``searchsorted`` steps over per-type sorted timestamps, no Python
+    over events. → (user_id, steps_completed, matched)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        uid = int(g["user_id"].iloc[0])
+        ts = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        cur = -np.inf
+        steps = 0
+        for step in FUNNEL_STEPS:
+            sts = np.sort(ts[et == step])
+            i = np.searchsorted(sts, cur, side="right")
+            if i >= len(sts):
+                break
+            cur = sts[i]
+            steps += 1
+        return pd.DataFrame({
+            "user_id": [uid],
+            "steps_completed": np.array([steps], np.int64),
+            "matched": np.array([steps == len(FUNNEL_STEPS)], np.int64),
+        })
+
+    return ev.groupby("user_id").map_groups(
+        _funnel, batch_format="pandas")
+
 
 def q_events_json_extract(sf_dir: str):
     """JSON scalar extraction in the hot path done vectorized: the
@@ -1863,6 +1921,7 @@ QUERIES: Dict[str, callable] = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "salted_rollup": q_salted_rollup,
@@ -1874,6 +1933,7 @@ QUERIES: Dict[str, callable] = {
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
     "events_json_extract": q_events_json_extract,
+    "events_funnel": q_events_funnel,
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "top_events_per_user": q_top_events_per_user,
