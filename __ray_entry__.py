@@ -182,6 +182,11 @@ SELECT url FROM ext WHERE doc_id % 3 <> 0
 WITH {_EXT_CTE}
 SELECT url FROM ext WHERE doc_id % 3 <> 0
 """,
+        # the complement: semi-join against the committed key set
+        "resume_committed": f"""
+WITH {_EXT_CTE}
+SELECT url FROM ext WHERE doc_id % 3 = 0
+""",
         # noisy-url construction mirrored from q_dedup_canonical_urls;
         # canonicalization = the same two regexes the Arrow kernel runs
         "dedup_canonical_urls": """
@@ -758,6 +763,12 @@ q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp)
 SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
 FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
 GROUP BY q.q_bp
+""",
+        # n_less = strictly-smaller count = rank() - 1
+        "doc_length_percentile": """
+SELECT doc_id, n_chars,
+  CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS n_less
+FROM documents
 """,
         # same integer rank rule per source group
         "doc_length_quantiles_by_source": """

@@ -529,3 +529,29 @@ class TestEquiJoin:
         b = q_order_customer_join_large(sf).to_pandas() \
             .sort_values("c_mktsegment").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestSemiJoin:
+    def test_complement_of_anti_join(self, ray_session):
+        """semi ∪ anti partitions the left exactly (no row lost, none
+        duplicated)."""
+        from web_mass_scraper_ocr_ray.stages.joins import (
+            anti_join,
+            semi_join,
+        )
+
+        left = _ds({"k": list(range(20)),
+                    "v": [f"v{i}" for i in range(20)]})
+        right = _ds({"k": [2, 4, 6, 8, 99]})
+        semi = sorted(r["v"] for r in semi_join(left, right, "k").take_all())
+        anti = sorted(r["v"] for r in anti_join(left, right, "k").take_all())
+        assert semi == [f"v{i}" for i in (2, 4, 6, 8)]
+        assert sorted(semi + anti) == sorted(f"v{i}" for i in range(20))
+
+    def test_multiplicity_preserved(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import semi_join
+
+        left = _ds({"k": [1, 1, 1, 2], "v": ["a", "b", "c", "d"]})
+        right = _ds({"k": [1, 1]})  # right dups must not multiply
+        out = semi_join(left, right, "k").to_pandas()
+        assert sorted(out["v"]) == ["a", "b", "c"]

@@ -193,6 +193,28 @@ def q_resume_filter_large(sf_dir: str):
     return anti_join(left, committed, on="url")
 
 
+def q_resume_committed(sf_dir: str):
+    """The intersect side of the resume split: urls ALREADY committed
+    (semi-join against the committed key set) — together with
+    resume_filter* this partitions the input exactly. Same keyed
+    co-partition shuffle as the anti-join, mask not inverted."""
+    import ray.data as rd
+
+    from ..stages.joins import semi_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def _committed(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
+        return pa.table({"url": pa.array([page_url(d) for d in ids],
+                                         pa.string())})
+
+    committed = docs.map_batches(_committed, batch_format="pyarrow")
+    left = synth_pages_dataset(sf_dir).select_columns(["url"])
+    return semi_join(left, committed, on="url")
+
+
 def q_resume_filter_bloom(sf_dir: str):
     """J2 anti-join resume, Bloom-routed variant: identical output to
     :func:`q_resume_filter`, via ``membership.bloom_anti_join`` — the
@@ -1412,6 +1434,17 @@ def q_doc_length_quantiles_by_source(sf_dir: str):
         column="n_chars", group_col="source")
 
 
+def q_doc_length_percentile(sf_dir: str):
+    """Corpus-wide percent_rank as a distributed two-pass (histogram
+    broadcast + stateless map — the big side never shuffles); n_less
+    = rank() - 1 in SQL."""
+    from ..stages.sketches import percentile_rank
+
+    return percentile_rank(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        column="n_chars")
+
+
 def q_doc_sample_stratified(sf_dir: str):
     """Deterministic stratified Bernoulli sample of documents: each
     source stratum src<i> keeps rate 1000 + 700*(i % 8) basis points
@@ -1902,6 +1935,7 @@ QUERIES: Dict[str, callable] = {
     "resume_filter": q_resume_filter,
     "resume_filter_large": q_resume_filter_large,
     "resume_filter_bloom": q_resume_filter_bloom,
+    "resume_committed": q_resume_committed,
     "dedup_canonical_urls": q_dedup_canonical_urls,
     "images_enum": q_images_enum,
     "ocr_rollup": q_ocr_rollup,
@@ -1953,6 +1987,7 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_cap_per_source": q_doc_cap_per_source,
     "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
+    "doc_length_percentile": q_doc_length_percentile,
     "vocab_topk_sketch": q_vocab_topk_sketch,
     "doc_quality_model": q_doc_quality_model,
     "doc_mixture_upsample": q_doc_mixture_upsample,

@@ -538,3 +538,55 @@ def equi_join(left_ds, right_ds, left_on: str, right_on: str,
 
     return rows.groupby("bucket").map_groups(
         _merge, batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_keys_ds, on: str,
+              n_buckets: int = N_JOIN_BUCKETS):
+    """LEFT SEMI join: rows of ``left_ds`` whose ``on`` key DOES
+    appear in ``right_keys_ds`` — the complement of :func:`anti_join`
+    (same single co-partition shuffle, the membership mask is simply
+    not inverted), completing the reference's set-op gap (SURVEY
+    §2.7: no intersect in the reference). Output keeps left columns
+    and multiplicities; the right side contributes membership only.
+    """
+    schema = left_ds.schema()
+    all_cols = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    if on not in types:
+        raise ValueError(f"semi_join key {on!r} not in left columns "
+                         f"{all_cols}")
+
+    def _left(t: pa.Table) -> pa.Table:
+        cols = {name: t.column(name) for name in all_cols}
+        cols["side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["bucket"] = _bucket_of(
+            t.column(on).combine_chunks(), n_buckets)
+        return pa.table(cols)
+
+    def _right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = pc.cast(t.column(on), types[on]).combine_chunks()
+        cols = {name: (key if name == on else pa.nulls(n, types[name]))
+                for name in all_cols}
+        cols["side"] = pa.array(np.ones(n, np.int8))
+        cols["bucket"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    rows = left_ds.map_batches(_left, batch_format="pyarrow").union(
+        right_keys_ds.select_columns([on]).map_batches(
+            _right, batch_format="pyarrow")
+    )
+
+    def _filter(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        right = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))) \
+                 .column(on).combine_chunks()
+        left = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        if len(right) == 0:
+            return left.drop_columns(["side", "bucket"]).slice(0, 0)
+        keep = pc.is_in(left.column(on), value_set=right)
+        return left.filter(keep).drop_columns(["side", "bucket"])
+
+    return rows.groupby("bucket").map_groups(
+        _filter, batch_format="pyarrow"
+    )

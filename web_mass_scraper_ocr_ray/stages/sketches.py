@@ -160,6 +160,47 @@ def exact_quantiles(ds, column: str,
     })
 
 
+def percentile_rank(ds, column: str, id_col: str = "doc_id"):
+    """Corpus-wide window function percent_rank, distributed: output
+    every row with ``n_less`` = number of rows whose value is strictly
+    smaller (= SQL ``rank() - 1``; divide by n-1 for the float
+    percent_rank). A naive window sort is a full all-to-all of the
+    data; here pass 1 builds the value-count histogram (per-batch
+    Arrow partials, O(distinct values) shuffle), its EXCLUSIVE cumsum
+    broadcasts once, and pass 2 is a stateless ``searchsorted`` map —
+    the big side never shuffles at all. Same bounded-cardinality
+    caveat as :func:`exact_quantiles`."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        res = t.select([column]).group_by([column]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns([column, "cnt"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        column
+    ).aggregate(Sum("cnt", alias_name="cnt")).to_pandas() \
+        .sort_values(column)
+    values = hist[column].to_numpy()
+    counts = hist["cnt"].to_numpy()
+    excl = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    ref = ray.put((values, excl))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        vals, ex = ray.get(ref)
+        x = np.asarray(t.column(column).combine_chunks())
+        idx = np.searchsorted(vals, x)  # exact: every x is in vals
+        return pa.table({
+            id_col: t.column(id_col),
+            column: t.column(column),
+            "n_less": pa.array(ex[idx], pa.int64()),
+        })
+
+    return ds.map_batches(_rank, batch_format="pyarrow")
+
+
 class CountMinSketch:
     """Mergeable count-min sketch (Cormode-Muthukrishnan 2005): depth
     rows of width counters; an item's estimate is the MIN over rows —
