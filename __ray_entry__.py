@@ -535,6 +535,28 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
 """,
+        # RANGE-frame calendar window over per-day centi-unit sums
+        "events_moving_window": """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS day_sum_centi
+  FROM events GROUP BY user_id, day
+)
+SELECT user_id, day, CAST(day_sum_centi AS BIGINT) AS day_sum_centi,
+  CAST(sum(day_sum_centi) OVER (
+    PARTITION BY user_id ORDER BY day
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS win7_sum_centi
+FROM d
+""",
+        # grouped-HLL claim gate: exact counts recomputed, accuracy
+        # boolean pinned TRUE (a sketch regression flips it)
+        "events_distinct_by_type": """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+  TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+""",
         # greedy-earliest ordered funnel, strict > between steps
         "events_funnel": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

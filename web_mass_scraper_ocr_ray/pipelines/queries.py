@@ -964,6 +964,44 @@ def q_order_customer_join(sf_dir: str):
 
 # ---- streaming-shaped (events) ------------------------------------------
 
+def q_events_distinct_by_type(sf_dir: str):
+    """Claim-gated per-GROUP approximate distinct (the grouped HLL):
+    distinct users per event_type, sketch vs exact, one row per type
+    with the exact count (SQL recomputes) and a within-5% boolean
+    pinning the sketch accuracy — the approx_distinct_urls gate
+    pattern, grouped."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.sketches import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    est = {r["event_type"]: r["estimate"]
+           for r in grouped_approx_distinct(
+               ev, "event_type", "user_id").take_all()}
+    exact_rows = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+        }).group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    ).map_batches(
+        lambda t: t.select(["event_type"]), batch_format="pyarrow"
+    ).groupby("event_type").aggregate(Count(alias_name="n_exact"))
+    rows = exact_rows.take_all()
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "n_exact_users": pa.array(
+            [r["n_exact"] for r in rows], pa.int64()),
+        "hll_within_5pct": pa.array(
+            [abs(est.get(r["event_type"], 0.0) - r["n_exact"])
+             <= 0.05 * r["n_exact"] for r in rows], pa.bool_()),
+    })
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -1325,6 +1363,53 @@ def q_events_cumulative(sf_dir: str):
         return out
 
     return ev.groupby("user_id").map_groups(_cum, batch_format="pandas")
+
+
+def q_events_moving_window(sf_dir: str):
+    """Per-user 7-day moving sum over DAILY totals — the RANGE-frame
+    window (calendar window, gaps included), not a ROWS frame: each
+    user's days are aggregated, sorted, and the trailing window is a
+    cumsum difference with one searchsorted per group (no per-day
+    Python). Centi-unit ints keep it bit-exact vs SQL."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        # timestamp (not DATE): every temporal column in the query
+        # surface is timestamp[us] so the driver compare sees one type
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        centi = pc.cast(pc.round(pc.multiply(
+            t.column("value"), 100.0)), pa.int64())
+        part = pa.table({
+            "user_id": t.column("user_id"),
+            "day": day, "v": centi,
+        }).group_by(["user_id", "day"]).aggregate([("v", "sum")])
+        return part.rename_columns(["user_id", "day", "v"])
+
+    daily = ev.map_batches(_daily, batch_format="pyarrow")
+
+    def _window(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day", sort=True)["v"].sum()
+        days = agg.index.to_numpy().astype("datetime64[D]").astype(
+            np.int64)  # calendar-day ordinals for the RANGE frame
+        vals = agg.to_numpy(dtype=np.int64)
+        cum = np.cumsum(vals)
+        lo = np.searchsorted(days, days - 6)  # first day >= d-6
+        prev = np.where(lo > 0, cum[lo - 1], 0)
+        return pd.DataFrame({
+            "user_id": np.full(len(days), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "day": agg.index,
+            "day_sum_centi": vals,
+            "win7_sum_centi": cum - prev,
+        })
+
+    return daily.groupby("user_id").map_groups(
+        _window, batch_format="pandas")
 
 
 def _docs_with_pii(sf_dir: str):
@@ -1968,6 +2053,8 @@ QUERIES: Dict[str, callable] = {
     "events_hourly_distinct": q_events_hourly_distinct,
     "events_json_extract": q_events_json_extract,
     "events_funnel": q_events_funnel,
+    "events_distinct_by_type": q_events_distinct_by_type,
+    "events_moving_window": q_events_moving_window,
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "top_events_per_user": q_top_events_per_user,

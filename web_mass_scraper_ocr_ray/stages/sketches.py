@@ -87,6 +87,45 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def grouped_approx_distinct(ds, group_col: str, value_col: str,
+                            p: int = 12):
+    """Per-GROUP approximate distinct — one HLL per (group, batch)
+    crosses the wire (2^p bytes each), merged per group in
+    ``map_groups``; the data itself never shuffles. → Dataset of
+    (group, estimate float). The per-batch loop is over the batch's
+    DISTINCT groups (hosts, types — small), values are added to each
+    group's sketch vectorized."""
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_pylist()
+        codes, uniq = pd.factorize(g)
+        rows_g, rows_s = [], []
+        for i, grp in enumerate(uniq):
+            h = HyperLogLog(p)
+            h.add_many([v[j] for j in np.nonzero(codes == i)[0]])
+            rows_g.append(grp)
+            rows_s.append(h.to_bytes())
+        return pa.table({
+            group_col: pa.array(rows_g),
+            "sketch": pa.array(rows_s, pa.binary()),
+        })
+
+    def _merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = HyperLogLog(p)
+        for raw in df["sketch"]:
+            h.merge(HyperLogLog.from_bytes(raw, p))
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "estimate": [h.estimate()],
+        })
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(group_col).map_groups(_merge, batch_format="pandas")
+
+
 def size_histogram(ds, column: str = "html_len"):
     """Deterministic log2-bucket histogram of a size column — the
     skew-diagnosis operator (§4.4): which byte decades dominate, exact
