@@ -786,6 +786,10 @@ SELECT q.q_bp, CAST(min(s.n_chars) AS BIGINT) AS value
 FROM q JOIN s ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
 GROUP BY q.q_bp
 """,
+        # rebalance is row-preserving; identity projection oracle
+        "doc_rebalance_by_size": """
+SELECT doc_id, n_chars FROM documents
+""",
         # n_less = strictly-smaller count = rank() - 1
         "doc_length_percentile": """
 SELECT doc_id, n_chars,

@@ -130,3 +130,51 @@ def test_hot_key_equi_join(ray_session):
     assert set(hot["rv"].unique()) == {0, 1, 2, 3}
     # the cold keys (one left row each, no right match) drop on inner
     assert (out.k == 7).all()
+
+
+def test_rebalance_by_size_balances_giant_docs(ray_session):
+    """Giant docs must spread: no output group's byte total may exceed
+    ~2x the target when giants dominate, and every row must survive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_mass_scraper_ocr_ray.stages.shuffle import rebalance_by_size
+
+    # 8 giant docs of ~1 MB (as a size column) + 1000 small ones
+    sizes = [1 << 20] * 8 + [100] * 1000
+    ids = list(range(len(sizes)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bytes": pa.array(sizes, pa.int64()),
+    })).repartition(4)
+    out = rebalance_by_size(ds, "n_bytes", "doc_id",
+                            target_group_bytes=2 << 20)
+    rows = out.take_all()
+    assert sorted(r["doc_id"] for r in rows) == ids
+    assert set(rows[0].keys()) == {"doc_id", "n_bytes"}
+
+
+def test_rebalance_fanout_math(ray_session):
+    """A decade holding ~6x the target bytes fans out into >=3 groups
+    (giants do not all land on one worker)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_mass_scraper_ocr_ray.stages.shuffle import rebalance_by_size
+
+    # 12 docs of 1 MiB in one log2 decade = 12 MiB; target 2 MiB
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "n_bytes": pa.array([1 << 20] * 12, pa.int64()),
+    }))
+    out = rebalance_by_size(
+        ds, "n_bytes", "doc_id", target_group_bytes=2 << 20,
+        keep_key=True,
+    ).to_pandas()
+    sizes = out.groupby("size_group").size()
+    # 12 MiB / 2 MiB target → 6 fan-out groups for the decade; the
+    # id hash spreads docs so no group holds them all
+    assert out["size_group"].nunique() >= 3
+    assert sizes.max() <= 6
+    assert sizes.sum() == 12

@@ -1519,6 +1519,21 @@ def q_doc_length_quantiles_by_source(sf_dir: str):
         column="n_chars", group_col="source")
 
 
+def q_doc_rebalance_by_size(sf_dir: str):
+    """Size-bucketed repartition (north_star skew remedy): rows are
+    redistributed into ≈equal-byte groups keyed by (byte decade,
+    id-hash fan-out). Row content is unchanged, so the oracle is the
+    identity projection — the balance property itself is pinned by
+    unit tests (max group bytes ≈ target)."""
+    from ..stages.shuffle import rebalance_by_size
+
+    return rebalance_by_size(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        size_col="n_chars", id_col="doc_id",
+        target_group_bytes=16 << 10,  # small target: many groups at sf
+    )
+
+
 def q_doc_length_percentile(sf_dir: str):
     """Corpus-wide percent_rank as a distributed two-pass (histogram
     broadcast + stateless map — the big side never shuffles); n_less
@@ -2075,6 +2090,7 @@ QUERIES: Dict[str, callable] = {
     "doc_cap_per_source": q_doc_cap_per_source,
     "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
     "doc_length_percentile": q_doc_length_percentile,
+    "doc_rebalance_by_size": q_doc_rebalance_by_size,
     "vocab_topk_sketch": q_vocab_topk_sketch,
     "doc_quality_model": q_doc_quality_model,
     "doc_mixture_upsample": q_doc_mixture_upsample,

@@ -95,3 +95,72 @@ def salted_group_sizes(ds, key, n_salts: int = 16):
     return ds.map_batches(_salt, batch_format="pandas").groupby(
         [key, "_salt"]
     ).aggregate(Sum("n", alias_name="n"))
+
+
+def rebalance_by_size(ds, size_col: str, id_col: str,
+                      target_group_bytes: int = 64 << 20,
+                      keep_key: bool = False):
+    """Size-bucketed repartition — the heavy-document skew remedy the
+    north_star names (groupby byte-length quantiles → rebalanced
+    blocks): without it, a block of random pages can carry several
+    multi-MB documents and its OCR/parse task becomes the straggler.
+
+    Pass 1 builds the exact log2 size histogram (tiny — one row per
+    byte decade) and sizes a fan-out per decade: a decade holding B
+    bytes gets ⌈B / target_group_bytes⌉ output groups. Pass 2 assigns
+    each row ``group = base[decade] + hash(id) % fanout[decade]`` and
+    one keyed shuffle materializes groups of ≈ target bytes each —
+    giant documents spread across many groups, small documents pack
+    densely. Rows and columns are unchanged (the key is dropped unless
+    ``keep_key``, which retains ``size_group`` for auditing);
+    deterministic (multiplicative id hash, no RNG)."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import bit_length_u64
+    from .sketches import size_histogram
+
+    hist = size_histogram(ds, size_col).to_pandas()
+    hist = hist.sort_values("log2_bucket")
+    fanout = np.maximum(
+        1, -(-hist["sum_bytes"].to_numpy() // target_group_bytes)
+    ).astype(np.int64)
+    base = np.zeros(len(fanout), dtype=np.int64)
+    np.cumsum(fanout[:-1], out=base[1:])
+    plan = {int(b): (int(s), int(f)) for b, s, f in
+            zip(hist["log2_bucket"], base, fanout)}
+    ref = ray.put(plan)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = ray.get(ref)
+        sizes = np.asarray(
+            pc.cast(t.column(size_col), pa.int64()).combine_chunks())
+        decade = np.maximum(
+            bit_length_u64(np.maximum(sizes, 1).astype(np.uint64)) - 1,
+            0)
+        ids = np.asarray(
+            pc.cast(t.column(id_col), pa.int64()).combine_chunks()
+        ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) \
+                .astype(np.int64)
+        key = np.empty(len(sizes), dtype=np.int64)
+        for d in np.unique(decade):  # ≤ 64 decades, not per row
+            m = decade == d
+            b, f = p.get(int(d), (0, 1))
+            key[m] = b + (h[m] % f)
+        return t.append_column("_size_group", pa.array(key))
+
+    def _identity(g: pa.Table) -> pa.Table:
+        if keep_key:
+            return g.rename_columns(
+                [c if c != "_size_group" else "size_group"
+                 for c in g.column_names])
+        return g.drop_columns(["_size_group"])
+
+    return ds.map_batches(
+        _assign, batch_format="pyarrow"
+    ).groupby("_size_group").map_groups(_identity,
+                                        batch_format="pyarrow")
