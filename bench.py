@@ -167,6 +167,12 @@ def run_bench() -> dict:
         "image_dedup_phash",
         "embedding_centroids",
         "events_json_extract",
+        "events_funnel",
+        "events_moving_window",
+        "events_distinct_by_type",
+        "resume_committed",
+        "doc_length_percentile",
+        "doc_rebalance_by_size",
     )
     for name in query_names:
         t0 = time.monotonic()
