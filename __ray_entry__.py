@@ -1501,4 +1501,114 @@ SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_ideal_drops,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
+        # newest-row-wins per key: greatest (ts, event_id) per user
+        "events_latest_per_user": """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        # same multiplicative hash as the sampling stage; cumulative
+        # basis-point ranges 9000/500/500
+        "doc_split_assign": """
+SELECT doc_id, source,
+  CASE WHEN b < 9000 THEN 'train'
+       WHEN b < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
+           AS b
+  FROM documents
+)
+""",
+        # concat-and-split packing: shard = mix(id) % 4, then
+        # (bin, offset) = divmod(exclusive running n_chars, 2048)
+        # in doc_id order within the shard
+        "doc_pack_sequences": """
+WITH h AS (
+  SELECT doc_id, n_chars,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 4
+         AS BIGINT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, shard,
+    COALESCE(sum(n_chars) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM h
+)
+SELECT doc_id, n_chars, shard,
+  CAST(cum // 2048 AS BIGINT) AS bin_id,
+  CAST(cum % 2048 AS BIGINT) AS bin_offset
+FROM c
+""",
+        # OOV vs the exact top-50 vocab (count desc, word asc —
+        # the same deterministic tie-break the engine's top-M uses)
+        "doc_oov_rate": r"""
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS word
+  FROM documents
+),
+v AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+top AS (SELECT word FROM v ORDER BY n DESC, word ASC LIMIT 50)
+SELECT w.doc_id,
+  CAST(count(*) AS BIGINT) AS n_toks,
+  CAST(sum(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oov,
+  CAST(10000 * sum(CASE WHEN t.word IS NULL THEN 1 ELSE 0 END)
+       // count(*) AS BIGINT) AS oov_bp
+FROM w LEFT JOIN top t ON w.word = t.word
+GROUP BY w.doc_id
+""",
+        # token windows: starts 0, 24, 48, ... while start < n_toks;
+        # list_slice is 1-based inclusive in DuckDB
+        "doc_chunk_windows": r"""
+WITH tk AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+      AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+  FROM tk WHERE len(toks) > 0
+)
+SELECT doc_id,
+  CAST(start // 24 AS BIGINT) AS chunk_idx,
+  CAST(least(start + 32, n) - start AS BIGINT) AS n_chunk_toks,
+  array_to_string(list_slice(toks, start + 1, least(start + 32, n)),
+                  ' ') AS chunk_text
+FROM c
+""",
+        # dominant language: max count, tie-break lang ascending
+        "source_lang_diversity": """
+WITH cl AS (
+  SELECT source, lang, count(*) AS n FROM documents
+  GROUP BY source, lang
+),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM cl GROUP BY source
+),
+top AS (
+  SELECT source, lang AS top_lang, n FROM (
+    SELECT source, lang, n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang ASC) AS rn
+    FROM cl
+  ) WHERE rn = 1
+)
+SELECT t.source, t.n_docs, t.n_langs, p.top_lang,
+  CAST(10000 * p.n // t.n_docs AS BIGINT) AS top_lang_bp
+FROM tot t JOIN top p ON t.source = p.source
+""",
     }

@@ -173,6 +173,12 @@ def run_bench() -> dict:
         "resume_committed",
         "doc_length_percentile",
         "doc_rebalance_by_size",
+        "events_latest_per_user",
+        "doc_split_assign",
+        "doc_pack_sequences",
+        "doc_oov_rate",
+        "doc_chunk_windows",
+        "source_lang_diversity",
     )
     for name in query_names:
         t0 = time.monotonic()

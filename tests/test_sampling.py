@@ -144,3 +144,131 @@ class TestShardByHash:
         b = shard_by_hash(ds, "doc_id", 4).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAssignSplits:
+    def test_shares_and_stability(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            assign_splits,
+            sample_buckets,
+        )
+
+        ids = np.arange(2000, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+        out = assign_splits(ds, "doc_id").to_pandas()
+        counts = out["split"].value_counts()
+        # deterministic expected counts from the hash itself
+        buckets = sample_buckets(ids)
+        assert counts.get("train", 0) == int((buckets < 9000).sum())
+        assert counts.get("val", 0) == int(
+            ((buckets >= 9000) & (buckets < 9500)).sum())
+        # growing the corpus never changes an existing row's split
+        bigger = assign_splits(
+            rd.from_arrow(pa.table(
+                {"doc_id": pa.array(np.arange(4000, dtype=np.int64))})),
+            "doc_id").to_pandas()
+        merged = out.merge(bigger, on="doc_id", suffixes=("_a", "_b"))
+        assert (merged["split_a"] == merged["split_b"]).all()
+
+    def test_bad_shares_raise(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import assign_splits
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            assign_splits(ds, "doc_id", splits=[("a", 1), ("b", 2)])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackTokenBudget:
+    def test_contiguous_layout(self):
+        """Within every shard: docs in id order tile the stream with
+        no gaps — offset(i+1) == (offset(i) + cost(i)) mod-folded into
+        bins; total cost is conserved."""
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            pack_token_budget,
+        )
+
+        rng = np.random.RandomState(3)
+        ids = np.arange(300, dtype=np.int64)
+        cost = rng.randint(1, 900, size=300).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "n": cost}))
+        out = pack_token_budget(ds, "doc_id", "n", budget=1000,
+                                n_shards=3).to_pandas()
+        assert len(out) == 300
+        for _, sub in out.groupby("shard"):
+            sub = sub.sort_values("doc_id")
+            stream = sub["bin_id"].to_numpy() * 1000 \
+                + sub["bin_offset"].to_numpy()
+            expect = np.concatenate(
+                [[0], np.cumsum(sub["n"].to_numpy())[:-1]])
+            assert (stream == expect).all()
+        # offsets always inside the budget
+        assert (out["bin_offset"] < 1000).all()
+
+    def test_single_giant_doc(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            pack_token_budget,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "n": pa.array([5000, 3], pa.int64()),
+        }))
+        out = pack_token_budget(ds, "doc_id", "n", budget=100,
+                                n_shards=1).to_pandas() \
+            .sort_values("doc_id")
+        # giant doc starts at bin 0; next doc starts where it ended
+        assert out["bin_id"].tolist() == [0, 50]
+        assert out["bin_offset"].tolist() == [0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLatestPerGroup:
+    def test_argmax_and_tiebreak(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            latest_per_group,
+        )
+
+        t = pa.table({
+            "k": ["u", "u", "u", "v"],
+            "ts": pa.array([5, 9, 9, 1], pa.int64()),
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+        })
+        out = latest_per_group(rd.from_arrow(t), "k", "ts", "id") \
+            .to_pandas().sort_values("k")
+        assert out["id"].tolist() == [3, 4]  # ties → greatest id
+
+    def test_hot_key_spanning_blocks(self):
+        """The winner must be global even when the hot key's rows are
+        scattered across many blocks (the partial keeps only one
+        candidate per block)."""
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            latest_per_group,
+        )
+
+        tables = [
+            pa.table({
+                "k": ["hot"] * 10,
+                "ts": pa.array(list(range(b * 10, b * 10 + 10)),
+                               pa.int64()),
+                "id": pa.array(list(range(10)), pa.int64()),
+            })
+            for b in range(8)
+        ]
+        out = latest_per_group(rd.from_arrow(tables), "k", "ts", "id") \
+            .to_pandas()
+        assert len(out) == 1
+        assert out["ts"].iloc[0] == 79

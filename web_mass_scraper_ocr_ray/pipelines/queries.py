@@ -2025,6 +2025,79 @@ def q_doc_tfidf(sf_dir: str):
     return ts.tfidf_topk(_docs(sf_dir), k=5)
 
 
+def q_events_latest_per_user(sf_dir: str):
+    """Newest-row-wins per key — the 'keep the latest crawl of every
+    url' pattern over the events table: one row per user, the event
+    with the greatest (ts, event_id). Two-phase argmax: per-batch
+    partials prune before the shuffle (stages/sampling.latest_per_group),
+    so a hot user moves blocks-many rows, never their history."""
+    import ray.data as rd
+
+    from ..stages.sampling import latest_per_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return latest_per_group(ev, group_col="user_id", order_col="ts",
+                            tiebreak_col="event_id")
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5 by multiplicative
+    id hash): stable membership as the corpus grows, no RNG state, no
+    shuffle — stages/sampling.assign_splits."""
+    from ..stages.sampling import assign_splits
+
+    return assign_splits(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        id_col="doc_id")
+
+
+def q_doc_pack_sequences(sf_dir: str):
+    """Concatenate-and-split sequence packing (GPT-style pretraining
+    batches): per hash-shard, documents in doc_id order form one
+    contiguous cost stream cut every 2048 units; each doc reports
+    (bin_id, bin_offset). One keyed shuffle; the sequential prefix sum
+    lives inside the shard group (stages/sampling.pack_token_budget)."""
+    from ..stages.sampling import pack_token_budget
+
+    return pack_token_budget(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id", cost_col="n_chars", budget=2048, n_shards=4)
+
+
+def q_doc_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary rate vs the corpus top-50 vocab —
+    tokenizer-coverage QA with the bounded-broadcast vocab shape
+    (stages/textstats.oov_rate)."""
+    return ts.oov_rate(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), top_m=50)
+
+
+def q_doc_chunk_windows(sf_dir: str):
+    """Fixed-stride token-window chunking (window 32, stride 24) —
+    the retrieval/embedding chunking step as a stateless row
+    expansion, vectorized per chunk index not per doc
+    (stages/textstats.chunk_token_windows)."""
+    return ts.chunk_token_windows(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        window=32, stride=24)
+
+
+def q_source_lang_diversity(sf_dir: str):
+    """Per-source language diversity: n_docs, distinct langs, the
+    dominant lang and its share (bp) — combiner-first grouped rollup
+    (stages/shuffle.category_diversity)."""
+    from ..stages.shuffle import category_diversity
+
+    out = category_diversity(
+        _docs(sf_dir).select_columns(["source", "lang"]),
+        key_col="source", cat_col="lang")
+    return out.rename_columns(
+        {"n_rows": "n_docs", "n_cats": "n_langs",
+         "top_cat": "top_lang", "top_cat_bp": "top_lang_bp"})
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2112,4 +2185,10 @@ QUERIES: Dict[str, callable] = {
     "dedup_spans_strip": q_dedup_spans_strip,
     "dedup_spans_keepone": q_dedup_spans_keepone,
     "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
+    "events_latest_per_user": q_events_latest_per_user,
+    "doc_split_assign": q_doc_split_assign,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_oov_rate": q_doc_oov_rate,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "source_lang_diversity": q_source_lang_diversity,
 }

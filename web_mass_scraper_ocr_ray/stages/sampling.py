@@ -128,6 +128,91 @@ def upsample_by_group(ds, group_col: str,
     return ds.map_batches(_rep, batch_format="pyarrow")
 
 
+def assign_splits(ds, id_col: str, splits=None):
+    """Deterministic train/val/test assignment: bucket = mix(id) %
+    10000 routed through cumulative basis-point ranges. ``splits`` is
+    ``[(name, share_bp), ...]`` summing to 10000 (default
+    train/val/test = 90/5/5).
+
+    Stateless ``map_batches`` — no shuffle, no RNG state, exactly
+    reproducible in SQL, and the split of a row never changes when the
+    corpus grows (the property that keeps eval sets stable across
+    crawls). Contrast with ``random_shuffle().split()``: that couples
+    membership to corpus size and run seed."""
+    splits = splits or [("train", 9000), ("val", 500), ("test", 500)]
+    if sum(bp for _, bp in splits) != 10000:
+        raise ValueError("split shares must sum to 10000 bp")
+    names = [n for n, _ in splits]
+    bounds = np.cumsum([bp for _, bp in splits]).astype(np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        buckets = sample_buckets(ids)
+        idx = np.searchsorted(bounds, buckets, side="right")
+        return t.append_column(
+            "split", pa.array([names[i] for i in idx], pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def pack_token_budget(ds, id_col: str, cost_col: str,
+                      budget: int, n_shards: int):
+    """Concatenate-and-split sequence packing — the GPT-style
+    pretraining step that turns variable-length documents into
+    fixed-budget training sequences: within a shard, documents are
+    laid out in ``id`` order as one contiguous token stream and cut
+    every ``budget`` tokens; each document's position is reported as
+    ``(bin_id, bin_offset)`` = divmod(exclusive running cost, budget).
+    Documents may straddle a cut — exactly the semantics of packed
+    pretraining batches (no padding, no per-bin fitting).
+
+    Shard = mix(id) % n_shards (stateless), then ONE keyed shuffle and
+    a per-shard vectorized cumsum inside ``map_groups``. The
+    sequential prefix-sum lives entirely inside a shard, so shard
+    count — not corpus size — bounds group memory: at 100 TB use
+    thousands of shards (the mix is uniform, so shards stay balanced).
+    """
+
+    def _shard(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        h = (ids.astype(np.uint64) * _MIX) % _M32
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64)))
+
+    def _pack(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        s = g.take(idx)
+        cost = np.asarray(pc.cast(s.column(cost_col), pa.int64()))
+        cum = np.zeros(len(cost), dtype=np.int64)
+        np.cumsum(cost[:-1], out=cum[1:])
+        return s.append_column(
+            "bin_id", pa.array(cum // budget, pa.int64())
+        ).append_column("bin_offset", pa.array(cum % budget, pa.int64()))
+
+    return ds.map_batches(
+        _shard, batch_format="pyarrow"
+    ).groupby("shard").map_groups(_pack, batch_format="pyarrow")
+
+
+def latest_per_group(ds, group_col: str, order_col: str,
+                     tiebreak_col: str):
+    """Newest-row-wins dedup — 'keep the latest crawl of every url':
+    the single row per group with the greatest ``(order_col,
+    tiebreak_col)``. Exact two-phase argmax: a per-batch per-group
+    max is a valid partial, so the groupby shuffle carries at most one
+    row per (group, batch) — a hot key (a url recrawled millions of
+    times) contributes blocks-many candidate rows, never its full
+    history."""
+    keys = [(order_col, "descending"), (tiebreak_col, "descending")]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return _group_topk(t, group_col, 1, keys)
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(group_col).map_groups(_partial, batch_format="pyarrow")
+
+
 def _group_topk(t: pa.Table, group_col: str, k: int,
                 sort_keys) -> pa.Table:
     """First k rows of each group under ``sort_keys`` order — fully

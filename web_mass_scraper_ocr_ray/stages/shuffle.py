@@ -97,6 +97,48 @@ def salted_group_sizes(ds, key, n_salts: int = 16):
     ).aggregate(Sum("n", alias_name="n"))
 
 
+def category_diversity(ds, key_col: str, cat_col: str):
+    """Per-key category diversity — 'how language-diverse is each
+    source/host?': n_rows, distinct categories, the dominant category
+    (max count, ties by category asc) and its share in basis points.
+    All-integer/string output, so the SQL oracle is bit-exact.
+
+    Two-phase: an Arrow hash-aggregate collapses each batch to
+    (key, cat, n) partials BEFORE the shuffle — the all-to-all moves
+    O(keys × cats × batches) rows, never the corpus — then one
+    ``groupby(key)`` merges cat partials and reduces to a single row
+    per key inside ``map_groups`` (group size = that key's distinct
+    cats × batches, bounded by the category alphabet)."""
+    import numpy as np
+
+    def _partial(t: pa.Table) -> pa.Table:
+        res = t.select([key_col, cat_col]).group_by(
+            [key_col, cat_col]).aggregate([([], "count_all")])
+        return res.rename_columns([key_col, cat_col, "n"])
+
+    def _final(g: pa.Table) -> pa.Table:
+        merged = g.group_by([cat_col]).aggregate([("n", "sum")])
+        cats = merged.column(cat_col).to_numpy(zero_copy_only=False)
+        ns = merged.column("n_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(ns.sum())
+        # dominant category: max count, tie-break category ascending
+        order = np.lexsort((cats, -ns))
+        top = order[0]
+        return pa.table({
+            key_col: pa.array([g.column(key_col)[0].as_py()]),
+            "n_rows": pa.array([total], pa.int64()),
+            "n_cats": pa.array([len(cats)], pa.int64()),
+            "top_cat": pa.array([str(cats[top])], pa.string()),
+            "top_cat_bp": pa.array(
+                [10000 * int(ns[top]) // total], pa.int64()),
+        })
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(key_col).map_groups(_final, batch_format="pyarrow")
+
+
 def rebalance_by_size(ds, size_col: str, id_col: str,
                       target_group_bytes: int = 64 << 20,
                       keep_key: bool = False):

@@ -568,3 +568,138 @@ def tfidf_topk(docs_ds, k: int = 5, text_col: str = "text",
         })
 
     return docs_ds.map_batches(_rank, batch_format="pyarrow")
+
+
+def oov_rate(docs_ds, top_m: int, text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against the corpus top-M
+    vocabulary — the tokenizer-coverage statistic of corpus QA (a doc
+    whose tokens are mostly outside the working vocab is junk, machine
+    text, or the wrong language).
+
+    Pass 1 builds the exact global top-M vocab (count desc, token asc
+    tie-break) with the bounded-broadcast shape of
+    :func:`corpus_freq_score` (per-block top-M partials, never the
+    full vocab table — :func:`_vocab_topm`); pass 2 broadcasts the M
+    sorted tokens once via ``ray.put`` and counts per-doc misses with
+    one vectorized ``searchsorted`` per batch. Output per doc with ≥1
+    token: (doc_id, n_toks, n_oov, oov_bp) — integers, bit-exact in
+    SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        res = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns(["word", "n"])
+
+    vocab_ds = docs_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("word").aggregate(Sum("n", alias_name="n"))
+    vocab = _vocab_topm(vocab_ds, top_m, "n")
+    words_sorted = np.sort(vocab["word"].to_numpy())
+    ref = ray.put(words_sorted)
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws = ray.get(ref)
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        row = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        valid = pc.not_equal(flat, "")
+        vmask = np.asarray(valid.combine_chunks()
+                           if hasattr(valid, "combine_chunks") else valid)
+        row = row[vmask]
+        words = flat.filter(valid).to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ws, words), 0, max(len(ws) - 1, 0))
+        in_vocab = (ws[idx] == words) if len(ws) else \
+            np.zeros(len(words), bool)
+        n_rows = t.num_rows
+        n = np.bincount(row, minlength=n_rows).astype(np.int64)
+        oov = np.bincount(row[~in_vocab], minlength=n_rows) \
+            .astype(np.int64)
+        keep = n > 0
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_toks": pa.array(n[keep], pa.int64()),
+            "n_oov": pa.array(oov[keep], pa.int64()),
+            "oov_bp": pa.array(10000 * oov[keep] // n[keep], pa.int64()),
+        })
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
+def chunk_token_windows(docs_ds, window: int = 32, stride: int = 24,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Split every document into fixed-size token windows with overlap
+    — the chunking step of retrieval/embedding pipelines (window
+    tokens per chunk, new chunk every ``stride`` tokens, last chunk
+    short). A doc with n tokens emits ⌈n / stride⌉-ish chunks: starts
+    0, stride, 2·stride, … while start < n; zero-token docs emit none.
+
+    Stateless row expansion (no shuffle). Vectorized over DOCS: the
+    per-batch loop runs once per chunk INDEX (≤ max_toks/stride times,
+    not per row), slicing all docs' token lists at once with Arrow
+    ``list_slice`` + ``binary_join`` — no per-document Python in the
+    hot path. Output: (doc_id, chunk_idx, n_chunk_toks, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def _chunk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def _arr(col):
+            return col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+
+        # combine to plain Arrays so list_parent_indices is global
+        text = _arr(t.column(text_col))
+        raw = pc.split_pattern_regex(text, pattern=r"\s+")
+        # drop the empty strings the regex split leaves at the edges
+        flat = pc.list_flatten(raw)
+        keepmask = pc.not_equal(flat, "")
+        row = np.asarray(pc.list_parent_indices(raw), dtype=np.int64)
+        km = np.asarray(keepmask)
+        n = np.bincount(row[km], minlength=t.num_rows).astype(np.int64)
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(n)]), pa.int32()),
+            flat.filter(keepmask),
+        )
+        ids = pc.cast(_arr(t.column(id_col)), pa.int64())
+        out_ids, out_ci, out_nt, out_txt = [], [], [], []
+        max_n = int(n.max()) if len(n) else 0
+        j = 0
+        while j * stride < max_n:
+            start = j * stride
+            has = n > start
+            sel = pa.array(has)
+            sliced = pc.list_slice(toks.filter(sel), start,
+                                   start + window)
+            out_txt.append(_arr(pc.binary_join(sliced, " ")))
+            out_nt.append(pa.array(
+                np.minimum(n[has] - start, window), pa.int64()))
+            out_ids.append(_arr(ids.filter(sel)))
+            out_ci.append(pa.array(
+                np.full(int(has.sum()), j, np.int64)))
+            j += 1
+        if not out_ids:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_chunk_toks": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        return pa.table({
+            id_col: pa.concat_arrays(out_ids),
+            "chunk_idx": pa.concat_arrays(out_ci),
+            "n_chunk_toks": pa.concat_arrays(out_nt),
+            "chunk_text": pa.concat_arrays(out_txt),
+        })
+
+    return docs_ds.map_batches(_chunk, batch_format="pyarrow")
