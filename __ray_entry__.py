@@ -96,6 +96,60 @@ inter AS (
 """
 
 
+# Link-graph corpus: exploded outlinks as SQL, mirroring
+# sources/pages.link_page_html row-for-row. Column `d` = source
+# doc_id; link_idx = document position (internal links 0..k-1, the
+# /about link at k, the external link at k+1).
+_LINK_HL_CTE = """
+nd AS (SELECT count(*) AS n FROM documents),
+hl AS (
+  SELECT d.doc_id AS d, CAST(u.j AS BIGINT) AS link_idx,
+    printf('https://www.host%03d.example.com/docs/%d',
+           ((d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) % 50,
+           (d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) AS href,
+    printf('https://www.host%03d.example.com/docs/%d',
+           ((d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) % 50,
+           (d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) AS dst_url,
+    printf('www.host%03d.example.com',
+           ((d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) % 50)
+      AS dst_host
+  FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS u(j)
+  UNION ALL
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT),
+    '/about/' || doc_id,
+    printf('https://www.host%03d.example.com/about/%d',
+           doc_id % 50, doc_id),
+    printf('www.host%03d.example.com', doc_id % 50)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(doc_id % 3 + 2 AS BIGINT),
+    printf('https://ext%d.example.org/r/%d', doc_id % 5, doc_id),
+    printf('https://ext%d.example.org/r/%d', doc_id % 5, doc_id),
+    printf('ext%d.example.org', doc_id % 5)
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# 5 unrolled PageRank iterations (stages/linkgraph.pagerank_hosts
+# recurrence, integer arithmetic): r'(h) = 0.15·scale +
+# Σ (85·r(s) // 100) · n // out(s).
+_PR_ITER_CTES = "".join(
+    f""",
+pr{k} AS (
+  SELECT n.host,
+         CAST(150000000000 + coalesce(c.s, 0) AS BIGINT) AS rank_score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_host AS host,
+           sum((85 * p.rank_score) // 100 * e.n // o.out_n) AS s
+    FROM edges e
+    JOIN pr{k - 1} p ON p.host = e.src_host
+    JOIN outdeg o ON o.src_host = e.src_host
+    GROUP BY e.dst_host) c USING (host)
+)"""
+    for k in range(1, 6)
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": f"""
@@ -1610,5 +1664,48 @@ top AS (
 SELECT t.source, t.n_docs, t.n_langs, p.top_lang,
   CAST(10000 * p.n // t.n_docs AS BIGINT) AS top_lang_bp
 FROM tot t JOIN top p ON t.source = p.source
+""",
+        # Link-graph family: the synthetic corpus's anchors are pure
+        # doc_id arithmetic (sources/pages.link_page_html), so every
+        # outlink row, host edge and integer PageRank score is
+        # reproducible in SQL. `hl` mirrors the generator verbatim:
+        # internal links j=0..d%3, the relative /about link, and the
+        # external link on every 7th doc.
+        "outlinks_enum": f"""
+WITH {_LINK_HL_CTE}
+SELECT
+  printf('https://www.host%03d.example.com/docs/%d', d % 50, d)
+    AS src_url,
+  printf('www.host%03d.example.com', d % 50) AS src_host,
+  link_idx, href, dst_url, dst_host,
+  dst_host <> printf('www.host%03d.example.com', d % 50) AS cross_host
+FROM hl
+""",
+        "host_link_graph": f"""
+WITH {_LINK_HL_CTE}
+SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+       dst_host, CAST(count(*) AS BIGINT) AS n
+FROM hl GROUP BY 1, 2
+""",
+        # Integer PageRank, 5 unrolled power iterations — the exact
+        # recurrence of stages/linkgraph.pagerank_hosts: integer ops
+        # only, so summation order cannot perturb a single bit.
+        "pagerank_hosts": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, count(*) AS n
+  FROM hl GROUP BY 1, 2
+),
+outdeg AS (SELECT src_host, sum(n) AS out_n FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges)
+),
+pr0 AS (
+  SELECT host, CAST(1000000000000 AS BIGINT) AS rank_score FROM nodes
+){_PR_ITER_CTES}
+SELECT host, rank_score FROM pr5
 """,
     }

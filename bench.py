@@ -179,6 +179,9 @@ def run_bench() -> dict:
         "doc_oov_rate",
         "doc_chunk_windows",
         "source_lang_diversity",
+        "outlinks_enum",
+        "host_link_graph",
+        "pagerank_hosts",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -1,0 +1,152 @@
+"""Link-graph family: href scanner edge cases, outlink explosion,
+host-edge rollup, and PageRank vs an independent driver-side
+reference implementation (same integer recurrence, numpy dict loop)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from web_mass_scraper_ocr_ray.functions.links import (
+    extract_hrefs,
+    host_of,
+    links_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestExtractHrefs:
+    def test_quote_styles_and_order(self):
+        html = (b'<html><body>'
+                b'<a href="https://a.example.com/x">one</a>'
+                b"<a href='https://b.example.com/y'>two</a>"
+                b'<a href=/rel/z>three</a>'
+                b'<a class="btn" href="#frag">four</a>'
+                b'</body></html>')
+        assert extract_hrefs(html) == [
+            "https://a.example.com/x",
+            "https://b.example.com/y",
+            "/rel/z",
+            "#frag",
+        ]
+
+    def test_entities_unescaped(self):
+        html = b'<a href="/q?a=1&amp;b=2">x</a>'
+        assert extract_hrefs(html) == ["/q?a=1&b=2"]
+
+    def test_anchor_without_href_and_empty(self):
+        assert extract_hrefs(b'<a name="top">x</a><a href="">y</a>') == []
+        assert extract_hrefs(None) == []
+        assert extract_hrefs(b"") == []
+
+    def test_garbage_bytes_never_raise(self):
+        assert extract_hrefs(b"\xff\xfe<a href='/ok'>") == ["/ok"]
+
+
+class TestLinksBatch:
+    def test_explosion_resolution_and_poison(self):
+        t = pa.table({
+            "url": ["https://www.h.example.com/docs/1", "https://p.com/x"],
+            "html": [
+                b'<a href="/about/1">a</a><a href="https://q.com/z">b</a>',
+                None,  # poison page: no rows, no error
+            ],
+        })
+        out = links_batch(t)
+        assert out.num_rows == 2
+        assert out.column("dst_url").to_pylist() == [
+            "https://www.h.example.com/about/1", "https://q.com/z"]
+        assert out.column("dst_host").to_pylist() == [
+            "www.h.example.com", "q.com"]
+        assert out.column("cross_host").to_pylist() == [False, True]
+        assert out.column("link_idx").to_pylist() == [0, 1]
+
+    def test_host_of(self):
+        assert host_of("https://WWW.Host.Example.com/p") == \
+            "www.host.example.com"
+        assert host_of("not a url") == ""
+        assert host_of(None) == ""
+
+
+def _expected_links(doc_id: int, n_docs: int):
+    """Independent recompute of the generator arithmetic."""
+    out = []
+    for j in range(doc_id % 3 + 1):
+        tgt = (doc_id * 7 + j * 13 + 1) % n_docs
+        out.append((f"https://www.host{tgt % 50:03d}.example.com/docs/{tgt}",
+                    f"www.host{tgt % 50:03d}.example.com"))
+    out.append((
+        f"https://www.host{doc_id % 50:03d}.example.com/about/{doc_id}",
+        f"www.host{doc_id % 50:03d}.example.com"))
+    if doc_id % 7 == 0:
+        out.append((f"https://ext{doc_id % 5}.example.org/r/{doc_id}",
+                    f"ext{doc_id % 5}.example.org"))
+    return out
+
+
+class TestOutlinksCorpus:
+    def test_outlinks_match_generator_arithmetic(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            synth_link_pages_dataset,
+        )
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        out = lg.outlinks(synth_link_pages_dataset(SF)).to_pandas()
+        n_docs = 500
+        exp_total = sum(len(_expected_links(d, n_docs))
+                        for d in range(n_docs))
+        assert len(out) == exp_total
+        # spot-check every 97th doc fully, in document order
+        for d in range(0, n_docs, 97):
+            url = f"https://www.host{d % 50:03d}.example.com/docs/{d}"
+            rows = out[out.src_url == url].sort_values("link_idx")
+            exp = _expected_links(d, n_docs)
+            assert list(rows.dst_url) == [u for u, _ in exp]
+            assert list(rows.dst_host) == [h for _, h in exp]
+
+    def test_pagerank_matches_driver_reference(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            synth_link_pages_dataset,
+        )
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges_ds = lg.host_edges(
+            lg.outlinks(synth_link_pages_dataset(SF)))
+        edges = edges_ds.to_pandas()
+        got = {r.host: r.rank_score
+               for r in lg.pagerank_hosts(edges_ds, iters=3)
+               .to_pandas().itertuples()}
+
+        # independent reference: dict-based integer power iteration
+        scale, d_num, d_den = 10**12, 85, 100
+        base = (d_den - d_num) * scale // d_den
+        out_n = edges.groupby("src_host")["n"].sum().to_dict()
+        nodes = set(edges.src_host) | set(edges.dst_host)
+        r = {h: scale for h in nodes}
+        for _ in range(3):
+            nxt = {h: base for h in nodes}
+            for e in edges.itertuples():
+                c = (d_num * r[e.src_host]) // d_den * e.n // out_n[
+                    e.src_host]
+                nxt[e.dst_host] += c
+            r = nxt
+        assert got == r
+        # external hosts are dangling but still ranked (dst-only nodes)
+        assert any(h.startswith("ext") for h in got)
+
+    def test_base_rank_for_inlinkless_host(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+        import ray.data as rd
+
+        # a -> b only: after 1 iter, a has base rank, b has base+all of a
+        edges = rd.from_arrow(pa.table({
+            "src_host": ["a.com"], "dst_host": ["b.com"],
+            "n": pa.array([2], pa.int64()),
+        }))
+        got = {r.host: r.rank_score
+               for r in lg.pagerank_hosts(edges, iters=1)
+               .to_pandas().itertuples()}
+        scale = 10**12
+        base = 15 * scale // 100
+        assert got["a.com"] == base
+        assert got["b.com"] == base + (85 * scale) // 100 * 2 // 2

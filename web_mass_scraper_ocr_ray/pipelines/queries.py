@@ -2098,6 +2098,38 @@ def q_source_lang_diversity(sf_dir: str):
          "top_cat": "top_lang", "top_cat_bp": "top_lang_bp"})
 
 
+def q_outlinks_enum(sf_dir: str):
+    """Outlink enumeration over the synthetic link-graph corpus: every
+    ``<a href>`` resolved to an absolute target (M2 resolver) with the
+    target host — the crawl-frontier / link-graph input. Stateless
+    per-page scan, fuses with the read (stages/linkgraph.outlinks)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.outlinks(synth_link_pages_dataset(sf_dir))
+
+
+def q_host_link_graph(sf_dir: str):
+    """Weighted host-level link graph (src_host, dst_host, n) — one
+    keyed shuffle over the exploded outlinks."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+
+
+def q_pagerank_hosts(sf_dir: str):
+    """Integer PageRank (5 power iterations, damping 85/100) over the
+    host graph — the iterative join+aggregate loop, bit-exact vs the
+    unrolled DuckDB oracle (stages/linkgraph.pagerank_hosts)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.pagerank_hosts(
+        lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    )
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2191,4 +2223,7 @@ QUERIES: Dict[str, callable] = {
     "doc_oov_rate": q_doc_oov_rate,
     "doc_chunk_windows": q_doc_chunk_windows,
     "source_lang_diversity": q_source_lang_diversity,
+    "outlinks_enum": q_outlinks_enum,
+    "host_link_graph": q_host_link_graph,
+    "pagerank_hosts": q_pagerank_hosts,
 }

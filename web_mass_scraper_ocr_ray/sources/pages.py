@@ -373,6 +373,68 @@ def synth_pages_table(sf_dir: str, with_dups: bool = False) -> pa.Table:
     )
 
 
+def link_page_html(doc_id: int, n_docs: int) -> bytes:
+    """Deterministic page whose anchors form a web graph (FIXTURES.md).
+
+    Per doc, in document order:
+      * ``doc_id % 3 + 1`` internal links to ``page_url((doc_id*7 +
+        j*13 + 1) % n_docs)`` — cross-host edges over the 50 synthetic
+        hosts;
+      * one relative ``/about/{doc_id}`` link (exercises M2 base-URL
+        resolution, same-host edge);
+      * every 7th doc one external ``https://ext{doc_id%5}.example.org``
+        link (dst-only graph nodes, dangling for PageRank).
+    The arithmetic is mirrored verbatim by the ``outlinks_enum`` /
+    ``host_link_graph`` / ``pagerank_hosts`` DuckDB oracles.
+    """
+    parts = [
+        f"<html><body><h1>Doc {doc_id}</h1>"
+        f"<p>Links for doc {doc_id}</p>\n"
+    ]
+    for j in range(doc_id % 3 + 1):
+        tgt = (doc_id * 7 + j * 13 + 1) % n_docs
+        parts.append(f'<a href="{page_url(tgt)}">doc {tgt}</a>\n')
+    parts.append(f'<a href="/about/{doc_id}">about</a>\n')
+    if doc_id % 7 == 0:
+        parts.append(
+            f'<a href="https://ext{doc_id % 5}.example.org/r/{doc_id}">'
+            "partner</a>\n"
+        )
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def synth_link_pages_table(sf_dir: str) -> pa.Table:
+    """documents.parquet → deterministic link-graph `pages` table
+    (same schema as synth_pages_table)."""
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    n_docs = len(doc_ids)
+    return pa.table(
+        {
+            "url": pa.array([page_url(d) for d in doc_ids], pa.string()),
+            "warc_ts": pa.array(
+                [page_warc_ts(d) for d in doc_ids], pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [link_page_html(d, n_docs) for d in doc_ids], pa.binary()
+            ),
+            "text": docs.column("text"),
+            "lang": docs.column("lang"),
+        }
+    )
+
+
+def synth_link_pages_dataset(sf_dir: str):
+    import ray.data as rd
+
+    tbl = synth_link_pages_table(sf_dir)
+    n_blocks = max(4, min(16, tbl.num_rows // 64))
+    return rd.from_arrow(tbl).repartition(n_blocks)
+
+
 def synth_pages_dataset(sf_dir: str, with_dups: bool = False,
                         override_num_blocks: Optional[int] = None):
     """`pages` as a ray.data.Dataset (small scale: in-memory from_arrow).

@@ -1,0 +1,153 @@
+"""Web link graph: outlink enumeration → host-edge rollup → PageRank.
+
+The first ITERATIVE distributed algorithm in the engine: PageRank
+power iteration expressed as a loop of co-partitioned equi-joins +
+grouped sums over Datasets — no driver-side adjacency, no broadcast of
+the rank vector (at 10¹²-document scale the host table alone is ~10⁸
+rows; ranks move through the same hash-bucket shuffle as any keyed
+join, `stages/joins.equi_join`).
+
+Determinism contract: ranks are computed in ORDER-INDEPENDENT integer
+arithmetic (the `embedding_centroids` trick) — per-iteration
+    r'(h) = BASE + Σ_{edges s→h} (d_num·r(s) // d_den) · n(s,h) // out(s)
+with BASE = (d_den−d_num)·scale // d_den — so a DuckDB oracle
+reproduces every rank bit-exactly regardless of summation order.
+Dangling nodes (no out-edges, e.g. external hosts) contribute nothing,
+the standard dropped-mass simplification; documented here because it
+is part of the oracle contract.
+
+The reference has no graph stage at all (its per-URL loop never sees
+two pages together, `/root/reference/src/scraper_app/main.py:561-592`)
+— this is a beyond-reference training-data operator (domain-level
+quality priors for corpus filtering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.links import links_batch
+from .joins import equi_join
+
+PR_SCALE = 10**12
+PR_D_NUM = 85
+PR_D_DEN = 100
+
+
+def outlinks(pages_ds):
+    """Pages → exploded outlink rows (see functions/links.links_batch).
+    Stateless per-page scan — fuses with the read, no shuffle."""
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        links_batch, batch_format="pyarrow"
+    )
+
+
+def host_edges(outlinks_ds):
+    """Outlinks → weighted host-graph edges (src_host, dst_host, n).
+    One keyed shuffle; at web scale this is the big reduction — raw
+    outlinks are ~100 links/page while the host-edge table is orders
+    of magnitude smaller."""
+    from ray.data.aggregate import Count
+
+    return (
+        outlinks_ds.select_columns(["src_host", "dst_host"])
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _nodes(edges_ds):
+    """Distinct hosts appearing on either edge end → (host) rows."""
+
+    def _side(col):
+        def _m(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t.column(col)})
+
+        return _m
+
+    from ray.data.aggregate import Count
+
+    both = edges_ds.select_columns(["src_host"]).map_batches(
+        _side("src_host"), batch_format="pyarrow"
+    ).union(
+        edges_ds.select_columns(["dst_host"]).map_batches(
+            _side("dst_host"), batch_format="pyarrow"
+        )
+    )
+    return both.groupby("host").aggregate(Count(alias_name="_n")).select_columns(
+        ["host"]
+    )
+
+
+def pagerank_hosts(edges_ds, iters: int = 5, scale: int = PR_SCALE,
+                   d_num: int = PR_D_NUM, d_den: int = PR_D_DEN,
+                   n_buckets: int = 16):
+    """Integer PageRank over the host graph → (host, rank_score) rows.
+
+    ``iters`` fixed power iterations, damping ``d_num/d_den``,
+    unnormalized total mass (a RANKING op — relative order is the
+    product). Every iteration: one co-partition join (ranks onto
+    edges, keyed by src_host), a vectorized contribution kernel, one
+    grouped sum (keyed by dst_host), and one left join back onto the
+    node set so in-degree-0 hosts keep the base rank. Ranks are
+    materialized per iteration — the table is O(#hosts), far smaller
+    than the edge set, and this bounds lineage depth at 2 joins/round.
+    """
+    base = (d_den - d_num) * scale // d_den
+
+    edges = edges_ds.materialize()
+    from ray.data.aggregate import Sum
+
+    outdeg = edges.groupby("src_host").aggregate(Sum("n", alias_name="out_n"))
+    edges_aug = equi_join(
+        edges, outdeg, "src_host", "src_host", ["out_n"],
+        n_buckets=n_buckets,
+    ).materialize()
+    nodes = _nodes(edges).materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t.column("host"),
+            "rank_score": pa.array(
+                np.full(t.num_rows, scale, dtype=np.int64), pa.int64()
+            ),
+        })
+
+    ranks = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        r = t.column("rank_score").combine_chunks().to_numpy().astype(np.int64)
+        n = t.column("n").combine_chunks().to_numpy().astype(np.int64)
+        out = t.column("out_n").combine_chunks().to_numpy().astype(np.int64)
+        c = (d_num * r) // d_den * n // out
+        return pa.table({
+            "dst_host": t.column("dst_host"),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    def _apply(t: pa.Table) -> pa.Table:
+        s = pc.coalesce(
+            pc.cast(t.column("s"), pa.int64()), pa.scalar(0, pa.int64())
+        )
+        return pa.table({
+            "host": t.column("host"),
+            "rank_score": pc.add(pa.scalar(base, pa.int64()), s),
+        })
+
+    for _ in range(iters):
+        contrib = (
+            equi_join(edges_aug, ranks, "src_host", "host", ["rank_score"],
+                      n_buckets=n_buckets)
+            .map_batches(_contrib, batch_format="pyarrow")
+            .groupby("dst_host")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        ranks = (
+            equi_join(nodes, contrib, "host", "dst_host", ["s"], how="left",
+                      n_buckets=n_buckets)
+            .map_batches(_apply, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks
