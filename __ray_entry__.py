@@ -1708,4 +1708,77 @@ pr0 AS (
 ){_PR_ITER_CTES}
 SELECT host, rank_score FROM pr5
 """,
+        # with_dups corpus: every 10th page re-crawled an hour later;
+        # keep the newest snapshot per url (warc_ts arithmetic mirrors
+        # sources/pages.page_warc_ts: epoch 2024-01-01 + doc_id sec).
+        "pages_latest_snapshot": """
+WITH p AS (
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                doc_id % 50, doc_id) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+         lang
+  FROM documents
+  UNION ALL
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                doc_id % 50, doc_id),
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+           + INTERVAL 1 HOUR,
+         lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT url, warc_ts, lang FROM (
+  SELECT p.*, row_number() OVER (PARTITION BY url
+                                 ORDER BY warc_ts DESC) AS rn
+  FROM p
+) WHERE rn = 1
+""",
+        # integer linear model per doc → per-source integer mean →
+        # keep_domain; same weights as doc_quality_model (100 + 2·tok
+        # + 5·stop − 3·punct), threshold 225 on the DOMAIN mean.
+        "domain_quality_filter": r"""
+WITH f AS (
+  SELECT doc_id, source,
+    CAST(100 + 2 * len(regexp_extract_all(text, '\S+'))
+         + 5 * len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to')))
+         - 3 * len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+      AS score
+  FROM documents
+),
+m AS (
+  SELECT source,
+         CAST(sum(score) // count(*) AS BIGINT) AS source_mean_score
+  FROM f GROUP BY source
+)
+SELECT f.doc_id, f.score, f.source, m.source_mean_score,
+       m.source_mean_score >= 225 AS keep_domain
+FROM f JOIN m USING (source)
+""",
+        # bottom-k sketch: same multiplicative hash as
+        # doc_shard_for_training; the odd multiplier is a bijection
+        # mod 2^32 so ORDER BY hv has no ties.
+        "doc_sample_bottomk": """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source, hv FROM h ORDER BY hv LIMIT 50
+""",
+        # suffix-domain blocklist over the synthetic hosts: hosts
+        # www.host{d%50}.example.com — entries host013/host037 match as
+        # parent suffixes, www.host001 matches the full host (most
+        # specific wins), ext2.example.org never matches a page url.
+        "url_blocklist": """
+WITH e AS (SELECT doc_id, doc_id % 50 AS hm FROM documents)
+SELECT printf('https://www.host%03d.example.com/docs/%d', hm, doc_id)
+    AS url,
+  hm IN (1, 13, 37) AS blocked,
+  CASE WHEN hm = 1 THEN 'www.host001.example.com'
+       WHEN hm = 13 THEN 'host013.example.com'
+       WHEN hm = 37 THEN 'host037.example.com'
+       ELSE '' END AS matched_suffix
+FROM e
+""",
     }

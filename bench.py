@@ -182,6 +182,10 @@ def run_bench() -> dict:
         "outlinks_enum",
         "host_link_graph",
         "pagerank_hosts",
+        "pages_latest_snapshot",
+        "domain_quality_filter",
+        "doc_sample_bottomk",
+        "url_blocklist",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -171,3 +171,43 @@ def canonicalize_url_batch(col):
 
     out = pc.replace_substring_regex(col, pattern="#.*$", replacement="")
     return pc.replace_substring_regex(out, pattern="/$", replacement="")
+
+
+def blocklist_match_batch(urls, blocklist) -> "tuple":
+    """Suffix-domain blocklist matching (the UT1/adult-blocklist crawl
+    hygiene op): a URL is blocked when its host, or ANY parent-domain
+    suffix of its host, is in ``blocklist``. Most-specific (longest)
+    suffix wins so the match is deterministic.
+
+    ``urls`` is any iterable of strings; ``blocklist`` a set of bare
+    hostnames/domains. Returns (blocked: list[bool], matched:
+    list[str]) with '' for unblocked rows. Hosts repeat heavily in web
+    batches, so the suffix walk memoizes per distinct host.
+    """
+    bl = frozenset(blocklist)
+    cache: dict = {}
+
+    def _host_match(host: str) -> str:
+        got = cache.get(host)
+        if got is not None:
+            return got
+        labels = host.split(".")
+        hit = ""
+        for i in range(len(labels) - 1):  # never match the bare TLD
+            cand = ".".join(labels[i:])
+            if cand in bl:
+                hit = cand
+                break
+        cache[host] = hit
+        return hit
+
+    blocked, matched = [], []
+    for u in urls:
+        try:
+            host = urlparse(u).netloc.lower() if u else ""
+        except Exception:
+            host = ""
+        m = _host_match(host) if host else ""
+        matched.append(m)
+        blocked.append(bool(m))
+    return blocked, matched

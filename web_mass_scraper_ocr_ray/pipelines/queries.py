@@ -2098,6 +2098,72 @@ def q_source_lang_diversity(sf_dir: str):
          "top_cat": "top_lang", "top_cat_bp": "top_lang_bp"})
 
 
+def q_pages_latest_snapshot(sf_dir: str):
+    """Keep the LATEST crawl snapshot per url (the with_dups corpus
+    re-crawls every 10th page an hour later) — two-phase argmax
+    (stages/sampling.latest_per_group): a url recrawled millions of
+    times moves blocks-many candidate rows, never its history."""
+    from ..stages.sampling import latest_per_group
+
+    ds = synth_pages_dataset(sf_dir, with_dups=True).select_columns(
+        ["url", "warc_ts", "lang"])
+    return latest_per_group(ds, group_col="url", order_col="warc_ts",
+                            tiebreak_col="lang")
+
+
+def q_domain_quality_filter(sf_dir: str):
+    """RefinedWeb-style DOMAIN-level quality gate: actor-pool integer
+    scoring → per-source integer mean (combiner agg) → verdict joined
+    back by key (co-partition equi_join; ~10⁸ domains at web scale is
+    too big to broadcast) — stages/quality_model.domain_quality_filter."""
+    from ..stages.quality_model import domain_quality_filter
+
+    return domain_quality_filter(
+        _docs(sf_dir).select_columns(["doc_id", "text", "source"]))
+
+
+def q_doc_sample_bottomk(sf_dir: str):
+    """Exact-k uniform sample, RNG-free: the k globally-smallest
+    multiplicative id hashes (bottom-k sketch). Per-block partials
+    prune to k rows each, so the final sort ranks ≤ k·blocks rows —
+    the corpus never shuffles (stages/sampling.sample_bottomk)."""
+    from ..stages.sampling import sample_bottomk
+
+    return sample_bottomk(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        id_col="doc_id", k=50)
+
+
+URL_BLOCKLIST = (
+    "host013.example.com",
+    "www.host001.example.com",
+    "host037.example.com",
+    "ext2.example.org",
+)
+
+
+def q_url_blocklist(sf_dir: str):
+    """Crawl-hygiene suffix-domain blocklist (UT1 pattern): a url is
+    blocked when its host or any parent-domain suffix is listed;
+    most-specific match wins. The list rides the task closure here
+    (tiny); a web-scale list is `ray.put` once and read per task —
+    functions/urltools.blocklist_match_batch."""
+    from ..functions.urltools import blocklist_match_batch
+
+    ds = synth_pages_dataset(sf_dir).select_columns(["url"])
+
+    def _m(t: pa.Table) -> pa.Table:
+        blocked, matched = blocklist_match_batch(
+            t.column("url").to_pylist(), URL_BLOCKLIST)
+        return pa.table({
+            "url": t.column("url"),
+            "blocked": pa.array(blocked, pa.bool_()),
+            "matched_suffix": pa.array(matched, pa.string()),
+        })
+
+    return ds.map_batches(_m, batch_format="pyarrow")
+
+
 def q_outlinks_enum(sf_dir: str):
     """Outlink enumeration over the synthetic link-graph corpus: every
     ``<a href>`` resolved to an absolute target (M2 resolver) with the
@@ -2226,4 +2292,8 @@ QUERIES: Dict[str, callable] = {
     "outlinks_enum": q_outlinks_enum,
     "host_link_graph": q_host_link_graph,
     "pagerank_hosts": q_pagerank_hosts,
+    "pages_latest_snapshot": q_pages_latest_snapshot,
+    "domain_quality_filter": q_domain_quality_filter,
+    "doc_sample_bottomk": q_doc_sample_bottomk,
+    "url_blocklist": q_url_blocklist,
 }

@@ -44,7 +44,8 @@ class LinearQualityModel:
 
     def __init__(self, weights: Dict[str, int] | None = None,
                  bias: int = DEFAULT_BIAS,
-                 threshold: int = DEFAULT_THRESHOLD):
+                 threshold: int = DEFAULT_THRESHOLD,
+                 passthrough: tuple = ()):
         # "model load" — once per actor, never per batch
         from .textstats import QualityScorer
 
@@ -53,6 +54,7 @@ class LinearQualityModel:
                             else weights)
         self.bias = int(bias)
         self.threshold = int(threshold)
+        self.passthrough = tuple(passthrough)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -65,11 +67,14 @@ class LinearQualityModel:
                 score += w * np.asarray(
                     pc.cast(feats.column(name), pa.int64())
                     .combine_chunks())
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "score": pa.array(score, pa.int64()),
             "kept": pa.array(score >= self.threshold),
-        })
+        }
+        for name in self.passthrough:
+            cols[name] = batch.column(name)
+        return pa.table(cols)
 
 
 def score_quality(docs_ds, weights: Dict[str, int] | None = None,
@@ -84,3 +89,67 @@ def score_quality(docs_ds, weights: Dict[str, int] | None = None,
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+DOMAIN_MEAN_THRESHOLD = 225
+
+
+def domain_quality_filter(docs_ds, threshold: int = DOMAIN_MEAN_THRESHOLD,
+                          key_col: str = "source",
+                          concurrency=(1, 4)):
+    """Domain-level quality gating (the RefinedWeb/CCNet pattern: a
+    spammy domain poisons every page on it, so filter by the DOMAIN's
+    aggregate quality, not only per-doc).
+
+    Three stages: (1) actor-pool integer scoring per doc (streaming,
+    no shuffle); (2) per-domain integer mean via a Sum+Count grouped
+    agg — partials combine per block before the shuffle; (3) the
+    verdict joined back onto docs by the domain key with the
+    co-partition :func:`stages.joins.equi_join` — at web scale there
+    are ~10⁸ registered domains, too many to broadcast. The scored
+    docs are materialized once so the actor pool runs a single pass
+    feeding both the rollup and the join (object-store spill is the
+    price; re-scoring the corpus would be the alternative).
+
+    Integer mean (``sum // n``) keeps the whole op order-independent →
+    bit-exact SQL oracle. → (doc_id, source, score, source_mean_score,
+    keep_domain).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import equi_join
+
+    scored = docs_ds.map_batches(
+        LinearQualityModel,
+        fn_constructor_kwargs={"passthrough": (key_col,)},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "score", key_col]).materialize()
+
+    def _mean(t: pa.Table) -> pa.Table:
+        m = pc.divide(  # int64 division truncates toward zero in both
+            # Arrow and DuckDB `//` (-7//2 = -3 in each) — oracle-safe
+            pc.cast(t.column("_sum"), pa.int64()),
+            pc.cast(t.column("_n"), pa.int64()))
+        return pa.table({
+            key_col: t.column(key_col),
+            "source_mean_score": m,
+        })
+
+    means = (
+        scored.groupby(key_col)
+        .aggregate(Sum("score", alias_name="_sum"),
+                   Count(alias_name="_n"))
+        .map_batches(_mean, batch_format="pyarrow")
+    )
+
+    def _flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "keep_domain",
+            pc.greater_equal(t.column("source_mean_score"),
+                             pa.scalar(threshold, pa.int64())))
+
+    return equi_join(
+        scored, means, key_col, key_col, ["source_mean_score"]
+    ).map_batches(_flag, batch_format="pyarrow")

@@ -257,3 +257,34 @@ def cap_per_group(ds, group_col: str, k: int, order_col: str,
     return ds.map_batches(
         _partial, batch_format="pyarrow"
     ).groupby(group_col).map_groups(_partial, batch_format="pyarrow")
+
+
+def sample_bottomk(ds, id_col: str, k: int):
+    """Exact-k uniform sample WITHOUT replacement, RNG-free: keep the
+    k rows whose multiplicative id hash is globally smallest (a
+    bottom-k sketch — every id is equally likely to land in the bottom
+    k, and the odd multiplier is a bijection mod 2³² so there are no
+    ties for ids < 2³²).
+
+    Scale shape: each block prunes to its own k smallest rows in the
+    map phase, so the final ``sort().limit(k)`` ranks only ≤ k·blocks
+    candidate rows — the full corpus never shuffles. This is the
+    exact-count complement of `stratified_sample` (Bernoulli, rate-
+    based) and is reproducible run-to-run and across cluster sizes.
+
+    → input columns + ``hv`` (the hash, kept so the selection is
+    auditable and the SQL oracle can ORDER BY the same key).
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hv = ((ids.astype(np.uint64) * _MIX) % _M32).astype(np.int64)
+        t = t.append_column("hv", pa.array(hv, pa.int64()))
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("hv", "ascending")])
+        return t.take(idx[:k])
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).sort("hv").limit(k)
