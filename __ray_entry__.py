@@ -1781,4 +1781,29 @@ SELECT printf('https://www.host%03d.example.com/docs/%d', hm, doc_id)
        ELSE '' END AS matched_suffix
 FROM e
 """,
+        # inverted index: distinct (word, doc) pairs, df = distinct doc
+        # count, postings = first 10 doc_ids ascending, comma-joined —
+        # same whitespace tokenizer as vocab_topk.
+        "doc_inverted_index": r"""
+WITH pairs AS (
+  SELECT DISTINCT
+    unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS word,
+    doc_id
+  FROM documents
+),
+r AS (
+  SELECT word, doc_id,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+  FROM pairs
+),
+d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pairs
+      GROUP BY word),
+p AS (
+  SELECT word, string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
+  FROM r WHERE rn <= 10 GROUP BY word
+)
+SELECT d.word, d.df, p.postings FROM d JOIN p USING (word)
+""",
     }

@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "domain_quality_filter",
         "doc_sample_bottomk",
         "url_blocklist",
+        "doc_inverted_index",
     )
     for name in query_names:
         t0 = time.monotonic()

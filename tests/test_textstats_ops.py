@@ -135,3 +135,31 @@ class TestCategoryDiversity:
         assert len(out) == 1
         assert int(out["n_rows"].iloc[0]) == 18
         assert int(out["top_cat_bp"].iloc[0]) == 6666
+
+
+class TestInvertedIndex:
+    def test_df_exact_and_postings_capped(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import inverted_index
+
+        # 'the' appears in all 30 docs (df=30 > cap), 'uniq<i>' in one
+        docs = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": [f"the uniq{i} tail" for i in range(30)],
+        })
+        out = inverted_index(
+            rd.from_arrow(docs).repartition(5), max_postings=10
+        ).to_pandas().set_index("word")
+        assert out.loc["the", "df"] == 30
+        # postings capped at 10 smallest doc_ids, ascending
+        assert out.loc["the", "postings"] == ",".join(map(str, range(10)))
+        assert out.loc["uniq7", "df"] == 1
+        assert out.loc["uniq7", "postings"] == "7"
+        assert out.loc["tail", "df"] == 30
+        # duplicate tokens within one doc count once toward df
+        out2 = inverted_index(
+            rd.from_arrow(pa.table({
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["x x x y"],
+            })), max_postings=10).to_pandas().set_index("word")
+        assert out2.loc["x", "df"] == 1

@@ -2164,6 +2164,18 @@ def q_url_blocklist(sf_dir: str):
     return ds.map_batches(_m, batch_format="pyarrow")
 
 
+def q_doc_inverted_index(sf_dir: str):
+    """Search-index build: token → (df, capped posting list). Combiner
+    distinct-(word, doc) pairs per batch, ONE hash-bucketed shuffle,
+    vectorized run-length reduce — skew-proof on degenerate tokens
+    (stages/textstats.inverted_index)."""
+    from ..stages.textstats import inverted_index
+
+    return inverted_index(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        max_postings=10)
+
+
 def q_outlinks_enum(sf_dir: str):
     """Outlink enumeration over the synthetic link-graph corpus: every
     ``<a href>`` resolved to an absolute target (M2 resolver) with the
@@ -2296,4 +2308,5 @@ QUERIES: Dict[str, callable] = {
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,
     "url_blocklist": q_url_blocklist,
+    "doc_inverted_index": q_doc_inverted_index,
 }

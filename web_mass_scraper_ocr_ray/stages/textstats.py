@@ -703,3 +703,86 @@ def chunk_token_windows(docs_ds, window: int = 32, stride: int = 24,
         })
 
     return docs_ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def inverted_index(docs_ds, max_postings: int = 10,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Search-index build: token → (document frequency, capped posting
+    list) — the other classic web-scale text reduction besides vocab
+    counting.
+
+    Phase 1 (combiner, no shuffle): tokenize each batch with the Arrow
+    regex splitter and reduce to DISTINCT (word, doc_id) pairs inside
+    the batch via the C++ hash-aggregate — a doc lives in exactly one
+    batch, so per-batch distinct is globally exact and the shuffle
+    carries O(per-doc vocab), never token instances.
+
+    Phase 2 (one keyed shuffle): pairs are hash-bucketed by word and
+    each bucket is reduced in one vectorized kernel — sort by (word,
+    doc_id), run-length the word runs, df = run length, postings = the
+    first ``max_postings`` doc_ids joined ','. Bucketing by hash (not
+    groupby(word) with per-token groups) keeps group count bounded and
+    skew-proof: a degenerate token ('the', df≈N) still emits ONE row
+    of max_postings ids + its exact df, never an unbounded list.
+
+    → (word, df, postings). The cap is part of the operator contract
+    (a real index shards full posting lists to Parquet; the capped
+    head is what a driver-side comparator can hold).
+    """
+    n_buckets = 64
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(
+            pc.cast(t.column(text_col), pa.string()), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t.column(id_col), parent)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({
+            "word": flat.filter(keep),
+            "doc_id": ids.filter(keep),
+        })
+        dist = pairs.group_by(["word", "doc_id"]).aggregate([])
+        # stable cross-process bucket hash (never Python's salted hash)
+        import zlib
+
+        hv = np.array(
+            [zlib.crc32(w.encode("utf-8")) for w in
+             dist.column("word").to_pylist()], dtype=np.int64)
+        return dist.append_column(
+            "bucket", pa.array(hv % n_buckets, pa.int64()))
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        idx = pc.sort_indices(
+            g, sort_keys=[("word", "ascending"), ("doc_id", "ascending")])
+        s = g.take(idx)
+        words = np.asarray(s.column("word").to_pylist(), dtype=object)
+        ids = s.column("doc_id").to_numpy(zero_copy_only=False)
+        change = np.empty(len(words), dtype=bool)
+        change[0] = True
+        change[1:] = words[1:] != words[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.r_[starts, len(words)])
+        postings = [
+            ",".join(map(str, ids[st:st + min(ln, max_postings)]))
+            for st, ln in zip(starts, lens)
+        ]
+        return pa.table({
+            "word": pa.array(words[starts].tolist(), pa.string()),
+            "df": pa.array(lens, pa.int64()),
+            "postings": pa.array(postings, pa.string()),
+        })
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pyarrow")
+    )
