@@ -1806,4 +1806,30 @@ p AS (
 )
 SELECT d.word, d.df, p.postings FROM d JOIN p USING (word)
 """,
+        # BFS levels from host000 over the host edge set: level k =
+        # distinct k-hop targets minus everything already claimed.
+        "host_frontier_2hop": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT DISTINCT printf('www.host%03d.example.com', d % 50)
+           AS src_host, dst_host
+  FROM hl
+),
+s0 AS (SELECT 'www.host000.example.com' AS host),
+h1 AS (
+  SELECT DISTINCT e.dst_host AS host
+  FROM edges e JOIN s0 ON e.src_host = s0.host
+),
+h2 AS (
+  SELECT DISTINCT e.dst_host AS host
+  FROM edges e JOIN h1 ON e.src_host = h1.host
+)
+SELECT host, CAST(0 AS BIGINT) AS hops FROM s0
+UNION ALL
+SELECT host, CAST(1 AS BIGINT) FROM h1
+WHERE host NOT IN (SELECT host FROM s0)
+UNION ALL
+SELECT host, CAST(2 AS BIGINT) FROM h2
+WHERE host NOT IN (SELECT host FROM s0 UNION ALL SELECT host FROM h1)
+""",
     }

@@ -187,6 +187,7 @@ def run_bench() -> dict:
         "doc_sample_bottomk",
         "url_blocklist",
         "doc_inverted_index",
+        "host_frontier_2hop",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -150,3 +150,34 @@ class TestOutlinksCorpus:
         base = 15 * scale // 100
         assert got["a.com"] == base
         assert got["b.com"] == base + (85 * scale) // 100 * 2 // 2
+
+
+class TestHostFrontier:
+    def test_bfs_levels_and_cutoff(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        # a -> b -> c -> d plus the a -> c shortcut: c is claimed at
+        # hop 1 (min distance), d at hop 2; nothing deeper survives
+        edges = rd.from_arrow(pa.table({
+            "src_host": ["a", "b", "c", "a"],
+            "dst_host": ["b", "c", "d", "c"],
+            "n": pa.array([1, 1, 1, 1], pa.int64()),
+        }))
+        got = {r.host: r.hops
+               for r in lg.host_frontier(edges, ["a"], max_hops=2)
+               .to_pandas().itertuples()}
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_early_stop_on_empty_frontier(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = rd.from_arrow(pa.table({
+            "src_host": ["a"], "dst_host": ["b"],
+            "n": pa.array([1], pa.int64()),
+        }))
+        got = {r.host: r.hops
+               for r in lg.host_frontier(edges, ["a"], max_hops=5)
+               .to_pandas().itertuples()}
+        assert got == {"a": 0, "b": 1}

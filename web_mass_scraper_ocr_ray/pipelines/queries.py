@@ -2164,6 +2164,19 @@ def q_url_blocklist(sf_dir: str):
     return ds.map_batches(_m, batch_format="pyarrow")
 
 
+def q_host_frontier_2hop(sf_dir: str):
+    """Crawl-frontier BFS: hosts reachable from the host000 seed in ≤2
+    directed hops, labeled with their BFS level — per round one
+    semi-join (frontier→edges) + one anti-join (minus visited), zero
+    driver adjacency (stages/linkgraph.host_frontier)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    edges = lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    return lg.host_frontier(
+        edges, seed_hosts=["www.host000.example.com"], max_hops=2)
+
+
 def q_doc_inverted_index(sf_dir: str):
     """Search-index build: token → (df, capped posting list). Combiner
     distinct-(word, doc) pairs per batch, ONE hash-bucketed shuffle,
@@ -2309,4 +2322,5 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_bottomk": q_doc_sample_bottomk,
     "url_blocklist": q_url_blocklist,
     "doc_inverted_index": q_doc_inverted_index,
+    "host_frontier_2hop": q_host_frontier_2hop,
 }

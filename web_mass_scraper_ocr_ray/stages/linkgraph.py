@@ -151,3 +151,68 @@ def pagerank_hosts(edges_ds, iters: int = 5, scale: int = PR_SCALE,
             .materialize()
         )
     return ranks
+
+
+def host_frontier(edges_ds, seed_hosts, max_hops: int = 2,
+                  n_buckets: int = 16):
+    """Crawl-frontier expansion: BFS over the directed host graph →
+    (host, hops) for every host reachable from the seed set within
+    ``max_hops`` edges, hops = the BFS level (min distance — each host
+    is claimed by the FIRST level that reaches it).
+
+    Per round, two co-partition shuffles and zero driver state:
+    frontier keys semi-join onto edges by src (who does the frontier
+    link to?), the distinct targets anti-join against the visited set
+    (drop already-claimed hosts), and the remainder becomes the next
+    level. Frontier and visited are (host) KEY sets — the adjacency
+    never leaves the cluster, so the same loop runs on a 10⁸-host
+    graph; levels are materialized (small) to bound lineage.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .joins import anti_join, semi_join
+
+    edges = edges_ds.select_columns(
+        ["src_host", "dst_host"]).rename_columns(
+        {"src_host": "host"}).materialize()
+
+    def _with_hops(h):
+        def _m(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "host": t.column("host"),
+                "hops": pa.array(
+                    np.full(t.num_rows, h, dtype=np.int64), pa.int64()),
+            })
+
+        return _m
+
+    frontier = rd.from_arrow(pa.table({
+        "host": pa.array(sorted(set(seed_hosts)), pa.string()),
+    })).materialize()
+    visited = frontier.map_batches(
+        _with_hops(0), batch_format="pyarrow").materialize()
+
+    for h in range(1, max_hops + 1):
+        cands = (
+            semi_join(edges, frontier, on="host", n_buckets=n_buckets)
+            .groupby("dst_host")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["dst_host"])
+            .rename_columns({"dst_host": "host"})
+        ).materialize()
+        # a dead frontier (no outlinks) yields an EMPTY candidate set
+        # with no schema — stop before the anti-join would choke on it
+        if cands.count() == 0:
+            break
+        new = anti_join(
+            cands, visited.select_columns(["host"]), on="host",
+            n_buckets=n_buckets,
+        ).materialize()
+        if new.count() == 0:
+            break
+        level = new.map_batches(
+            _with_hops(h), batch_format="pyarrow").materialize()
+        visited = visited.union(level).materialize()
+        frontier = new
+    return visited
