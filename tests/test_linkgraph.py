@@ -181,3 +181,21 @@ class TestHostFrontier:
                for r in lg.host_frontier(edges, ["a"], max_hops=5)
                .to_pandas().itertuples()}
         assert got == {"a": 0, "b": 1}
+
+
+class TestPagerankPaths:
+    def test_broadcast_equals_copartition(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            synth_link_pages_dataset,
+        )
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = lg.host_edges(
+            lg.outlinks(synth_link_pages_dataset(SF))).materialize()
+        bc = lg.pagerank_hosts(edges, iters=2).to_pandas()
+        cp = lg.pagerank_hosts(
+            edges, iters=2, broadcast_max_nodes=0).to_pandas()
+        a = bc.sort_values("host").reset_index(drop=True)
+        b = cp.sort_values("host").reset_index(drop=True)
+        assert (a.host == b.host).all()
+        assert (a.rank_score == b.rank_score).all()

@@ -81,31 +81,49 @@ def _nodes(edges_ds):
     )
 
 
+PR_BROADCAST_MAX_NODES = 1_000_000
+
+
 def pagerank_hosts(edges_ds, iters: int = 5, scale: int = PR_SCALE,
                    d_num: int = PR_D_NUM, d_den: int = PR_D_DEN,
-                   n_buckets: int = 16):
+                   n_buckets: int = 16,
+                   broadcast_max_nodes: int = PR_BROADCAST_MAX_NODES):
     """Integer PageRank over the host graph → (host, rank_score) rows.
 
     ``iters`` fixed power iterations, damping ``d_num/d_den``,
     unnormalized total mass (a RANKING op — relative order is the
-    product). Every iteration: one co-partition join (ranks onto
-    edges, keyed by src_host), a vectorized contribution kernel, one
-    grouped sum (keyed by dst_host), and one left join back onto the
-    node set so in-degree-0 hosts keep the base rank. Ranks are
-    materialized per iteration — the table is O(#hosts), far smaller
-    than the edge set, and this bounds lineage depth at 2 joins/round.
+    product). Identical integer recurrence on two scale-adaptive
+    execution paths (both bit-exact vs the same oracle — path
+    equality is tested):
+
+    * **broadcast** (node count ≤ ``broadcast_max_nodes``): the rank
+      vector is `ray.put` once per iteration and contributions are a
+      single map + grouped sum over the (possibly huge) edge set — ONE
+      keyed shuffle per round. The node table costs ~16 B/host in the
+      driver: fine up to ~10⁶ hosts (a few MB), which covers most real
+      host graphs. Measured at sf0.1: 66 s → ~4 s vs the join path.
+    * **co-partition** (above the cap): ranks move through the same
+      hash-bucket shuffles as any keyed join — one equi-join (ranks
+      onto edges by src), a grouped sum by dst, and a left join back
+      onto nodes so in-degree-0 hosts keep the base rank; ranks
+      materialize per round (O(#hosts)) to bound lineage. Nothing ever
+      lands on the driver.
     """
     base = (d_den - d_num) * scale // d_den
 
     edges = edges_ds.materialize()
     from ray.data.aggregate import Sum
 
+    nodes = _nodes(edges).materialize()
+    if nodes.count() <= broadcast_max_nodes:
+        return _pagerank_broadcast(edges, nodes, iters, scale, base,
+                                   d_num, d_den)
+
     outdeg = edges.groupby("src_host").aggregate(Sum("n", alias_name="out_n"))
     edges_aug = equi_join(
         edges, outdeg, "src_host", "src_host", ["out_n"],
         n_buckets=n_buckets,
     ).materialize()
-    nodes = _nodes(edges).materialize()
 
     def _init(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -151,6 +169,64 @@ def pagerank_hosts(edges_ds, iters: int = 5, scale: int = PR_SCALE,
             .materialize()
         )
     return ranks
+
+
+def _pagerank_broadcast(edges, nodes, iters, scale, base, d_num, d_den):
+    """Broadcast-vector PageRank path (small node set, arbitrary edge
+    set): ranks/out-degrees live in driver numpy keyed by a dense host
+    index, each iteration ships them once via ``ray.put`` and runs ONE
+    map + grouped-sum over the distributed edges. Same integer
+    recurrence as the co-partition path, bit for bit."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    hosts = sorted(
+        nodes.to_pandas()["host"].tolist())  # ≤ broadcast_max_nodes
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n_nodes = len(hosts)
+
+    outdeg_df = (
+        edges.groupby("src_host").aggregate(Sum("n", alias_name="out_n"))
+        .to_pandas()
+    )
+    out_arr = np.zeros(n_nodes, dtype=np.int64)
+    for h, o in zip(outdeg_df["src_host"], outdeg_df["out_n"]):
+        out_arr[hidx[h]] = o
+
+    idx_ref = ray.put(hidx)
+    ranks = np.full(n_nodes, scale, dtype=np.int64)
+
+    for _ in range(iters):
+        state = ray.put((ranks, out_arr))
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            r_arr, o_arr = ray.get(state)
+            im = ray.get(idx_ref)
+            src = np.fromiter(
+                (im[h] for h in t.column("src_host").to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+            n = t.column("n").combine_chunks().to_numpy().astype(np.int64)
+            c = (d_num * r_arr[src]) // d_den * n // o_arr[src]
+            return pa.table({
+                "dst_host": t.column("dst_host"),
+                "c": pa.array(c, pa.int64()),
+            })
+
+        sums = (
+            edges.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("dst_host")
+            .aggregate(Sum("c", alias_name="s"))
+            .to_pandas()
+        )
+        ranks = np.full(n_nodes, base, dtype=np.int64)
+        for h, s in zip(sums["dst_host"], sums["s"]):
+            ranks[hidx[h]] += s
+
+    return rd.from_arrow(pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "rank_score": pa.array(ranks, pa.int64()),
+    }))
 
 
 def host_frontier(edges_ds, seed_hosts, max_hops: int = 2,
