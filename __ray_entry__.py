@@ -1832,4 +1832,26 @@ UNION ALL
 SELECT host, CAST(2 AS BIGINT) FROM h2
 WHERE host NOT IN (SELECT host FROM s0 UNION ALL SELECT host FROM h1)
 """,
+        # components of the same-parity host subgraph: transitive
+        # closure by recursive CTE (UNION dedup terminates it),
+        # component id = min reachable host — the exact semantic the
+        # min-label propagation converges to.
+        "host_components": f"""
+WITH RECURSIVE {_LINK_HL_CTE},
+e0 AS (
+  SELECT DISTINCT printf('www.host%03d.example.com', d % 50) AS a,
+         dst_host AS b
+  FROM hl
+  WHERE (d % 50) % 2 =
+        CAST(regexp_extract(dst_host, '[0-9]+') AS INT) % 2
+),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+gnodes AS (SELECT DISTINCT a AS h FROM sym),
+reach(x, y) AS (
+  SELECT h, h FROM gnodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y
+)
+SELECT x AS host, min(y) AS component FROM reach GROUP BY x
+""",
     }

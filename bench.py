@@ -188,6 +188,7 @@ def run_bench() -> dict:
         "url_blocklist",
         "doc_inverted_index",
         "host_frontier_2hop",
+        "host_components",
     )
     for name in query_names:
         t0 = time.monotonic()

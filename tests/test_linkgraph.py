@@ -199,3 +199,32 @@ class TestPagerankPaths:
         b = cp.sort_values("host").reset_index(drop=True)
         assert (a.host == b.host).all()
         assert (a.rank_score == b.rank_score).all()
+
+
+class TestGraphComponents:
+    def test_two_components_and_singleton(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = rd.from_arrow(pa.table({
+            "src_host": ["b", "c", "y", "z"],
+            "dst_host": ["a", "b", "x", "z"],
+        }))
+        out = lg.graph_components(edges).to_pandas()
+        got = dict(zip(out.host, out.component))
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "z"}
+
+    def test_strict_raises_below_diameter(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        chain = rd.from_arrow(pa.table({
+            "src_host": [str(i) for i in range(9)],
+            "dst_host": [str(i + 1) for i in range(9)],
+        }))
+        with pytest.raises(RuntimeError, match="fixed point"):
+            lg.graph_components(chain, max_rounds=1)
+        out = lg.graph_components(chain, max_rounds=12).to_pandas()
+        assert out.component.nunique() == 1
+        assert len(out) == 10

@@ -2177,6 +2177,33 @@ def q_host_frontier_2hop(sf_dir: str):
         edges, seed_hosts=["www.host000.example.com"], max_hops=2)
 
 
+def q_host_components(sf_dir: str):
+    """Connected components of the (undirected) host graph restricted
+    to same-parity host numbers — min-label propagation with a
+    changed-count convergence witness; 2+ components by construction
+    (stages/linkgraph.graph_components)."""
+    import re
+
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    edges = lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    num = re.compile(r"\d+")
+
+    def _same_parity(t: pa.Table) -> pa.Table:
+        src = t.column("src_host").to_pylist()
+        dst = t.column("dst_host").to_pylist()
+        keep = [
+            int(num.search(a).group()) % 2 == int(num.search(b).group()) % 2
+            for a, b in zip(src, dst)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return lg.graph_components(
+        edges.map_batches(_same_parity, batch_format="pyarrow"),
+        max_rounds=12)
+
+
 def q_doc_inverted_index(sf_dir: str):
     """Search-index build: token → (df, capped posting list). Combiner
     distinct-(word, doc) pairs per batch, ONE hash-bucketed shuffle,
@@ -2323,4 +2350,5 @@ QUERIES: Dict[str, callable] = {
     "url_blocklist": q_url_blocklist,
     "doc_inverted_index": q_doc_inverted_index,
     "host_frontier_2hop": q_host_frontier_2hop,
+    "host_components": q_host_components,
 }

@@ -292,3 +292,167 @@ def host_frontier(edges_ds, seed_hosts, max_hops: int = 2,
         visited = visited.union(level).materialize()
         frontier = new
     return visited
+
+
+def graph_components(edges_ds, src_col: str = "src_host",
+                     dst_col: str = "dst_host", max_rounds: int = 10,
+                     strict: bool = True):
+    """Connected components of an UNDIRECTED graph over string node
+    keys → (host, component) where component = the MIN node key in the
+    component (deterministic, key-type-agnostic).
+
+    Iterative min-label propagation, the generic sibling of
+    `stages/dedup.cluster_pairs_label_propagation` (int doc ids, sum
+    witness) for arbitrary string nodes: per round the symmetric edge
+    list is co-partitioned with the label table by a crc32 bucket of
+    the node key (partitioning only — never in results), each node
+    adopts the min label among itself and its neighbors, and
+    convergence is witnessed by an exact changed-label count (labels
+    are strings, so the integer-sum witness doesn't apply; the count
+    is one more grouped aggregate over the O(#nodes) label table).
+    ``strict=True`` raises when ``max_rounds`` pass without the fixed
+    point — a silent exit would return wrong components for any
+    component whose diameter exceeds the budget.
+    """
+    import pandas as pd
+
+    n_coarse = 64
+
+    def _bucket(arr) -> pa.Array:
+        import zlib
+
+        return pa.array(
+            [zlib.crc32(s.encode("utf-8")) % n_coarse
+             for s in arr.to_pylist()], pa.int32())
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src_col), pa.string()).combine_chunks()
+        b = pc.cast(t.column(dst_col), pa.string()).combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        return pa.table({
+            "key": src,
+            "dst": dst,
+            "label": pa.nulls(len(src), pa.string()),
+            "coarse": _bucket(src),
+        })
+
+    edges = edges_ds.select_columns([src_col, dst_col]).map_batches(
+        _sym, batch_format="pyarrow").materialize()
+
+    _empty = pd.DataFrame({
+        "node": pd.Series([], dtype="object"),
+        "label": pd.Series([], dtype="object"),
+    })
+
+    def _bucket_min(df):
+        if len(df) == 0:
+            return _empty
+        return df.groupby("node", sort=False)["label"].min().reset_index()
+
+    def _initial(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").combine_chunks()
+        lab = pc.min_element_wise(t.column("key"), t.column("dst"))
+        return pa.table({
+            "node": dst, "label": lab, "coarse": _bucket(dst),
+        })
+
+    labels = edges.map_batches(
+        _initial, batch_format="pyarrow"
+    ).groupby("coarse").map_groups(
+        _bucket_min, batch_format="pandas").materialize()
+
+    def _label_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").combine_chunks()
+        return pa.table({
+            "key": node,
+            "dst": pa.nulls(t.num_rows, pa.string()),
+            "label": pc.cast(t.column("label"), pa.string()),
+            "coarse": _bucket(node),
+        })
+
+    def _votes(df):
+        # rows with null dst carry the node's current label; edge rows
+        # look it up and vote it onto their dst (plus keep it on key)
+        if len(df) == 0:
+            return _empty
+        own = df[df.dst.isna()]
+        lab = dict(zip(own.key, own.label))
+        edge = df[df.dst.notna()]
+        out = pd.DataFrame({
+            "node": pd.concat([edge.dst, own.key], ignore_index=True),
+            "label": pd.concat(
+                [edge.key.map(lab), own.label], ignore_index=True),
+        })
+        return out.groupby("node", sort=False)["label"].min().reset_index()
+
+    for _ in range(max_rounds):
+        votes = edges.union(
+            labels.map_batches(_label_rows, batch_format="pyarrow")
+        ).groupby("coarse").map_groups(_votes, batch_format="pandas")
+
+        def _rebucket(t: pa.Table) -> pa.Table:
+            node = t.column("node").combine_chunks()
+            return pa.table({
+                "node": node,
+                "label": t.column("label"),
+                "coarse": _bucket(node),
+            })
+
+        nxt = votes.map_batches(
+            _rebucket, batch_format="pyarrow"
+        ).groupby("coarse").map_groups(
+            _bucket_min, batch_format="pandas").materialize()
+
+        # exact convergence witness: count of nodes whose label moved —
+        # a co-partition compare (old/new tagged, joined per bucket on
+        # node, mismatches counted) + one scalar sum; no driver tables
+        def _diff(df):
+            if len(df) == 0:
+                return pd.DataFrame({"changed": pd.Series([], dtype="int64")})
+            old = df[df.label.isna()][["node", "label_old"]]
+            new = df[df.label.notna()][["node", "label"]]
+            m = old.merge(new, on="node", how="outer")
+            ch = int((m.label_old != m.label).sum())
+            return pd.DataFrame({"changed": [ch]})
+
+        def _tag_old(t: pa.Table) -> pa.Table:
+            node = t.column("node").combine_chunks()
+            return pa.table({
+                "node": node,
+                "label_old": pc.cast(t.column("label"), pa.string()),
+                "label": pa.nulls(t.num_rows, pa.string()),
+                "coarse": _bucket(node),
+            })
+
+        def _tag_new(t: pa.Table) -> pa.Table:
+            node = t.column("node").combine_chunks()
+            return pa.table({
+                "node": node,
+                "label_old": pa.nulls(t.num_rows, pa.string()),
+                "label": pc.cast(t.column("label"), pa.string()),
+                "coarse": _bucket(node),
+            })
+
+        changed = (
+            labels.map_batches(_tag_old, batch_format="pyarrow")
+            .union(nxt.map_batches(_tag_new, batch_format="pyarrow"))
+            .groupby("coarse").map_groups(_diff, batch_format="pandas")
+            .sum("changed")
+        )
+        labels = nxt
+        if changed == 0:
+            return labels.map_batches(
+                lambda t: pa.table({
+                    "host": t.column("node"),
+                    "component": t.column("label"),
+                }), batch_format="pyarrow")
+    if strict:
+        raise RuntimeError(
+            f"graph_components: no fixed point in {max_rounds} rounds "
+            f"(component diameter exceeds the budget — raise max_rounds)")
+    return labels.map_batches(
+        lambda t: pa.table({
+            "host": t.column("node"),
+            "component": t.column("label"),
+        }), batch_format="pyarrow")
