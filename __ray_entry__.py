@@ -1854,4 +1854,29 @@ reach(x, y) AS (
 )
 SELECT x AS host, min(y) AS component FROM reach GROUP BY x
 """,
+        # anchor labels are generator arithmetic: internal links read
+        # 'doc {tgt}', the relative link 'about', the external link
+        # 'partner' (sources/pages.link_page_html).
+        "anchor_text_rollup": """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+an AS (
+  SELECT printf('www.host%03d.example.com',
+           ((d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd)) % 50)
+       AS dst_host,
+    'doc ' || ((d.doc_id * 7 + u.j * 13 + 1) % (SELECT n FROM nd))
+       AS anchor_text
+  FROM documents d, unnest(range(d.doc_id % 3 + 1)) AS u(j)
+  UNION ALL
+  SELECT printf('www.host%03d.example.com', doc_id % 50), 'about'
+  FROM documents
+  UNION ALL
+  SELECT printf('ext%d.example.org', doc_id % 5), 'partner'
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT dst_host,
+  CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_texts,
+  min(anchor_text) AS sample_text
+FROM an GROUP BY dst_host
+""",
     }

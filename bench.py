@@ -189,6 +189,7 @@ def run_bench() -> dict:
         "doc_inverted_index",
         "host_frontier_2hop",
         "host_components",
+        "anchor_text_rollup",
     )
     for name in query_names:
         t0 = time.monotonic()

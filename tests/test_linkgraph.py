@@ -228,3 +228,34 @@ class TestGraphComponents:
         out = lg.graph_components(chain, max_rounds=12).to_pandas()
         assert out.component.nunique() == 1
         assert len(out) == 10
+
+
+class TestAnchorText:
+    def test_extract_anchor_text(self):
+        from web_mass_scraper_ocr_ray.functions.links import extract_anchors
+
+        html = (b'<a href="/x"> Hello  <b>World</b> </a>'
+                b'<a href="/y">caf&eacute;</a>'
+                b'<a href="/z">')  # unterminated: empty text
+        assert extract_anchors(html) == [
+            ("/x", "Hello World"), ("/y", "café"), ("/z", "")]
+        assert extract_anchors(None) == []
+
+    def test_rollup_counts(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import (
+            anchor_text_rollup,
+        )
+
+        pages = rd.from_arrow(pa.table({
+            "url": ["https://a.com/1", "https://b.com/2"],
+            "html": [
+                b'<a href="https://t.com/p">great page</a>'
+                b'<a href="https://t.com/q">great page</a>',
+                b'<a href="https://t.com/r">other words</a>',
+            ],
+        }))
+        out = anchor_text_rollup(pages).to_pandas().set_index("dst_host")
+        assert out.loc["t.com", "n_links"] == 3
+        assert out.loc["t.com", "n_texts"] == 2
+        assert out.loc["t.com", "sample_text"] == "great page"

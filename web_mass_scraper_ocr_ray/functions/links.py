@@ -100,3 +100,65 @@ def links_batch(t: pa.Table, url_col: str = "url",
             [a != b for a, b in zip(o_shost, o_dhost)], pa.bool_()
         ),
     })
+
+
+# closing-tag scan for anchor INNER TEXT (nested inline tags stripped)
+_A_CLOSE_RE = re.compile(r"</a\s*>", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchors(html: Optional[bytes]) -> List[tuple]:
+    """(href, anchor_text) per ``<a href>`` in document order.
+
+    Anchor text = everything between the opening tag and the nearest
+    ``</a>``, inner tags stripped, entities unescaped, whitespace
+    collapsed — the link-label signal (anchor-text aggregation per
+    target is a classic web-corpus feature: it describes the TARGET
+    page in the words of the linking page)."""
+    if not html:
+        return []
+    if isinstance(html, memoryview):
+        html = html.tobytes()
+    s = html.decode("utf-8", errors="replace")
+    out: List[tuple] = []
+    for m in _HREF_RE.finditer(s):
+        v = m.group(1)
+        if v is None:
+            v = m.group(2) if m.group(2) is not None else m.group(3)
+        if not v:
+            continue
+        gt = s.find(">", m.end())
+        if gt < 0:
+            text = ""
+        else:
+            cm = _A_CLOSE_RE.search(s, gt + 1)
+            raw = s[gt + 1: cm.start()] if cm else ""
+            text = _WS_RE.sub(" ", unescape(_TAG_RE.sub("", raw))).strip()
+        out.append((unescape(v), text))
+    return out
+
+
+def anchors_batch(t: pa.Table, url_col: str = "url",
+                  html_col: str = "html") -> pa.Table:
+    """Pages batch → exploded (src_url, link_idx, anchor_text,
+    dst_url, dst_host) rows — links_batch plus the link label."""
+    src_urls = t.column(url_col).to_pylist()
+    htmls = t.column(html_col).to_pylist()
+    o_src: List[str] = []
+    o_idx: List[int] = []
+    o_text: List[str] = []
+    o_dst: List[str] = []
+    for u, h in zip(src_urls, htmls):
+        for i, (href, text) in enumerate(extract_anchors(h)):
+            o_src.append(u)
+            o_idx.append(i)
+            o_text.append(text)
+            o_dst.append(construct_absolute_url(href, u) or "")
+    return pa.table({
+        "src_url": pa.array(o_src, pa.string()),
+        "link_idx": pa.array(o_idx, pa.int64()),
+        "anchor_text": pa.array(o_text, pa.string()),
+        "dst_url": pa.array(o_dst, pa.string()),
+        "dst_host": pa.array([host_of(u) for u in o_dst], pa.string()),
+    })

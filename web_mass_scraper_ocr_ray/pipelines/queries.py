@@ -2177,6 +2177,17 @@ def q_host_frontier_2hop(sf_dir: str):
         edges, seed_hosts=["www.host000.example.com"], max_hops=2)
 
 
+def q_anchor_text_rollup(sf_dir: str):
+    """Anchor-text aggregation per TARGET host (the web describes a
+    page in the words of pages linking to it): per-(host, text) counts
+    collapse duplicate labels before the per-host rollup —
+    stages/linkgraph.anchor_text_rollup."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.anchor_text_rollup(synth_link_pages_dataset(sf_dir))
+
+
 def q_host_components(sf_dir: str):
     """Connected components of the (undirected) host graph restricted
     to same-parity host numbers — min-label propagation with a
@@ -2351,4 +2362,5 @@ QUERIES: Dict[str, callable] = {
     "doc_inverted_index": q_doc_inverted_index,
     "host_frontier_2hop": q_host_frontier_2hop,
     "host_components": q_host_components,
+    "anchor_text_rollup": q_anchor_text_rollup,
 }

@@ -456,3 +456,28 @@ def graph_components(edges_ds, src_col: str = "src_host",
             "host": t.column("node"),
             "component": t.column("label"),
         }), batch_format="pyarrow")
+
+
+def anchor_text_rollup(pages_ds):
+    """Anchor-text aggregation per TARGET host — the classic web-corpus
+    signal (the web describes a page in the words of the pages that
+    link to it). Two combiner-friendly grouped reductions: (dst_host,
+    anchor_text) counts first (collapses duplicate labels before the
+    wide shuffle), then per-host n_links / n_texts / lexicographic
+    sample_text. → (dst_host, n_links, n_texts, sample_text)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.links import anchors_batch
+
+    pairs = (
+        pages_ds.select_columns(["url", "html"])
+        .map_batches(anchors_batch, batch_format="pyarrow")
+        .groupby(["dst_host", "anchor_text"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return (
+        pairs.groupby("dst_host")
+        .aggregate(Sum("n", alias_name="n_links"),
+                   Count(alias_name="n_texts"),
+                   Min("anchor_text", alias_name="sample_text"))
+    )
