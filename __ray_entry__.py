@@ -1879,4 +1879,20 @@ SELECT dst_host,
   min(anchor_text) AS sample_text
 FROM an GROUP BY dst_host
 """,
+        # deterministic per-host crawl waves: rank within host by url
+        # (byte-wise ASCII order on both sides), wave = rank // 2.
+        "fetch_waves": """
+WITH p AS (
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                doc_id % 50, doc_id) AS url,
+         printf('www.host%03d.example.com', doc_id % 50) AS host
+  FROM documents
+)
+SELECT url, host,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+       AS BIGINT) AS group_rank,
+  CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) // 2
+       AS BIGINT) AS wave
+FROM p
+""",
     }

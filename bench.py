@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "host_frontier_2hop",
         "host_components",
         "anchor_text_rollup",
+        "fetch_waves",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -272,3 +272,35 @@ class TestLatestPerGroup:
             .to_pandas()
         assert len(out) == 1
         assert out["ts"].iloc[0] == 79
+
+
+class TestRankPerGroup:
+    def test_rank_and_skew_bucket(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sampling import rank_per_group
+
+        # hot group 'a' (50 rows) + tiny 'b'; ranks dense per group
+        rows = pa.table({
+            "g": ["a"] * 50 + ["b"] * 3,
+            "k": [f"{i:03d}" for i in range(50)] + ["x", "y", "z"],
+        })
+        out = rank_per_group(
+            rd.from_arrow(rows).repartition(4), group_col="g",
+            order_col="k").to_pandas()
+        a = out[out.g == "a"].sort_values("k")
+        assert list(a.group_rank) == list(range(50))
+        b = out[out.g == "b"].sort_values("k")
+        assert list(b.group_rank) == [0, 1, 2]
+
+    def test_empty_ok(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sampling import rank_per_group
+
+        out = rank_per_group(
+            rd.from_arrow(pa.table({"g": pa.array([], pa.string()),
+                                    "k": pa.array([], pa.string())})),
+            group_col="g", order_col="k").to_pandas()
+        assert len(out) == 0

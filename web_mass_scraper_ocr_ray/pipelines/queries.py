@@ -2177,6 +2177,35 @@ def q_host_frontier_2hop(sf_dir: str):
         edges, seed_hosts=["www.host000.example.com"], max_hops=2)
 
 
+def q_fetch_waves(sf_dir: str):
+    """Politeness-aware crawl planning: within each host, urls get a
+    deterministic order and wave = rank // 2 — the batch plan a
+    rate-limited fetcher (reference T3 token bucket, 2 req/s/host)
+    executes wave-by-wave. One hash-bucketed shuffle; a hot host costs
+    one in-bucket sort (stages/sampling.rank_per_group)."""
+    from ..functions.links import host_of
+    from ..stages.sampling import rank_per_group
+
+    ds = synth_pages_dataset(sf_dir).select_columns(["url"])
+
+    def _host(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "host",
+            pa.array([host_of(u) for u in t.column("url").to_pylist()],
+                     pa.string()))
+
+    ranked = rank_per_group(
+        ds.map_batches(_host, batch_format="pyarrow"),
+        group_col="host", order_col="url")
+
+    def _wave(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "wave",
+            pc.divide(t.column("group_rank"), pa.scalar(2, pa.int64())))
+
+    return ranked.map_batches(_wave, batch_format="pyarrow")
+
+
 def q_anchor_text_rollup(sf_dir: str):
     """Anchor-text aggregation per TARGET host (the web describes a
     page in the words of pages linking to it): per-(host, text) counts
@@ -2363,4 +2392,5 @@ QUERIES: Dict[str, callable] = {
     "host_frontier_2hop": q_host_frontier_2hop,
     "host_components": q_host_components,
     "anchor_text_rollup": q_anchor_text_rollup,
+    "fetch_waves": q_fetch_waves,
 }

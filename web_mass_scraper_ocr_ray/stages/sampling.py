@@ -288,3 +288,47 @@ def sample_bottomk(ds, id_col: str, k: int):
     return ds.map_batches(
         _partial, batch_format="pyarrow"
     ).sort("hv").limit(k)
+
+
+def rank_per_group(ds, group_col: str, order_col: str,
+                   n_buckets: int = 64):
+    """Dense 0-based rank of every row within its group under
+    ``order_col`` ascending (ties broken by the order column's own
+    equality — callers pass a unique key) → input columns +
+    ``group_rank``.
+
+    Skew-proof shape: groups are HASH-BUCKETED (groupby over the
+    bucket, not the group), and inside a bucket the kernel sorts once
+    by (group, order) and ranks every run with the vectorized
+    first-occurrence trick — a hot group costs one sort inside one
+    bucket, never a per-group task."""
+    import zlib
+
+    def _bucket_col(t: pa.Table) -> pa.Table:
+        vals = t.column(group_col).to_pylist()
+        hv = np.array(
+            [zlib.crc32(str(v).encode("utf-8")) % n_buckets
+             for v in vals], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(hv, pa.int32()))
+
+    def _rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["_bucket"]).append_column(
+                "group_rank", pa.array([], pa.int64()))
+        idx = pc.sort_indices(
+            g, sort_keys=[(group_col, "ascending"),
+                          (order_col, "ascending")])
+        s = g.take(idx)
+        grp = np.asarray(s.column(group_col).to_pylist(), dtype=object)
+        change = np.empty(len(grp), dtype=bool)
+        change[0] = True
+        change[1:] = grp[1:] != grp[:-1]
+        first = np.maximum.accumulate(
+            np.where(change, np.arange(len(grp)), 0))
+        rank = np.arange(len(grp)) - first
+        return s.drop_columns(["_bucket"]).append_column(
+            "group_rank", pa.array(rank, pa.int64()))
+
+    return ds.map_batches(
+        _bucket_col, batch_format="pyarrow"
+    ).groupby("_bucket").map_groups(_rank, batch_format="pyarrow")
