@@ -1895,4 +1895,95 @@ SELECT url, host,
        AS BIGINT) AS wave
 FROM p
 """,
+        # Re-crawl change detection: with_dups corpus (every 10th url
+        # re-crawled +1h), every 20th doc's re-crawl text mutated
+        # (' v2'); lag(md5) per url mirrors sampling.lag_per_group.
+        "pages_content_delta": """
+WITH p AS (
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                doc_id % 50, doc_id) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+         text
+  FROM documents
+  UNION ALL
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                doc_id % 50, doc_id),
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+           + INTERVAL 1 HOUR,
+         text || CASE WHEN doc_id % 20 = 0 THEN ' v2' ELSE '' END
+  FROM documents WHERE doc_id % 10 = 0
+),
+h AS (SELECT url, warc_ts, md5(text) AS hv FROM p),
+l AS (
+  SELECT url, warc_ts, hv,
+         lag(hv) OVER (PARTITION BY url ORDER BY warc_ts) AS ph
+  FROM h
+)
+SELECT url, warc_ts, (ph IS NULL) AS is_first,
+       (ph IS NULL OR hv <> ph) AS changed
+FROM l
+""",
+        # Keep-best dedup: normalized-text groups over documents ∪ a
+        # ' !!'-padded variant of every even doc; keep the longest raw
+        # variant, tie → min doc_id (stages/dedup.keep_best_per_group).
+        "dedup_keep_best": """
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' !!'
+  FROM documents WHERE doc_id % 2 = 0
+),
+k AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nk
+  FROM c
+),
+g AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_members FROM k GROUP BY nk),
+r AS (
+  SELECT doc_id, nk, CAST(length(text) AS BIGINT) AS n_chars_kept,
+         row_number() OVER (PARTITION BY nk
+                            ORDER BY length(text) DESC, doc_id) AS rn
+  FROM k
+)
+SELECT r.doc_id, r.n_chars_kept, g.n_members
+FROM r JOIN g USING (nk) WHERE rn = 1
+""",
+        # Windowed heavy hitters: top-3 event types per tumbling hour
+        # by count, ties broken by event_type ascending.
+        "events_topk_per_window": """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rn
+  FROM c
+)
+SELECT window_start, event_type, n_events FROM r WHERE rn <= 3
+""",
+        # Host-graph degree rollup over the weighted edge table: raw
+        # out/in link counts + distinct out/in neighbor counts.
+        "host_degree_stats": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, CAST(count(*) AS BIGINT) AS n
+  FROM hl GROUP BY 1, 2
+),
+sides AS (
+  SELECT src_host AS host, n AS out_edges, 1 AS out_hosts,
+         0 AS in_edges, 0 AS in_hosts
+  FROM edges
+  UNION ALL
+  SELECT dst_host, 0, 0, n, 1 FROM edges
+)
+SELECT host,
+       CAST(sum(out_edges) AS BIGINT) AS n_out_edges,
+       CAST(sum(out_hosts) AS BIGINT) AS n_out_hosts,
+       CAST(sum(in_edges) AS BIGINT) AS n_in_edges,
+       CAST(sum(in_hosts) AS BIGINT) AS n_in_hosts
+FROM sides GROUP BY host
+""",
     }

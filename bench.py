@@ -191,6 +191,10 @@ def run_bench() -> dict:
         "host_components",
         "anchor_text_rollup",
         "fetch_waves",
+        "pages_content_delta",
+        "dedup_keep_best",
+        "events_topk_per_window",
+        "host_degree_stats",
     )
     for name in query_names:
         t0 = time.monotonic()

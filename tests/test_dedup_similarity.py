@@ -556,3 +556,61 @@ class TestPairCapOverflow:
         comp = self._components([(r["doc_a"], r["doc_b"]) for r in t])
         assert set(comp) == set(range(n))
         assert len(set(comp.values())) == 1
+
+
+class TestKeepBestPerGroup:
+    """keep_best_per_group (stages/dedup.py) — dedup resolution that
+    keeps the best variant per group plus the true member count, as a
+    two-phase combiner (partials must re-combine exactly)."""
+
+    def test_argmax_tiebreak_and_count(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.dedup import keep_best_per_group
+
+        t = pa.table({
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "score": [5, 9, 9, 1, 2, 7],
+            "doc_id": [10, 11, 3, 12, 13, 14],
+        })
+        out = keep_best_per_group(
+            rd.from_arrow(t).repartition(3), group_col="g",
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        ).to_pandas().sort_values("g", ignore_index=True)
+        # group a: max score 9 twice, tie -> min doc_id 3
+        assert list(out.doc_id) == [3, 13, 14]
+        assert list(out.n_members) == [3, 2, 1]
+
+    def test_hot_group_count_exact_across_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.dedup import keep_best_per_group
+
+        n = 64  # one group spanning many partials: counts must SUM
+        t = pa.table({
+            "g": ["hot"] * n,
+            "score": list(range(n)),
+            "doc_id": list(range(100, 100 + n)),
+        })
+        out = keep_best_per_group(
+            rd.from_arrow(t).repartition(8), group_col="g",
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        ).to_pandas()
+        assert len(out) == 1
+        assert out.n_members.iloc[0] == n
+        assert out.doc_id.iloc[0] == 100 + n - 1  # highest score wins
+
+    def test_empty_ok(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.dedup import keep_best_per_group
+
+        out = keep_best_per_group(
+            rd.from_arrow(pa.table({
+                "g": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })), group_col="g",
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        ).to_pandas()
+        assert len(out) == 0

@@ -259,3 +259,23 @@ class TestAnchorText:
         assert out.loc["t.com", "n_links"] == 3
         assert out.loc["t.com", "n_texts"] == 2
         assert out.loc["t.com", "sample_text"] == "great page"
+
+
+class TestDegreeStats:
+    def test_degrees_on_tiny_graph(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import degree_stats
+
+        # a->b (3 links), a->c (1), b->c (2); c dangling (no out)
+        edges = pa.table({
+            "src_host": ["a", "a", "b"],
+            "dst_host": ["b", "c", "c"],
+            "n": pa.array([3, 1, 2], pa.int64()),
+        })
+        out = degree_stats(
+            rd.from_arrow(edges).repartition(2)
+        ).to_pandas().set_index("host").sort_index()
+        assert list(out.loc["a"]) == [4, 2, 0, 0]  # out_e, out_h, in_e, in_h
+        assert list(out.loc["b"]) == [2, 1, 3, 1]
+        assert list(out.loc["c"]) == [0, 0, 3, 2]

@@ -304,3 +304,59 @@ class TestRankPerGroup:
                                     "k": pa.array([], pa.string())})),
             group_col="g", order_col="k").to_pandas()
         assert len(out) == 0
+
+
+class TestLagPerGroup:
+    def test_lag_and_run_starts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sampling import lag_per_group
+
+        t = pa.table({
+            "g": ["u1", "u1", "u1", "u2", "u2", "u3"],
+            "o": [2, 1, 3, 1, 2, 1],
+            "v": ["b", "a", "c", "p", "q", "z"],
+        })
+        out = lag_per_group(
+            rd.from_arrow(t).repartition(3), group_col="g",
+            order_col="o", value_col="v").to_pandas()
+        out = out.sort_values(["g", "o"], ignore_index=True)
+        assert list(out.prev_v) == [None, "a", "b", None, "p", None]
+
+    def test_hot_group_spanning_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sampling import lag_per_group
+
+        n = 40
+        t = pa.table({
+            "g": ["hot"] * n + ["cold"],
+            "o": list(range(n)) + [0],
+            "v": [f"v{i:02d}" for i in range(n)] + ["c0"],
+        })
+        out = lag_per_group(
+            rd.from_arrow(t).repartition(5), group_col="g",
+            order_col="o", value_col="v").to_pandas()
+        hot = out[out.g == "hot"].sort_values("o")
+        assert list(hot.prev_v) == [None] + [f"v{i:02d}" for i in range(n - 1)]
+        cold = out[out.g == "cold"]
+        assert list(cold.prev_v) == [None]
+
+    def test_timestamp_order_column(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sampling import lag_per_group
+
+        base = dt.datetime(2024, 1, 1)
+        t = pa.table({
+            "g": ["u", "u"],
+            "o": pa.array([base + dt.timedelta(hours=1), base],
+                          pa.timestamp("us")),
+            "v": ["second", "first"],
+        })
+        out = lag_per_group(
+            rd.from_arrow(t), group_col="g", order_col="o",
+            value_col="v").to_pandas().sort_values("o", ignore_index=True)
+        assert list(out.prev_v) == [None, "first"]

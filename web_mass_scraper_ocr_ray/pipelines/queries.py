@@ -2288,6 +2288,154 @@ def q_pagerank_hosts(sf_dir: str):
     )
 
 
+_PAGES_EPOCH_US = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 in µs
+
+
+def q_pages_content_delta(sf_dir: str):
+    """Re-crawl change detection — the incremental-crawl staple: per
+    url ordered by warc_ts, compare each snapshot's content hash to
+    the PREVIOUS snapshot's (lag) and flag `changed`; an unchanged
+    re-crawl can skip re-extraction entirely. Corpus: the with_dups
+    pages (every 10th url re-crawled +1h), with every 20th doc's
+    re-crawl text actually mutated (' v2') so both delta classes
+    occur. Only hashes ride the lag shuffle, never page text
+    (stages/sampling.lag_per_group — hash-bucketed, skew-proof)."""
+    import hashlib
+
+    from ..stages.sampling import lag_per_group
+
+    ds = synth_pages_dataset(sf_dir, with_dups=True).select_columns(
+        ["url", "warc_ts", "text"])
+
+    def _mutate_hash(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        ts_us = t.column("warc_ts").cast(pa.int64()).to_pylist()
+        texts = t.column("text").to_pylist()
+        hv = []
+        for u, d, us, x in zip(urls, doc_ids, ts_us, texts):
+            recrawl = us != _PAGES_EPOCH_US + d * 1_000_000
+            if recrawl and d % 20 == 0:
+                x = x + " v2"
+            hv.append(hashlib.md5(x.encode("utf-8")).hexdigest())
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "hv": pa.array(hv, pa.string()),
+        })
+
+    lagged = lag_per_group(
+        ds.map_batches(_mutate_hash, batch_format="pyarrow"),
+        group_col="url", order_col="warc_ts", value_col="hv")
+
+    def _flags(t: pa.Table) -> pa.Table:
+        is_first = pc.is_null(t.column("prev_hv"))
+        changed = pc.if_else(
+            is_first, pa.scalar(True),
+            pc.not_equal(t.column("hv"), t.column("prev_hv")))
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "is_first": is_first,
+            "changed": changed,
+        })
+
+    return lagged.map_batches(_flags, batch_format="pyarrow")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-variant dedup with a KEEP-BEST policy (FineWeb-style):
+    group by punctuation/case-insensitive normalized text, keep the
+    LONGEST raw variant (tie → min doc_id) and report group size.
+    Corpus: documents ∪ a punctuation-padded variant (' !!') of every
+    even doc — survivors are a mix of originals and variants, so the
+    policy (not just grouping) is what the oracle pins
+    (stages/dedup.keep_best_per_group — two-phase argmax+count)."""
+    from ..stages.dedup import keep_best_per_group
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _variants(t: pa.Table) -> pa.Table:
+        even = t.filter(pc.equal(
+            pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())))
+        return pa.table({
+            "doc_id": pc.add(even.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                even.column("text"), pa.scalar(" !!"), ""),
+        })
+
+    corpus = docs.union(docs.map_batches(_variants, batch_format="pyarrow"))
+
+    def _norm(t: pa.Table) -> pa.Table:
+        nk = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")),
+                pattern="[^a-z0-9]+", replacement=" "),
+            characters=" ")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "nk": nk,
+            "n_chars_kept": pc.cast(
+                pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    best = keep_best_per_group(
+        corpus.map_batches(_norm, batch_format="pyarrow"),
+        group_col="nk",
+        sort_keys=[("n_chars_kept", "descending"),
+                   ("doc_id", "ascending")])
+    return best.select_columns(["doc_id", "n_chars_kept", "n_members"])
+
+
+def q_events_topk_per_window(sf_dir: str):
+    """Windowed heavy hitters: top-3 event types per tumbling hour by
+    count — the trending-now aggregate. Two-phase grouped count (the
+    events_tumbling combiner shape) then the per-window top-k via
+    cap_per_group partials: the shuffle carries ≤3 rows per (window,
+    batch), a hot window never concentrates its raw events."""
+    import ray.data as rd
+
+    from ..stages.sampling import cap_per_group
+    from ..stages.shuffle import two_phase_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "window_start", pc.floor_temporal(t.column("ts"), unit="hour")
+        ).drop_columns(["ts"])
+
+    counts = two_phase_aggregate(
+        ev.map_batches(_window, batch_format="pyarrow"),
+        ("window_start", "event_type"),
+        {"n_events": (None, "count")})
+
+    def _neg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_neg", pc.negate(t.column("n_events")))
+
+    top = cap_per_group(
+        counts.map_batches(_neg, batch_format="pyarrow"),
+        group_col="window_start", k=3,
+        order_col="_neg", tiebreak_col="event_type")
+    return top.select_columns(["window_start", "event_type", "n_events"])
+
+
+def q_host_degree_stats(sf_dir: str):
+    """Host-graph degree rollup: per host, raw out/in link counts and
+    distinct out/in neighbor counts — the hub/authority/dangling
+    triage view of the crawl graph (stages/linkgraph.degree_stats:
+    edge rows emit two one-sided partials, ONE grouped sum)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    edges = lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    return lg.degree_stats(edges)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2393,4 +2541,8 @@ QUERIES: Dict[str, callable] = {
     "host_components": q_host_components,
     "anchor_text_rollup": q_anchor_text_rollup,
     "fetch_waves": q_fetch_waves,
+    "pages_content_delta": q_pages_content_delta,
+    "dedup_keep_best": q_dedup_keep_best,
+    "events_topk_per_window": q_events_topk_per_window,
+    "host_degree_stats": q_host_degree_stats,
 }

@@ -1069,3 +1069,53 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
         return labels
     out = labels.to_pandas().sort_values("doc_id", ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def keep_best_per_group(ds, group_col: str, sort_keys,
+                        count_col: str = "n_members"):
+    """Keep ONE row per group — the best under ``sort_keys`` (pyarrow
+    sort-key tuples, e.g. ``[("score", "descending"), ("doc_id",
+    "ascending")]``) — plus ``count_col`` = the group's total member
+    count. The dedup-resolution policy of FineWeb/RefinedWeb-style
+    prep: among (near-)duplicates keep the best version (longest /
+    highest-quality), not merely the first id.
+
+    Exact two-phase combiner: each batch collapses every group to its
+    local best row + local member count, so the groupby shuffle moves
+    at most one row per (group, batch) — a boilerplate page duplicated
+    millions of times contributes blocks-many candidate rows, never
+    its full population. The final per-group pass picks the best of
+    bests and SUMS the partial counts (argmax and count both compose).
+    """
+    keys = list(sort_keys)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if count_col not in t.schema.names:
+                t = t.append_column(count_col, pa.array([], pa.int64()))
+            return t
+        has_n = count_col in t.schema.names
+        idx = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending")] + keys)
+        s = t.take(idx)
+        grp = np.asarray(s.column(group_col).to_pylist(), dtype=object)
+        n = len(grp)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:], n)
+        if has_n:
+            # re-combining partials: counts sum within the run
+            cnt_all = np.asarray(s.column(count_col).to_pylist(),
+                                 dtype=np.int64)
+            run_n = np.add.reduceat(cnt_all, starts)
+            s = s.drop_columns([count_col])
+        else:
+            run_n = ends - starts
+        best = s.take(pa.array(starts, pa.int64()))
+        return best.append_column(count_col, pa.array(run_n, pa.int64()))
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(group_col).map_groups(_partial, batch_format="pyarrow")

@@ -481,3 +481,43 @@ def anchor_text_rollup(pages_ds):
                    Count(alias_name="n_texts"),
                    Min("anchor_text", alias_name="sample_text"))
     )
+
+
+def degree_stats(edges_ds):
+    """Per-host degree rollup over the weighted host-edge table →
+    (host, n_out_edges, n_out_hosts, n_in_edges, n_in_hosts).
+
+    ``n_*_edges`` counts raw links (the Σn of the weighted edges),
+    ``n_*_hosts`` counts distinct neighbor hosts. The crawl-planning /
+    spam-triage staple (hub vs authority shape, dangling hosts).
+
+    Shape: each edge row emits one OUT-side and one IN-side partial
+    row, then ONE grouped sum — no join of two rollups, no driver
+    state; a host with millions of edges reduces inside the combiner.
+    """
+    from ray.data.aggregate import Sum
+
+    def _sides(t: pa.Table) -> pa.Table:
+        n = t.column("n").combine_chunks().cast(pa.int64())
+        zeros = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        ones = pa.nulls(t.num_rows, pa.int64()).fill_null(1)
+        out_side = pa.table({
+            "host": t.column("src_host"),
+            "out_edges": n, "out_hosts": ones,
+            "in_edges": zeros, "in_hosts": zeros,
+        })
+        in_side = pa.table({
+            "host": t.column("dst_host"),
+            "out_edges": zeros, "out_hosts": zeros,
+            "in_edges": n, "in_hosts": ones,
+        })
+        return pa.concat_tables([out_side, in_side])
+
+    return (
+        edges_ds.map_batches(_sides, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("out_edges", alias_name="n_out_edges"),
+                   Sum("out_hosts", alias_name="n_out_hosts"),
+                   Sum("in_edges", alias_name="n_in_edges"),
+                   Sum("in_hosts", alias_name="n_in_hosts"))
+    )

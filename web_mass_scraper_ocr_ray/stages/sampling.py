@@ -332,3 +332,57 @@ def rank_per_group(ds, group_col: str, order_col: str,
     return ds.map_batches(
         _bucket_col, batch_format="pyarrow"
     ).groupby("_bucket").map_groups(_rank, batch_format="pyarrow")
+
+
+def lag_per_group(ds, group_col: str, order_col: str, value_col: str,
+                  n_buckets: int = 64):
+    """Per-group LAG: every row gains ``prev_<value_col>`` — the value
+    of ``value_col`` on the PREVIOUS row of the same group under
+    ``order_col`` ascending (null on each group's first row).
+
+    The streaming-SQL ``lag() OVER (PARTITION BY g ORDER BY o)`` as a
+    batch operator — the core of re-crawl change detection (compare a
+    snapshot's content hash to the previous snapshot of the same url).
+
+    Skew-proof shape shared with ``rank_per_group``: groups are
+    HASH-BUCKETED (groupby over the bucket, not the group), and inside
+    a bucket one (group, order) sort + a vectorized shift computes the
+    lag for every run — a url recrawled millions of times costs one
+    in-bucket sort, never a per-group task or driver state.
+    """
+    import zlib
+
+    out_col = f"prev_{value_col}"
+
+    def _bucket_col(t: pa.Table) -> pa.Table:
+        vals = t.column(group_col).to_pylist()
+        hv = np.array(
+            [zlib.crc32(str(v).encode("utf-8")) % n_buckets
+             for v in vals], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(hv, pa.int32()))
+
+    def _lag(g: pa.Table) -> pa.Table:
+        val_type = g.schema.field(value_col).type
+        if g.num_rows == 0:
+            return g.drop_columns(["_bucket"]).append_column(
+                out_col, pa.array([], val_type))
+        idx = pc.sort_indices(
+            g, sort_keys=[(group_col, "ascending"),
+                          (order_col, "ascending")])
+        s = g.take(idx)
+        grp = np.asarray(s.column(group_col).to_pylist(), dtype=object)
+        run_start = np.empty(len(grp), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = grp[1:] != grp[:-1]
+        vals = s.column(value_col).combine_chunks()
+        # shift down by one, then null out every run's first row
+        shifted = pa.concat_arrays(
+            [pa.nulls(1, val_type),
+             vals.cast(val_type).slice(0, len(grp) - 1)])
+        prev = pc.if_else(pa.array(run_start), pa.nulls(len(grp), val_type),
+                          shifted)
+        return s.drop_columns(["_bucket"]).append_column(out_col, prev)
+
+    return ds.map_batches(
+        _bucket_col, batch_format="pyarrow"
+    ).groupby("_bucket").map_groups(_lag, batch_format="pyarrow")
