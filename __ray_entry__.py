@@ -1986,4 +1986,41 @@ SELECT host,
        CAST(sum(in_hosts) AS BIGINT) AS n_in_hosts
 FROM sides GROUP BY host
 """,
+        # Crawler-trap triage: hosts 0-9 serve identical boilerplate
+        # on 3/4 of their pages; trap ⇔ distinct contents < pages/2.
+        "crawl_trap_hosts": """
+WITH p AS (
+  SELECT printf('www.host%03d.example.com', doc_id % 50) AS host,
+         md5(CASE WHEN doc_id % 50 < 10 AND doc_id % 4 <> 0
+                  THEN 'trap calendar page' ELSE text END) AS hv
+  FROM documents
+),
+c AS (SELECT host, hv, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       count(*) * 2 < sum(n) AS is_trap
+FROM c GROUP BY host
+""",
+        # Sentence stats: [.!?]+ runs; integer mean sentence length.
+        "doc_sentence_stats": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+         AS n_sentences,
+       CAST(length(text)
+            // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS avg_sentence_chars
+FROM documents
+""",
+        # Broadcast interval join: half-open [lo, hi) value tiers —
+        # CASE mirrors np.searchsorted(side='right') exactly.
+        "events_value_tiers": """
+SELECT event_id, value,
+       CASE WHEN value < 1 THEN 'lt1'
+            WHEN value < 5 THEN '1_5'
+            WHEN value < 25 THEN '5_25'
+            WHEN value < 100 THEN '25_100'
+            WHEN value < 250 THEN '100_250'
+            ELSE 'ge250' END AS tier
+FROM events
+""",
     }

@@ -195,6 +195,9 @@ def run_bench() -> dict:
         "dedup_keep_best",
         "events_topk_per_window",
         "host_degree_stats",
+        "crawl_trap_hosts",
+        "doc_sentence_stats",
+        "events_value_tiers",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -555,3 +555,30 @@ class TestSemiJoin:
         right = _ds({"k": [1, 1]})  # right dups must not multiply
         out = semi_join(left, right, "k").to_pandas()
         assert sorted(out["v"]) == ["a", "b", "c"]
+
+
+class TestIntervalLookupJoin:
+    def test_halfopen_boundaries(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.joins import interval_lookup_join
+
+        # values exactly ON a boundary belong to the UPPER tier [lo, hi)
+        t = pa.table({"id": [1, 2, 3, 4, 5],
+                      "v": [0.5, 1.0, 4.999, 5.0, 999.0]})
+        out = interval_lookup_join(
+            rd.from_arrow(t).repartition(2), boundaries=(1.0, 5.0),
+            labels=("low", "mid", "high"), value_col="v",
+            label_col="tier").to_pandas().sort_values("id")
+        assert list(out.tier) == ["low", "mid", "mid", "high", "high"]
+
+    def test_bad_label_count_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.joins import interval_lookup_join
+
+        with pytest.raises(ValueError):
+            interval_lookup_join(
+                rd.from_arrow(pa.table({"v": [1.0]})),
+                boundaries=(1.0, 2.0), labels=("a", "b"), value_col="v")

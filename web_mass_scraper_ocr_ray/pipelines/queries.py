@@ -2436,6 +2436,96 @@ def q_host_degree_stats(sf_dir: str):
     return lg.degree_stats(edges)
 
 
+def q_crawl_trap_hosts(sf_dir: str):
+    """Crawler-trap triage: a host serving MANY urls with FEW distinct
+    contents (calendar pages, session-id urls, faceted search) wastes
+    crawl budget — flag hosts where distinct-content count < half the
+    page count. Corpus: hosts 0-9 serve identical boilerplate on 3/4
+    of their pages (deterministic mutation mirrored in SQL). Shape:
+    per-(host, content-hash) grouped count, then a tiny per-host
+    rollup — the first shuffle moves one row per distinct content,
+    never page text."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = synth_pages_dataset(sf_dir).select_columns(["url", "text"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        texts = t.column("text").to_pylist()
+        hosts, hv = [], []
+        for u, x in zip(urls, texts):
+            d = int(u.rsplit("/", 1)[1])
+            if d % 50 < 10 and d % 4 != 0:
+                x = "trap calendar page"
+            hosts.append(u.split("/")[2])
+            hv.append(hashlib.md5(x.encode("utf-8")).hexdigest())
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "hv": pa.array(hv, pa.string())})
+
+    per_content = ds.map_batches(_prep, batch_format="pyarrow").groupby(
+        ["host", "hv"]).aggregate(Count(alias_name="n"))
+    per_host = per_content.groupby("host").aggregate(
+        Sum("n", alias_name="n_pages"),
+        Count(alias_name="n_distinct"))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        n_pages = t.column("n_pages").cast(pa.int64())
+        n_distinct = t.column("n_distinct").cast(pa.int64())
+        return pa.table({
+            "host": t.column("host"),
+            "n_pages": n_pages,
+            "n_distinct": n_distinct,
+            "is_trap": pc.less(
+                pc.multiply(n_distinct, pa.scalar(2, pa.int64())),
+                n_pages),
+        })
+
+    return per_host.map_batches(_flag, batch_format="pyarrow")
+
+
+def q_doc_sentence_stats(sf_dir: str):
+    """Per-doc sentence statistics — readability features for quality
+    filtering: sentence count ([.!?]+ runs, Arrow RE2 kernel) and
+    integer mean sentence length. Pure streaming map, zero shuffle."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        n_sent = pc.cast(pc.count_substring_regex(
+            t.column("text"), pattern="[.!?]+"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        denom = pc.max_element_wise(n_sent, pa.scalar(1, pa.int64()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_sentences": n_sent,
+            "avg_sentence_chars": pc.divide(n_chars, denom),
+        })
+
+    return docs.map_batches(_stats, batch_format="pyarrow")
+
+
+EVENT_VALUE_BOUNDS = (1.0, 5.0, 25.0, 100.0, 250.0)
+EVENT_VALUE_TIERS = ("lt1", "1_5", "5_25", "25_100", "100_250", "ge250")
+
+
+def q_events_value_tiers(sf_dir: str):
+    """Tier every event by which half-open value interval it falls in
+    — the broadcast interval join (ip-geo / price-tier shape): the
+    interval table is ray.put once, every task binary-searches its
+    batch; ZERO shuffle vs a co-partition range join
+    (stages/joins.interval_lookup_join)."""
+    import ray.data as rd
+
+    from ..stages.joins import interval_lookup_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return interval_lookup_join(
+        ev, boundaries=EVENT_VALUE_BOUNDS, labels=EVENT_VALUE_TIERS,
+        value_col="value", label_col="tier")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2545,4 +2635,7 @@ QUERIES: Dict[str, callable] = {
     "dedup_keep_best": q_dedup_keep_best,
     "events_topk_per_window": q_events_topk_per_window,
     "host_degree_stats": q_host_degree_stats,
+    "crawl_trap_hosts": q_crawl_trap_hosts,
+    "doc_sentence_stats": q_doc_sentence_stats,
+    "events_value_tiers": q_events_value_tiers,
 }

@@ -590,3 +590,39 @@ def semi_join(left_ds, right_keys_ds, on: str,
     return rows.groupby("bucket").map_groups(
         _filter, batch_format="pyarrow"
     )
+
+
+def interval_lookup_join(ds, boundaries: Sequence[float],
+                         labels: Sequence[str], value_col: str,
+                         label_col: str = "bucket_label"):
+    """Broadcast INTERVAL join: label every row by the half-open
+    interval ``[boundaries[i], boundaries[i+1])`` its ``value_col``
+    falls in (below the first boundary → ``labels[0]``; at/above the
+    last → ``labels[-1]``). ``len(labels) == len(boundaries) + 1``.
+
+    The ip-geolocation / price-tier join shape: the interval table is
+    small and the fact table is 100 TB, so the intervals are
+    ``ray.put`` ONCE and every task binary-searches its batch against
+    the shared copy (np.searchsorted, vectorized) — an interval join
+    with ZERO shuffle, vs the co-partition machinery ``asof_join``
+    needs when both sides are large.
+    """
+    import ray
+
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError(
+            f"need len(labels) == len(boundaries) + 1, got "
+            f"{len(labels)} labels / {len(boundaries)} boundaries")
+    bounds_ref = ray.put(np.asarray(boundaries, dtype=np.float64))
+    labels_ref = ray.put(np.asarray(labels, dtype=object))
+
+    def _label(t: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        labs = ray.get(labels_ref)
+        vals = np.asarray(t.column(value_col).to_pylist(),
+                          dtype=np.float64)
+        idx = np.searchsorted(bounds, vals, side="right")
+        return t.append_column(
+            label_col, pa.array(labs[idx].tolist(), pa.string()))
+
+    return ds.map_batches(_label, batch_format="pyarrow")
