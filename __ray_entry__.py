@@ -2023,4 +2023,54 @@ SELECT event_id, value,
             ELSE 'ge250' END AS tier
 FROM events
 """,
+        # robots.txt-style longest-prefix path gate over the outlink
+        # frontier; CASE branches ordered by prefix length mirror
+        # functions/urltools.robots_allow_batch exactly.
+        "outlinks_robots_gate": f"""
+WITH {_LINK_HL_CTE},
+l AS (
+  SELECT printf('https://www.host%03d.example.com/docs/%d',
+                d % 50, d) AS src_url,
+         link_idx, dst_url,
+         regexp_replace(dst_url, '^https://[^/]+', '') AS path
+  FROM hl
+)
+SELECT src_url, link_idx, dst_url,
+       CASE WHEN starts_with(path, '/about/1') THEN TRUE
+            WHEN starts_with(path, '/about') THEN FALSE
+            WHEN starts_with(path, '/r') THEN FALSE
+            WHEN starts_with(path, '/') THEN TRUE
+            ELSE TRUE END AS allowed,
+       CASE WHEN starts_with(path, '/about/1') THEN '/about/1'
+            WHEN starts_with(path, '/about') THEN '/about'
+            WHEN starts_with(path, '/r') THEN '/r'
+            WHEN starts_with(path, '/') THEN '/'
+            ELSE '' END AS matched_rule
+FROM l
+""",
+        # Corpus char-frequency table (BPE seed histogram): the corpus
+        # contract is printable ASCII, so char == byte.
+        "corpus_char_freq": """
+SELECT ch, CAST(count(*) AS BIGINT) AS n_chars
+FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+GROUP BY ch
+""",
+        # Per-source token totals + integer corpus share (bp).
+        "source_token_budget": r"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM s)
+            AS BIGINT) AS share_bp
+FROM s
+""",
+        # Cross-modal equi-join: documents × embeddings by id.
+        "doc_embedding_join": """
+SELECT d.doc_id, d.lang, d.n_chars, e.label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
     }

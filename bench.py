@@ -198,6 +198,10 @@ def run_bench() -> dict:
         "crawl_trap_hosts",
         "doc_sentence_stats",
         "events_value_tiers",
+        "outlinks_robots_gate",
+        "corpus_char_freq",
+        "source_token_budget",
+        "doc_embedding_join",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -156,3 +156,41 @@ def test_url_specific_dirname_stable():
     assert d1.startswith("www_a_com_")
     # different query → different shard key
     assert d1 != get_url_specific_safe_dirname("https://www.a.com/p/q?r=2")
+
+
+class TestRobotsAllowBatch:
+    def test_longest_prefix_wins(self):
+        from web_mass_scraper_ocr_ray.functions.urltools import (
+            robots_allow_batch,
+        )
+
+        rules = (("/", True), ("/about", False), ("/about/1", True),
+                 ("/r", False))
+        allowed, matched = robots_allow_batch(
+            ["https://x.com/docs/5", "https://x.com/about/7",
+             "https://x.com/about/12", "https://x.com/r/3",
+             "https://x.com"], rules)
+        assert allowed == [True, False, True, False, True]
+        assert matched == ["/", "/about", "/about/1", "/r", ""]
+
+    def test_no_match_defaults_allow(self):
+        from web_mass_scraper_ocr_ray.functions.urltools import (
+            robots_allow_batch,
+        )
+
+        allowed, matched = robots_allow_batch(
+            ["https://x.com/z", "", None if False else "not a url"],
+            (("/a", False),))
+        assert allowed == [True, True, True]
+        assert matched == ["", "", ""]
+
+    def test_rule_order_irrelevant(self):
+        from web_mass_scraper_ocr_ray.functions.urltools import (
+            robots_allow_batch,
+        )
+
+        # same rules, shuffled input order — sorted-by-length inside
+        rules = (("/about/1", True), ("/r", False), ("/", True),
+                 ("/about", False))
+        allowed, _ = robots_allow_batch(["https://x.com/about/19"], rules)
+        assert allowed == [True]

@@ -211,3 +211,34 @@ def blocklist_match_batch(urls, blocklist) -> "tuple":
         matched.append(m)
         blocked.append(bool(m))
     return blocked, matched
+
+
+def robots_allow_batch(urls, rules) -> "tuple":
+    """robots.txt-style PATH-prefix gate: ``rules`` is a sequence of
+    ``(path_prefix, allow: bool)``; for each url the LONGEST prefix
+    matching its path decides, no match → allowed (the robots default).
+    → (allowed: list[bool], matched_prefix: list[str], '' = no match).
+
+    Mirrors Google's documented longest-match rule for Allow/Disallow
+    precedence. The rule list is tiny per host (broadcast once at
+    scale); matching is a linear scan over rules per url — fine for
+    real robots files (tens of rules), sorted once by length so the
+    first hit IS the longest.
+    """
+    from urllib.parse import urlparse
+
+    by_len = sorted(rules, key=lambda r: len(r[0]), reverse=True)
+    allowed, matched = [], []
+    for u in urls:
+        try:
+            path = urlparse(u).path if u else ""
+        except Exception:
+            path = ""
+        hit = next((r for r in by_len if path.startswith(r[0])), None)
+        if hit is None:
+            allowed.append(True)
+            matched.append("")
+        else:
+            allowed.append(bool(hit[1]))
+            matched.append(hit[0])
+    return allowed, matched

@@ -2526,6 +2526,123 @@ def q_events_value_tiers(sf_dir: str):
         value_col="value", label_col="tier")
 
 
+ROBOTS_RULES = (
+    ("/", True),
+    ("/about", False),
+    ("/about/1", True),   # longest match overrides the /about deny
+    ("/r", False),
+)
+
+
+def q_outlinks_robots_gate(sf_dir: str):
+    """robots.txt-style crawl gate over the outlink frontier: each
+    discovered link is allowed/denied by the LONGEST matching
+    path-prefix rule (Google's documented Allow/Disallow precedence).
+    The rule set rides the closure here (tiny); per-host robots at
+    scale are `ray.put` once. Stateless map over the exploded
+    outlinks — zero shuffle (functions/urltools.robots_allow_batch)."""
+    from ..functions.urltools import robots_allow_batch
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    links = lg.outlinks(synth_link_pages_dataset(sf_dir)).select_columns(
+        ["src_url", "link_idx", "dst_url"])
+
+    def _gate(t: pa.Table) -> pa.Table:
+        allowed, matched = robots_allow_batch(
+            t.column("dst_url").to_pylist(), ROBOTS_RULES)
+        return pa.table({
+            "src_url": t.column("src_url"),
+            "link_idx": t.column("link_idx"),
+            "dst_url": t.column("dst_url"),
+            "allowed": pa.array(allowed, pa.bool_()),
+            "matched_rule": pa.array(matched, pa.string()),
+        })
+
+    return links.map_batches(_gate, batch_format="pyarrow")
+
+
+def q_corpus_char_freq(sf_dir: str):
+    """Corpus-wide character frequency table — the byte/char histogram
+    a BPE tokenizer seeds from. Per batch ONE np.bincount over the
+    concatenated utf-8 bytes (the corpus contract is printable ASCII,
+    asserted — so byte == char), emitting ≤128 partial rows per batch;
+    the groupby then sums ≤128-row partials, never text."""
+    docs = _docs(sf_dir).select_columns(["text"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        buf = "".join(t.column("text").to_pylist()).encode("utf-8")
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if arr.size and int(arr.max()) > 0x7E or (
+                arr.size and int(arr.min()) < 0x20):
+            raise ValueError(
+                "corpus_char_freq: non-printable/non-ASCII byte — the "
+                "byte==char shortcut no longer holds for this corpus")
+        counts = np.bincount(arr, minlength=128)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "ch": pa.array([chr(i) for i in nz], pa.string()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (docs.map_batches(_hist, batch_format="pyarrow")
+            .groupby("ch").aggregate(Sum("n", alias_name="n_chars")))
+
+
+def q_source_token_budget(sf_dir: str):
+    """Mixture planning: per-source token totals and corpus share (bp)
+    — the table a data-mixture config is written from. Per-source
+    combiner rollup (≤ sources rows); the global total is ONE scalar
+    aggregate, then a stateless share map — integer arithmetic so the
+    share is order-independent."""
+    from ..stages.shuffle import two_phase_aggregate
+
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                t.column("text"), pattern=r"\S+"), pa.int64()),
+        })
+
+    per_source = two_phase_aggregate(
+        docs.map_batches(_tok, batch_format="pyarrow"),
+        "source",
+        {"n_docs": (None, "count"), "n_tokens": ("n_tokens", "sum")})
+    per_source = per_source.materialize()
+    total = int(per_source.sum("n_tokens"))
+
+    def _share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "share_bp",
+            pc.divide(pc.multiply(t.column("n_tokens"),
+                                  pa.scalar(10000, pa.int64())),
+                      pa.scalar(total, pa.int64())))
+
+    return per_source.map_batches(_share, batch_format="pyarrow")
+
+
+def q_doc_embedding_join(sf_dir: str):
+    """Cross-modal join: document metadata × embedding labels by id —
+    the generic co-partition equi-join (neither side broadcastable at
+    100 TB) joining the text table to its vector table
+    (stages/joins.equi_join)."""
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    return equi_join(docs, emb, left_on="doc_id", right_on="vec_id",
+                     right_cols=["label"], how="inner")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2638,4 +2755,8 @@ QUERIES: Dict[str, callable] = {
     "crawl_trap_hosts": q_crawl_trap_hosts,
     "doc_sentence_stats": q_doc_sentence_stats,
     "events_value_tiers": q_events_value_tiers,
+    "outlinks_robots_gate": q_outlinks_robots_gate,
+    "corpus_char_freq": q_corpus_char_freq,
+    "source_token_budget": q_source_token_budget,
+    "doc_embedding_join": q_doc_embedding_join,
 }
