@@ -2073,4 +2073,51 @@ FROM s
 SELECT d.doc_id, d.lang, d.n_chars, e.label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """,
+        # Triangle counting: canonical distinct undirected edges; a
+        # triangle a<b<c is generated once as the wedge (b,c) at its
+        # min vertex a; each triangle credits all three hosts.
+        "host_triangles": f"""
+WITH {_LINK_HL_CTE},
+e0 AS (
+  SELECT DISTINCT
+    least(printf('www.host%03d.example.com', d % 50), dst_host) AS u,
+    greatest(printf('www.host%03d.example.com', d % 50), dst_host) AS v
+  FROM hl
+  WHERE printf('www.host%03d.example.com', d % 50) <> dst_host
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.u AND e1.v < e2.v
+  JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+h AS (
+  SELECT a AS host FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM h GROUP BY host
+""",
+        # Token co-occurrence over the exact top-20 vocab (count desc,
+        # word asc tie — same ranking as vocab_topk); n_docs = docs
+        # containing BOTH tokens.
+        "token_cooccurrence": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+top AS (SELECT w FROM cnt ORDER BY n DESC, w LIMIT 20),
+dt AS (
+  SELECT DISTINCT doc_id, w FROM tok
+  WHERE w IN (SELECT w FROM top)
+),
+p AS (
+  SELECT a.w AS tok_a, b.w AS tok_b
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+""",
     }

@@ -202,6 +202,8 @@ def run_bench() -> dict:
         "corpus_char_freq",
         "source_token_budget",
         "doc_embedding_join",
+        "host_triangles",
+        "token_cooccurrence",
     )
     for name in query_names:
         t0 = time.monotonic()

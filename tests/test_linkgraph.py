@@ -279,3 +279,35 @@ class TestDegreeStats:
         assert list(out.loc["a"]) == [4, 2, 0, 0]  # out_e, out_h, in_e, in_h
         assert list(out.loc["b"]) == [2, 1, 3, 1]
         assert list(out.loc["c"]) == [0, 0, 3, 2]
+
+
+class TestHostTriangles:
+    def test_k4_with_pendant(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import host_triangles
+
+        # K4 on a,b,c,d (4 triangles, each vertex in 3) + pendant d-e;
+        # one reversed duplicate edge (b->a) must not change counts
+        edges = pa.table({
+            "src_host": ["a", "a", "a", "b", "b", "c", "d", "b"],
+            "dst_host": ["b", "c", "d", "c", "d", "d", "e", "a"],
+        })
+        out = host_triangles(
+            rd.from_arrow(edges).repartition(3)
+        ).to_pandas().set_index("host").sort_index()
+        assert out.n_triangles.to_dict() == {"a": 3, "b": 3, "c": 3, "d": 3}
+        assert "e" not in out.index  # pendant vertex: no triangles
+
+    def test_triangle_free_graph_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import host_triangles
+
+        # a path graph has no triangles
+        edges = pa.table({
+            "src_host": ["a", "b", "c"],
+            "dst_host": ["b", "c", "d"],
+        })
+        out = host_triangles(rd.from_arrow(edges)).to_pandas()
+        assert len(out) == 0

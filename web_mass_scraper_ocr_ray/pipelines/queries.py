@@ -2643,6 +2643,61 @@ def q_doc_embedding_join(sf_dir: str):
                      right_cols=["label"], how="inner")
 
 
+def q_host_triangles(sf_dir: str):
+    """Triangle counting over the undirected host graph — per-host
+    triangle participation, the clustering-coefficient ingredient
+    (spam farms and link rings are triangle-dense). Node-iterator
+    wedges + one semi-join, zero driver adjacency
+    (stages/linkgraph.host_triangles)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    edges = lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    return lg.host_triangles(edges)
+
+
+def q_token_cooccurrence(sf_dir: str):
+    """Token co-occurrence over the top-20 vocabulary: for every pair
+    of frequent tokens, in how many documents do both appear — the
+    PMI/embedding-bootstrap table. Two stages: the exact vocab top-k
+    (combiner-pruned) materializes a ≤20-row table, broadcast in the
+    task closure; then each batch counts its per-doc distinct pairs
+    (bounded: ≤ C(20,2) per doc) and ONE grouped sum merges partials —
+    token instances never shuffle."""
+    from ..stages.textstats import vocab_topk
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    top = vocab_topk(docs, k=20)
+    top_words = frozenset(
+        r["word"] for r in top.select_columns(["word"]).take_all())
+
+    from ray.data.aggregate import Sum
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import collections
+
+        counts: "collections.Counter" = collections.Counter()
+        for text in t.column("text").to_pylist():
+            present = sorted(set(text.split()) & top_words)
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    counts[(present[i], present[j])] += 1
+        a, b, n = [], [], []
+        for (ta, tb), c in counts.items():
+            a.append(ta)
+            b.append(tb)
+            n.append(c)
+        return pa.table({
+            "tok_a": pa.array(a, pa.string()),
+            "tok_b": pa.array(b, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    return (docs.map_batches(_pairs, batch_format="pyarrow")
+            .groupby(["tok_a", "tok_b"])
+            .aggregate(Sum("n", alias_name="n_docs")))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2759,4 +2814,6 @@ QUERIES: Dict[str, callable] = {
     "corpus_char_freq": q_corpus_char_freq,
     "source_token_budget": q_source_token_budget,
     "doc_embedding_join": q_doc_embedding_join,
+    "host_triangles": q_host_triangles,
+    "token_cooccurrence": q_token_cooccurrence,
 }

@@ -521,3 +521,82 @@ def degree_stats(edges_ds):
                    Sum("in_edges", alias_name="n_in_edges"),
                    Sum("in_hosts", alias_name="n_in_hosts"))
     )
+
+
+def host_triangles(edges_ds, src_col: str = "src_host",
+                   dst_col: str = "dst_host"):
+    """Per-host triangle counts of the undirected simple host graph →
+    (host, n_triangles) — the clustering-coefficient ingredient and a
+    classic distributed graph kernel.
+
+    Node-iterator shape, fully distributed, 4 keyed shuffles and no
+    driver adjacency:
+      1. canonicalize (u = min endpoint, v = max; self-loops dropped)
+         + distinct — one grouped pass;
+      2. wedges: groupby(u).map_groups emits every neighbor pair
+         (w1 < w2) of each MIN endpoint — a triangle (a<b<c) is
+         generated exactly once, as the wedge (b,c) centered at a;
+      3. semi-join the wedge's closing pair against the edge set
+         (stages/joins.semi_join — co-partition membership);
+      4. each surviving triangle credits its three hosts, one grouped
+         count.
+    Group 2's memory is the hot MIN-vertex's forward degree squared;
+    the standard refinement at web scale is degree-ordering (orient
+    each edge toward the higher-degree endpoint before grouping),
+    which bounds wedge counts by arboricity — same plumbing, one
+    extra degree join, documented here as the scale path.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import semi_join
+
+    def _canon(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t.column(src_col), t.column(dst_col))
+        v = pc.max_element_wise(t.column(src_col), t.column(dst_col))
+        tb = pa.table({"u": u, "v": v})
+        return tb.filter(pc.not_equal(tb.column("u"), tb.column("v")))
+
+    canon = (edges_ds.map_batches(_canon, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["u", "v"]))
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        centers, w1, w2, keys = [], [], [], []
+        # a bucket group may hold several centers; split by u
+        import collections
+        by_u = collections.defaultdict(list)
+        for u, v in zip(g.column("u").to_pylist(),
+                        g.column("v").to_pylist()):
+            by_u[u].append(v)
+        for u, nbrs in by_u.items():
+            nbrs = sorted(set(nbrs))
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    centers.append(u)
+                    w1.append(nbrs[i])
+                    w2.append(nbrs[j])
+                    keys.append(nbrs[i] + "|" + nbrs[j])
+        return pa.table({
+            "center": pa.array(centers, pa.string()),
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "pair_key": pa.array(keys, pa.string()),
+        })
+
+    wedges = canon.groupby("u").map_groups(_wedges,
+                                           batch_format="pyarrow")
+
+    def _edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"pair_key": pc.binary_join_element_wise(
+            t.column("u"), t.column("v"), "|")})
+
+    edge_keys = canon.map_batches(_edge_keys, batch_format="pyarrow")
+    tris = semi_join(wedges, edge_keys, on="pair_key")
+
+    def _hosts(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"host": t.column(c)}) for c in ("center", "w1", "w2")
+        ]).combine_chunks()
+
+    return (tris.map_batches(_hosts, batch_format="pyarrow")
+            .groupby("host").aggregate(Count(alias_name="n_triangles")))
