@@ -2120,4 +2120,18 @@ p AS (
 SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_docs
 FROM p GROUP BY 1, 2
 """,
+        # Retention cohorts: cohort = user's first active day; count
+        # users active again offset_days later.
+        "events_retention_cohorts": """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT)
+         AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
     }

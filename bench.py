@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "doc_embedding_join",
         "host_triangles",
         "token_cooccurrence",
+        "events_retention_cohorts",
     )
     for name in query_names:
         t0 = time.monotonic()

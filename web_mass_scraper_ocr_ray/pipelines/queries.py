@@ -2698,6 +2698,45 @@ def q_token_cooccurrence(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_docs")))
 
 
+def q_events_retention_cohorts(sf_dir: str):
+    """Retention-cohort table: users grouped by their FIRST active day
+    (cohort), counting how many are active again N days later — the
+    standard product-analytics triangle. Per-batch distinct
+    (user, day) partials bound the first shuffle to one row per
+    (user, day, batch); the per-user group then derives cohort = min
+    day + day offsets, and one tiny grouped count finishes."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+        })
+        # per-batch distinct: a valid partial for the global distinct
+        return tb.group_by(["user_id", "day"]).aggregate([])
+
+    def _offsets(g: pa.Table) -> pa.Table:
+        days = sorted(set(g.column("day").to_pylist()))
+        cohort = days[0]
+        return pa.table({
+            "cohort_day": pa.array([cohort] * len(days),
+                                   pa.timestamp("us")),
+            "offset_days": pa.array(
+                [(d - cohort).days for d in days], pa.int64()),
+        })
+
+    per_user = (ev.map_batches(_days, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(_offsets, batch_format="pyarrow"))
+    return (per_user.groupby(["cohort_day", "offset_days"])
+            .aggregate(Count(alias_name="n_users")))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2816,4 +2855,5 @@ QUERIES: Dict[str, callable] = {
     "doc_embedding_join": q_doc_embedding_join,
     "host_triangles": q_host_triangles,
     "token_cooccurrence": q_token_cooccurrence,
+    "events_retention_cohorts": q_events_retention_cohorts,
 }
