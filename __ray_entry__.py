@@ -2134,4 +2134,75 @@ SELECT c.cohort_day,
 FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2
 """,
+        # Top-20 adjacent-token bigrams (count desc, bigram asc) —
+        # same ranking contract as vocab_topk; duckdb lists are
+        # 1-based, range(1, len) yields i = 1..len-1.
+        "vocab_bigrams_topk": r"""
+WITH t AS (
+  SELECT regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+b AS (
+  SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+    AS bigram
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
+SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20
+""",
+        # Language-ID confusion matrix: the doc_langid decision CTEs
+        # (same marker sets, same strict-> precedence) grouped by
+        # (labeled lang, predicted lang).
+        "langid_confusion": """
+WITH feat AS (
+  SELECT doc_id, lang,
+    length(regexp_replace(substr(text, 1, 500),
+                          '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    list_transform(
+      regexp_extract_all(substr(text, 1, 2000),
+                         '[a-zàâäéèêëíìîïóòôöúùûüñç]+', 0, 'i'),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, cjk, len(toks) AS ntoks,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('der','die','und','nicht','das','ist'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('el','la','y','los','que','es'))) AS s_es
+  FROM feat
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN cjk >= 5 THEN 'zh'
+         WHEN ntoks = 0 THEN 'und'
+         WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+         WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+         WHEN s_de > s_en THEN 'de'
+         WHEN s_en > 0 THEN 'en'
+         ELSE 'und' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+        # Per-source duplication share: corpus = documents ∪ copies of
+        # every 3rd doc; a doc is dup when its text appears >= 2
+        # anywhere.
+        "doc_dup_ratio_by_source": """
+WITH c AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source
+  FROM documents WHERE doc_id % 3 = 0
+),
+h AS (SELECT source, md5(text) AS hv FROM c),
+g AS (SELECT hv, count(*) AS n_total FROM h GROUP BY hv)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN n_total >= 2 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS dup_bp
+FROM h JOIN g USING (hv)
+GROUP BY source
+""",
     }

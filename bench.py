@@ -205,6 +205,9 @@ def run_bench() -> dict:
         "host_triangles",
         "token_cooccurrence",
         "events_retention_cohorts",
+        "vocab_bigrams_topk",
+        "langid_confusion",
+        "doc_dup_ratio_by_source",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -2737,6 +2737,85 @@ def q_events_retention_cohorts(sf_dir: str):
             .aggregate(Count(alias_name="n_users")))
 
 
+def q_vocab_bigrams_topk(sf_dir: str):
+    """Top-20 adjacent-token bigrams corpus-wide — LM/collocation
+    analysis through the same combiner-pruned top-k shape as
+    vocab_topk (stages/textstats.bigram_topk)."""
+    return ts.bigram_topk(
+        _docs(sf_dir).select_columns(["text"]), k=20)
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: predicted vs labeled lang with
+    doc counts — the model-eval rollup every classifier stage needs.
+    Actor-pool prediction (marker LangId) then ONE grouped count; the
+    oracle recomputes the full decision from the marker sets."""
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    pred = docs.map_batches(
+        ts.LangId, batch_format="pyarrow",
+        concurrency=ts.autoscale_actors())
+    return (pred.select_columns(["lang", "lang_pred"])
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def q_doc_dup_ratio_by_source(sf_dir: str):
+    """Per-source duplication health metric: share of docs (bp) whose
+    exact text appears ≥2 times ANYWHERE in the corpus — the
+    dashboard number a curation run watches per provider. Corpus:
+    documents ∪ copies of every 3rd doc. Hash groups carry (source,
+    hash) rows only — text never shuffles; the per-source rollup is
+    a second tiny grouped sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import add_text_hash
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+
+    def _with_dups(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        third = t.filter(pa.array(ids % 3 == 0))
+        return pa.table({
+            "doc_id": pc.add(third.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": third.column("text"),
+            "source": third.column("source"),
+        })
+
+    corpus = docs.union(docs.map_batches(_with_dups,
+                                         batch_format="pyarrow"))
+    hashed = corpus.map_batches(
+        lambda t: add_text_hash(t), batch_format="pyarrow"
+    ).select_columns(["source", "text_hash"])
+
+    def _flags(g: pa.Table) -> pa.Table:
+        dup = 1 if g.num_rows >= 2 else 0
+        return pa.table({
+            "source": g.column("source"),
+            "is_dup": pa.array([dup] * g.num_rows, pa.int64()),
+        })
+
+    flagged = hashed.groupby("text_hash").map_groups(
+        _flags, batch_format="pyarrow")
+    rolled = flagged.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("is_dup", alias_name="n_dup_docs"))
+
+    def _bp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dup_bp",
+            pc.divide(
+                pc.multiply(pc.cast(t.column("n_dup_docs"), pa.int64()),
+                            pa.scalar(10000, pa.int64())),
+                pc.cast(t.column("n_docs"), pa.int64())))
+
+    return rolled.map_batches(_bp, batch_format="pyarrow")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2856,4 +2935,7 @@ QUERIES: Dict[str, callable] = {
     "host_triangles": q_host_triangles,
     "token_cooccurrence": q_token_cooccurrence,
     "events_retention_cohorts": q_events_retention_cohorts,
+    "vocab_bigrams_topk": q_vocab_bigrams_topk,
+    "langid_confusion": q_langid_confusion,
+    "doc_dup_ratio_by_source": q_doc_dup_ratio_by_source,
 }

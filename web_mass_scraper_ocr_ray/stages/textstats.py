@@ -786,3 +786,40 @@ def inverted_index(docs_ds, max_postings: int = 10,
         .groupby("bucket")
         .map_groups(_reduce, batch_format="pyarrow")
     )
+
+
+def bigram_topk(docs_ds, k: int = 20, text_col: str = "text"):
+    """Global top-k adjacent-token bigrams (count desc, bigram asc
+    tie-break) — the LM-analysis sibling of :func:`vocab_topk`, same
+    combiner-pruned shape: per-batch bigram counts shuffle O(batch
+    bigram vocab), the post-groupby per-block top-k is an exact
+    partial, and the distributed sort sees only the k × n_blocks
+    sliver."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import collections
+
+        counts: "collections.Counter" = collections.Counter()
+        for text in t.column(text_col).to_pylist():
+            toks = text.split()
+            for a, b in zip(toks, toks[1:]):
+                counts[a + " " + b] += 1
+        return pa.table({
+            "bigram": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc_.sort_indices(
+            t, sort_keys=[("n", "descending"), ("bigram", "ascending")])
+        return t.take(idx[:k])
+
+    return docs_ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby("bigram").aggregate(Sum("n", alias_name="n")).map_batches(
+        _block_top, batch_format="pyarrow"
+    ).sort(
+        ["n", "bigram"], descending=[True, False]
+    ).limit(k)
