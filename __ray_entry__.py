@@ -1766,6 +1766,30 @@ WITH h AS (
 )
 SELECT doc_id, source, hv FROM h ORDER BY hv LIMIT 50
 """,
+        # Sequential Poisson weighted sampling: priority = hv/w is ONE
+        # IEEE double division on both sides (correctly rounded ⇒
+        # bit-identical to numpy); ties broken by doc_id.
+        "doc_sample_weighted": """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source, n_chars, hv,
+       CAST(hv AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prio
+FROM h ORDER BY prio, doc_id LIMIT 50
+""",
+        # state+delta compaction is associative, so the oracle is one
+        # flat GROUP BY over the whole log.
+        "events_state_compaction": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_centi,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
         # suffix-domain blocklist over the synthetic hosts: hosts
         # www.host{d%50}.example.com — entries host013/host037 match as
         # parent suffixes, www.host001 matches the full host (most

@@ -185,6 +185,8 @@ def run_bench() -> dict:
         "pages_latest_snapshot",
         "domain_quality_filter",
         "doc_sample_bottomk",
+        "doc_sample_weighted",
+        "events_state_compaction",
         "url_blocklist",
         "doc_inverted_index",
         "host_frontier_2hop",

@@ -49,6 +49,57 @@ class TestSampleBottomK:
         assert len(out) == 5
 
 
+class TestSampleWeightedBottomK:
+    def test_matches_driver_priority(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_weighted_bottomk,
+        )
+
+        ids = np.arange(1000, dtype=np.int64)
+        w = (ids % 17 + 1).astype(np.int64)
+        out = sample_weighted_bottomk(
+            _ds({"doc_id": ids, "w": w}, blocks=7),
+            id_col="doc_id", weight_col="w", k=30,
+        ).to_pandas()
+        hv = ((ids.astype(np.uint64) * np.uint64(2654435761))
+              % np.uint64(2**32)).astype(np.int64)
+        prio = hv.astype(np.float64) / w.astype(np.float64)
+        exp = set(ids[np.lexsort((ids, prio))][:30].tolist())
+        assert len(out) == 30
+        assert set(out.doc_id) == exp
+        assert list(out.prio) == sorted(out.prio)
+
+    def test_heavier_rows_more_likely(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_weighted_bottomk,
+        )
+
+        # half the rows carry 50x the weight: they should dominate the
+        # sample (statistical but deterministic — fixed hash, no RNG)
+        ids = np.arange(2000, dtype=np.int64)
+        w = np.where(ids < 1000, 50, 1).astype(np.int64)
+        out = sample_weighted_bottomk(
+            _ds({"doc_id": ids, "w": w}, blocks=4),
+            id_col="doc_id", weight_col="w", k=100,
+        ).to_pandas()
+        assert (out.doc_id < 1000).sum() > 85
+
+    def test_block_layout_invariance(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_weighted_bottomk,
+        )
+
+        ids = np.arange(500, dtype=np.int64)
+        w = (ids % 7 + 1).astype(np.int64)
+        a = sample_weighted_bottomk(
+            _ds({"doc_id": ids, "w": w}, blocks=2),
+            id_col="doc_id", weight_col="w", k=10).to_pandas()
+        b = sample_weighted_bottomk(
+            _ds({"doc_id": ids, "w": w}, blocks=13),
+            id_col="doc_id", weight_col="w", k=10).to_pandas()
+        assert sorted(a.doc_id) == sorted(b.doc_id)
+
+
 class TestDomainQualityFilter:
     def test_integer_mean_and_flags(self, ray_session):
         from web_mass_scraper_ocr_ray.stages.quality_model import (

@@ -429,6 +429,40 @@ class TestTwoPhaseAggregate:
             two[["k", "n", "sum_w", "min_v", "max_v"]]
         )
 
+    def test_compact_state_equals_flat_groupby(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.shuffle import (
+            compact_state, two_phase_aggregate,
+        )
+
+        spec = {
+            "n": (None, "count"),
+            "sum_v": ("v", "sum"),
+            "max_v": ("v", "max"),
+        }
+        old = pa.table({
+            "k": [i % 5 for i in range(300)],
+            "v": list(range(300)),
+        })
+        # delta introduces a brand-new key (7) and touches old keys
+        delta = pa.table({
+            "k": [i % 8 for i in range(200)],
+            "v": [i * 3 for i in range(200)],
+        })
+        state = two_phase_aggregate(rd.from_arrow(old).repartition(4),
+                                    "k", spec)
+        compacted = compact_state(
+            state, rd.from_arrow(delta).repartition(3), "k", spec
+        ).to_pandas().sort_values("k", ignore_index=True)
+        flat = two_phase_aggregate(
+            rd.from_arrow(pa.concat_tables([old, delta])), "k", spec
+        ).to_pandas().sort_values("k", ignore_index=True)
+        cols = ["k", "n", "sum_v", "max_v"]
+        assert compacted[cols].equals(flat[cols])
+        assert 7 in set(compacted.k)
+
     def test_salted_group_sizes(self, ray_session):
         import pyarrow as pa
         import ray.data as rd

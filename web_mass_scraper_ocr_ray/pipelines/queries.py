@@ -2134,6 +2134,20 @@ def q_doc_sample_bottomk(sf_dir: str):
         id_col="doc_id", k=50)
 
 
+def q_doc_sample_weighted(sf_dir: str):
+    """Exact-k length-WEIGHTED sample, RNG-free — Sequential Poisson
+    sampling: priority = hash(id)/n_chars, keep the 50 globally
+    smallest, so long documents are proportionally more likely to be
+    drawn (the token-weighted corpus-sampling stage). One IEEE double
+    division per row makes the key bit-identical to the SQL oracle's
+    (stages/sampling.sample_weighted_bottomk)."""
+    from ..stages.sampling import sample_weighted_bottomk
+
+    return sample_weighted_bottomk(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        id_col="doc_id", weight_col="n_chars", k=50)
+
+
 URL_BLOCKLIST = (
     "host013.example.com",
     "www.host001.example.com",
@@ -2816,6 +2830,48 @@ def q_doc_dup_ratio_by_source(sf_dir: str):
     return rolled.map_batches(_bp, batch_format="pyarrow")
 
 
+def q_events_state_compaction(sf_dir: str):
+    """Incremental compaction: a per-user aggregate STATE built from
+    the first ¾ of the event log is merged with the remaining ¼ as a
+    DELTA (stages/shuffle.compact_state) — the nightly 'roll new
+    events into the profile table' pattern. Associativity makes the
+    oracle trivial: the compacted state must equal one flat GROUP BY
+    over all events. The delta combines map-side and the state moves
+    one row per key, so a compaction run shuffles O(users) rows no
+    matter how large the delta."""
+    import ray.data as rd
+
+    from ..stages.shuffle import compact_state, two_phase_aggregate
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_centi",
+            pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                    pa.int64()))
+
+    ev = ev.map_batches(_centi, batch_format="pyarrow")
+    old = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.bit_wise_and(t.column("event_id"), 3), 3)),
+        batch_format="pyarrow")
+    delta = ev.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t.column("event_id"), 3), 3)),
+        batch_format="pyarrow")
+
+    spec = {
+        "n_events": (None, "count"),
+        "sum_value_centi": ("value_centi", "sum"),
+        "last_ts": ("ts", "max"),
+    }
+    state = two_phase_aggregate(old, "user_id", spec)
+    return compact_state(state, delta, "user_id", spec)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -2915,6 +2971,8 @@ QUERIES: Dict[str, callable] = {
     "pages_latest_snapshot": q_pages_latest_snapshot,
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,
+    "doc_sample_weighted": q_doc_sample_weighted,
+    "events_state_compaction": q_events_state_compaction,
     "url_blocklist": q_url_blocklist,
     "doc_inverted_index": q_doc_inverted_index,
     "host_frontier_2hop": q_host_frontier_2hop,

@@ -290,6 +290,43 @@ def sample_bottomk(ds, id_col: str, k: int):
     ).sort("hv").limit(k)
 
 
+def sample_weighted_bottomk(ds, id_col: str, weight_col: str, k: int):
+    """Exact-k WEIGHTED sample without replacement, RNG-free —
+    Sequential Poisson sampling (Ohlsson 1998): rank every row by
+    priority ``hv / w`` (uniform hash over its integer weight) and
+    keep the k smallest, so inclusion probability is ≈ proportional
+    to weight. The quality-weighted / length-weighted corpus-sampling
+    stage of a training-data pipeline.
+
+    Determinism across engines: ``hv`` is the integer multiplicative
+    hash (bijective mod 2³²) and the priority is ONE IEEE-754 double
+    division — correctly rounded everywhere, so numpy here and the
+    SQL oracle compute bit-identical keys; ties are broken by id.
+
+    Scale shape is `sample_bottomk`'s: per-block prune to the k
+    smallest priorities before the global rank, so only ≤ k·blocks
+    rows ever move. → input columns + ``hv`` (int) + ``prio``
+    (double, the audit key).
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        hv = ((ids.astype(np.uint64) * _MIX) % _M32).astype(np.int64)
+        prio = hv.astype(np.float64) / w.astype(np.float64)
+        t = t.append_column("hv", pa.array(hv, pa.int64()))
+        t = t.append_column("prio", pa.array(prio, pa.float64()))
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[
+            ("prio", "ascending"), (id_col, "ascending")])
+        return t.take(idx[:k])
+
+    return ds.map_batches(
+        _partial, batch_format="pyarrow"
+    ).sort(["prio", id_col]).limit(k)
+
+
 def rank_per_group(ds, group_col: str, order_col: str,
                    n_buckets: int = 64):
     """Dense 0-based rank of every row within its group under

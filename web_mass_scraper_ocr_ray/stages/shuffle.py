@@ -78,6 +78,36 @@ def two_phase_aggregate(ds, key, spec: AggSpec):
     return partials.groupby(list(key)).aggregate(*merge_aggs)
 
 
+def compact_state(state_ds, delta_ds, key, spec: AggSpec):
+    """Incremental materialized-view COMPACTION — merge a new delta
+    batch into a running per-key aggregate state (the 'nightly events
+    roll into the per-user profile table' pattern; LSM-style merge of
+    partial aggregates).
+
+    ``state_ds``: one row per key carrying the spec's OUTPUT columns
+    (a previous compaction, or empty on first run). ``delta_ds``: raw
+    new rows in the spec's INPUT schema. The delta is combined per
+    batch with the spec, then state ∪ delta-partials are merged with
+    each aggregate's MERGE op (count merges as SUM; sum/min/max merge
+    as themselves). Output = the new state, same schema as
+    ``state_ds`` — feed it back in as next run's state.
+
+    Scale shape: the delta collapses map-side before the shuffle, and
+    the state table moves one row per key — a compaction run is one
+    keyed exchange of O(distinct keys) rows regardless of delta size.
+    """
+    key = (key,) if isinstance(key, str) else tuple(key)
+    merge_spec: AggSpec = {
+        out: (out, "sum" if op == "count" else op)
+        for out, (_col, op) in spec.items()
+    }
+    delta_partials = delta_ds.map_batches(
+        lambda t: _combine_batch(t, key, spec), batch_format="pyarrow"
+    )
+    return two_phase_aggregate(
+        state_ds.union(delta_partials), key, merge_spec)
+
+
 def salted_group_sizes(ds, key, n_salts: int = 16):
     """Diagnostic: per-(key, salt) sizes — the probe for deciding
     whether a hot key needs salting before a per-group map_groups."""
