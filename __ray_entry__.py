@@ -2229,4 +2229,28 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM h JOIN g USING (hv)
 GROUP BY source
 """,
+        "set_similarity_join": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+  GROUP BY 1, 2
+), nn AS (
+  SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(LEAST(a.c, b.c)) AS inter
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(na.n + nb.n - i.inter AS BIGINT) AS uni,
+       CAST((10000 * i.inter) // (na.n + nb.n - i.inter) AS BIGINT)
+         AS jaccard_bp
+FROM pair_inter i
+JOIN nn na ON na.doc_id = i.doc_a
+JOIN nn nb ON nb.doc_id = i.doc_b
+WHERE 10000 * i.inter >= 8000 * (na.n + nb.n - i.inter)
+""",
     }

@@ -210,6 +210,7 @@ def run_bench() -> dict:
         "vocab_bigrams_topk",
         "langid_confusion",
         "doc_dup_ratio_by_source",
+        "set_similarity_join",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -550,6 +550,17 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return dd.minhash_dedup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
 
 
+def q_set_similarity_join(sf_dir: str):
+    """EXACT token-bag Jaccard self-join at tau=0.8 — the AllPairs/
+    PPJoin prefix-filter family (no LSH recall loss; reference has no
+    similarity ops at all, this is the scale-path generalization of
+    its exact url dedup, db_utils.py:76-123)."""
+    from ..stages.setjoin import set_similarity_self_join
+
+    return set_similarity_self_join(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), tau_bp=8000)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash banding COMPLETENESS gate.
 
@@ -2996,4 +3007,5 @@ QUERIES: Dict[str, callable] = {
     "vocab_bigrams_topk": q_vocab_bigrams_topk,
     "langid_confusion": q_langid_confusion,
     "doc_dup_ratio_by_source": q_doc_dup_ratio_by_source,
+    "set_similarity_join": q_set_similarity_join,
 }

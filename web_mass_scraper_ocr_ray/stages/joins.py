@@ -290,7 +290,12 @@ def range_count_join(left_ds, right_ds, key: str, on: str,
 def _bucket_of(keys_col, n_buckets: int) -> pa.Array:
     """Coarse shuffle bucket from a key column (integer or string)."""
     if pa.types.is_integer(keys_col.type):
-        keys = pc.cast(keys_col, pa.uint64())
+        # two's-complement reinterpret (negative int64 keys are legal
+        # — e.g. signed views of 64-bit hashes); identical buckets for
+        # non-negative keys, so pre-existing callers are unchanged
+        keys = pc.cast(keys_col, pa.uint64(),
+                       safe=False) if pa.types.is_signed_integer(
+            keys_col.type) else pc.cast(keys_col, pa.uint64())
         mixed = pc.multiply(keys, pa.scalar(0x9E3779B97F4A7C15,
                                             pa.uint64()))
         bucket = pc.bit_wise_and(
@@ -471,6 +476,10 @@ def equi_join(left_ds, right_ds, left_on: str, right_on: str,
     if how not in ("inner", "left"):
         raise ValueError(f"equi_join: how={how!r} not in (inner, left)")
     lschema = left_ds.schema()
+    if lschema is None:
+        # zero-block left (e.g. an upstream filter matched nothing):
+        # the join of nothing is nothing, for both inner and left
+        return left_ds
     lcols = list(lschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
     rschema = right_ds.schema()
