@@ -2253,4 +2253,22 @@ JOIN nn na ON na.doc_id = i.doc_a
 JOIN nn nb ON nb.doc_id = i.doc_b
 WHERE 10000 * i.inter >= 8000 * (na.n + nb.n - i.inter)
 """,
+        "vocab_editdist_pairs": """
+WITH toks0 AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), base AS (
+  SELECT tok FROM toks0 WHERE tok <> '' AND length(tok) <= 24
+), aug AS (
+  SELECT DISTINCT tok FROM (
+    SELECT tok FROM base
+    UNION ALL
+    SELECT substr(tok, 1, length(tok) - 1) FROM base
+    WHERE length(tok) >= 4
+  )
+), t AS (SELECT tok, length(tok) AS l FROM aug)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM t a JOIN t b ON b.l BETWEEN a.l - 1 AND a.l + 1 AND a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) = 1
+""",
     }

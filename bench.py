@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "langid_confusion",
         "doc_dup_ratio_by_source",
         "set_similarity_join",
+        "vocab_editdist_pairs",
     )
     for name in query_names:
         t0 = time.monotonic()

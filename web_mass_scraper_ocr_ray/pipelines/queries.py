@@ -550,6 +550,18 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return dd.minhash_dedup_pairs(_docs_with_neardups(sf_dir), threshold=0.8)
 
 
+def q_vocab_editdist_pairs(sf_dir: str):
+    """Levenshtein-1 token pairs via FastSS deletion-neighborhood
+    blocking — OCR-error normalization for a scrape->OCR corpus (the
+    reference OCRs every image, ocr.py:76; misread glyphs fragment the
+    vocabulary into spell variants). The sf vocabulary has no organic
+    distance-1 pairs, so the corpus is augmented with deterministic
+    truncation variants the oracle mirrors."""
+    from ..stages.editdist import vocab_editdist_pairs
+
+    return vocab_editdist_pairs(_docs(sf_dir), max_len=24, augment=True)
+
+
 def q_set_similarity_join(sf_dir: str):
     """EXACT token-bag Jaccard self-join at tau=0.8 — the AllPairs/
     PPJoin prefix-filter family (no LSH recall loss; reference has no
@@ -3008,4 +3020,5 @@ QUERIES: Dict[str, callable] = {
     "langid_confusion": q_langid_confusion,
     "doc_dup_ratio_by_source": q_doc_dup_ratio_by_source,
     "set_similarity_join": q_set_similarity_join,
+    "vocab_editdist_pairs": q_vocab_editdist_pairs,
 }
