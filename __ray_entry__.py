@@ -2271,4 +2271,27 @@ SELECT a.tok AS tok_a, b.tok AS tok_b
 FROM t a JOIN t b ON b.l BETWEEN a.l - 1 AND a.l + 1 AND a.tok < b.tok
 WHERE levenshtein(a.tok, b.tok) = 1
 """,
+        "events_value_trend": """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', ts)
+              AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM base GROUP BY 1, 2
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+       CAST((10000 * (n * sxy - sx * sy))
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_bp,
+       CAST((10000 * (sy * sxx - sx * sxy))
+            // (n * sxx - sx * sx) AS BIGINT) AS intercept_bp
+FROM s WHERE n * sxx - sx * sx <> 0
+""",
     }

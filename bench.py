@@ -212,6 +212,7 @@ def run_bench() -> dict:
         "doc_dup_ratio_by_source",
         "set_similarity_join",
         "vocab_editdist_pairs",
+        "events_value_trend",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -562,6 +562,40 @@ def q_vocab_editdist_pairs(sf_dir: str):
     return vocab_editdist_pairs(_docs(sf_dir), max_len=24, augment=True)
 
 
+def q_events_value_trend(sf_dir: str):
+    """Per-(user, event_type) least-squares value trend — grouped
+    closed-form OLS from integer sufficient stats (stages/regress.py):
+    one map-side-combined aggregate, no iterative solver. x = days
+    since 2024-01-01, y = centi-units (the events_cumulative
+    convention); slope/intercept in basis points via truncating
+    division (DuckDB `//` semantics)."""
+    import ray.data as rd
+
+    from ..stages.regress import grouped_linear_trend
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value"],
+    )
+    origin_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+
+    def _xy(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "x": pc.divide(pc.subtract(
+                micros, pa.scalar(origin_us, pa.int64())),
+                pa.scalar(86_400_000_000, pa.int64())),
+            "y": pc.cast(pc.round(
+                pc.multiply(t.column("value"), 100.0)), pa.int64()),
+        })
+
+    return grouped_linear_trend(
+        ev.map_batches(_xy, batch_format="pyarrow"),
+        ("user_id", "event_type"), "x", "y")
+
+
 def q_set_similarity_join(sf_dir: str):
     """EXACT token-bag Jaccard self-join at tau=0.8 — the AllPairs/
     PPJoin prefix-filter family (no LSH recall loss; reference has no
@@ -3021,4 +3055,5 @@ QUERIES: Dict[str, callable] = {
     "doc_dup_ratio_by_source": q_doc_dup_ratio_by_source,
     "set_similarity_join": q_set_similarity_join,
     "vocab_editdist_pairs": q_vocab_editdist_pairs,
+    "events_value_trend": q_events_value_trend,
 }
