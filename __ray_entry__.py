@@ -2294,4 +2294,27 @@ SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
             // (n * sxx - sx * sx) AS BIGINT) AS intercept_bp
 FROM s WHERE n * sxx - sx * sx <> 0
 """,
+        "events_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev AS ev_from, event_type AS ev_to,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT ev_from, ev_to, n,
+       CAST(CAST(n AS HUGEINT) * 10000
+            // sum(n) OVER (PARTITION BY ev_from) AS BIGINT) AS p_bp
+FROM pairs
+""",
+        "source_lang_rollup": """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+""",
     }

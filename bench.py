@@ -213,6 +213,8 @@ def run_bench() -> dict:
         "set_similarity_join",
         "vocab_editdist_pairs",
         "events_value_trend",
+        "events_transitions",
+        "source_lang_rollup",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -1,0 +1,90 @@
+"""Event transitions (stages/sequences.py) and ROLLUP aggregate
+(stages/shuffle.rollup_aggregate)."""
+
+import pytest
+
+import ray.data as rd
+
+from web_mass_scraper_ocr_ray.stages.sequences import event_transitions
+from web_mass_scraper_ocr_ray.stages.shuffle import rollup_aggregate
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventTransitions:
+    def test_counts_and_shares(self):
+        # user 1: a->b->a->b ; user 2: b->b->c ; user 3: a (no pair)
+        rows = [
+            {"user_id": 1, "event_id": i, "ts": i, "event_type": t}
+            for i, t in enumerate("abab")
+        ] + [
+            {"user_id": 2, "event_id": i, "ts": i, "event_type": t}
+            for i, t in enumerate("bbc")
+        ] + [
+            {"user_id": 3, "event_id": 0, "ts": 0, "event_type": "a"},
+        ]
+        got = {
+            (r["ev_from"], r["ev_to"]): (r["n"], r["p_bp"])
+            for r in event_transitions(rd.from_items(rows)).take_all()
+        }
+        # from a: a->b x2 (10000 bp); from b: b->a x1, b->b x1, b->c x1
+        assert got == {
+            ("a", "b"): (2, 10000),
+            ("b", "a"): (1, 3333),
+            ("b", "b"): (1, 3333),
+            ("b", "c"): (1, 3333),
+        }
+
+    def test_order_by_ts_not_arrival(self):
+        rows = [
+            {"user_id": 1, "event_id": 1, "ts": 30, "event_type": "c"},
+            {"user_id": 1, "event_id": 2, "ts": 10, "event_type": "a"},
+            {"user_id": 1, "event_id": 3, "ts": 20, "event_type": "b"},
+        ]
+        got = {(r["ev_from"], r["ev_to"])
+               for r in event_transitions(rd.from_items(rows)).take_all()}
+        assert got == {("a", "b"), ("b", "c")}
+
+    def test_tiebreak_on_event_id(self):
+        rows = [
+            {"user_id": 1, "event_id": 2, "ts": 10, "event_type": "b"},
+            {"user_id": 1, "event_id": 1, "ts": 10, "event_type": "a"},
+        ]
+        got = {(r["ev_from"], r["ev_to"])
+               for r in event_transitions(rd.from_items(rows)).take_all()}
+        assert got == {("a", "b")}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollupAggregate:
+    def test_all_levels_one_shuffle(self):
+        rows = [
+            {"s": "x", "l": "en", "v": 1},
+            {"s": "x", "l": "en", "v": 2},
+            {"s": "x", "l": "de", "v": 4},
+            {"s": "y", "l": "en", "v": 8},
+        ]
+        got = {
+            (r["s"], r["l"]): (r["n"], r["sv"])
+            for r in rollup_aggregate(
+                rd.from_items(rows), ("s", "l"),
+                {"n": (None, "count"), "sv": ("v", "sum")},
+            ).take_all()
+        }
+        assert got == {
+            ("x", "en"): (2, 3),
+            ("x", "de"): (1, 4),
+            ("y", "en"): (1, 8),
+            ("x", "(all)"): (3, 7),
+            ("y", "(all)"): (1, 8),
+            ("(all)", "(all)"): (4, 15),
+        }
+
+    def test_single_key_rollup(self):
+        rows = [{"s": "x", "v": 1}, {"s": "y", "v": 2}]
+        got = {
+            r["s"]: r["sv"]
+            for r in rollup_aggregate(
+                rd.from_items(rows), ("s",), {"sv": ("v", "sum")}
+            ).take_all()
+        }
+        assert got == {"x": 1, "y": 2, "(all)": 3}

@@ -596,6 +596,35 @@ def q_events_value_trend(sf_dir: str):
         ("user_id", "event_type"), "x", "y")
 
 
+def q_events_transitions(sf_dir: str):
+    """First-order event-type Markov transition matrix
+    (stages/sequences.py): per-user ordered pairing with in-kernel
+    combining, global pair counts via the map-side combiner, per-from
+    normalization in basis points."""
+    import ray.data as rd
+
+    from ..stages.sequences import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return event_transitions(ev)
+
+
+def q_source_lang_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) in one shuffle
+    (stages/shuffle.rollup_aggregate): every grouping level from one
+    x(levels+1) pre-combiner expansion, '(all)' as the rolled-up
+    sentinel."""
+    from ..stages.shuffle import rollup_aggregate
+
+    docs = _docs(sf_dir).select_columns(["source", "lang", "n_chars"])
+    return rollup_aggregate(
+        docs, ("source", "lang"),
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")})
+
+
 def q_set_similarity_join(sf_dir: str):
     """EXACT token-bag Jaccard self-join at tau=0.8 — the AllPairs/
     PPJoin prefix-filter family (no LSH recall loss; reference has no
@@ -3056,4 +3085,6 @@ QUERIES: Dict[str, callable] = {
     "set_similarity_join": q_set_similarity_join,
     "vocab_editdist_pairs": q_vocab_editdist_pairs,
     "events_value_trend": q_events_value_trend,
+    "events_transitions": q_events_transitions,
+    "source_lang_rollup": q_source_lang_rollup,
 }

@@ -78,6 +78,44 @@ def two_phase_aggregate(ds, key, spec: AggSpec):
     return partials.groupby(list(key)).aggregate(*merge_aggs)
 
 
+def rollup_aggregate(ds, keys: Sequence[str], spec: AggSpec,
+                     sentinel: str = "(all)"):
+    """GROUP BY ROLLUP(keys...): the hierarchical grouping-sets
+    aggregate (host -> domain -> tld; source -> language -> corpus).
+
+    Each input row is expanded to len(keys)+1 grouping levels — the
+    full key, then each right-truncated prefix with ``sentinel``
+    filling the rolled-up columns — and ONE two-phase aggregate
+    produces every level in a single shuffle. The x(levels) expansion
+    happens before the map-side combiner, so the exchange still moves
+    only O(distinct keys x batches) partial rows, and coarser levels
+    collapse to near-nothing; this beats one groupby per level, which
+    would re-scan the input len(keys)+1 times.
+
+    Keys must be strings (the sentinel substitutes for NULL so the
+    result needs no null-key groupby support; callers pick a sentinel
+    outside the key domain).
+    """
+    keys = list(keys)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sent = pa.array([sentinel] * n, pa.string())
+        parts = []
+        for lvl in range(len(keys), -1, -1):
+            cols = {}
+            for j, k in enumerate(keys):
+                cols[k] = t.column(k) if j < lvl else sent
+            for c in t.column_names:
+                if c not in keys:
+                    cols[c] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return two_phase_aggregate(
+        ds.map_batches(_expand, batch_format="pyarrow"), tuple(keys), spec)
+
+
 def compact_state(state_ds, delta_ds, key, spec: AggSpec):
     """Incremental materialized-view COMPACTION — merge a new delta
     batch into a running per-key aggregate state (the 'nightly events
