@@ -2317,4 +2317,62 @@ SELECT coalesce(source, '(all)') AS source,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP(source, lang)
 """,
+        "corpus_diff_ranges": """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' EDIT'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 103 = 0
+), o AS (
+  SELECT doc_id % 256 AS bucket, count(*) AS n,
+         bit_xor(CAST('0x' || substr(
+           md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 14)
+           AS BIGINT)) AS xr
+  FROM documents GROUP BY 1
+), nw AS (
+  SELECT doc_id % 256 AS bucket, count(*) AS n,
+         bit_xor(CAST('0x' || substr(
+           md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 14)
+           AS BIGINT)) AS xr
+  FROM newsnap GROUP BY 1
+)
+SELECT CAST(coalesce(o.bucket, nw.bucket) AS BIGINT) AS bucket,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(nw.n, 0) AS BIGINT) AS n_new
+FROM o FULL OUTER JOIN nw ON o.bucket = nw.bucket
+WHERE coalesce(o.n, 0) <> coalesce(nw.n, 0)
+   OR coalesce(o.xr, 0) <> coalesce(nw.xr, 0)
+""",
+        "doc_containment": """
+WITH ne AS (
+  SELECT doc_id + 2000000 AS needle_id,
+         array_to_string(
+           toks[1:CAST(ceil(len(toks) / 2.0) AS BIGINT)], ' ') AS text
+  FROM (SELECT doc_id, list_filter(
+          regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 211 = 0)
+), ne_tf AS (
+  SELECT needle_id, tok, count(*) AS c
+  FROM (SELECT needle_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM ne) WHERE tok <> '' GROUP BY 1, 2
+), doc_tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents) WHERE tok <> '' GROUP BY 1, 2
+), nn AS (SELECT needle_id, sum(c) AS n FROM ne_tf GROUP BY 1),
+inter AS (
+  SELECT a.needle_id, b.doc_id, SUM(LEAST(a.c, b.c)) AS inter
+  FROM ne_tf a JOIN doc_tf b USING (tok) GROUP BY 1, 2
+)
+SELECT i.needle_id, i.doc_id, CAST(i.inter AS BIGINT) AS inter,
+       CAST(nn.n AS BIGINT) AS n_needle,
+       CAST(10000 * i.inter // nn.n AS BIGINT) AS containment_bp
+FROM inter i JOIN nn USING (needle_id)
+WHERE 10000 * i.inter >= 8000 * nn.n
+""",
     }

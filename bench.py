@@ -215,6 +215,8 @@ def run_bench() -> dict:
         "events_value_trend",
         "events_transitions",
         "source_lang_rollup",
+        "corpus_diff_ranges",
+        "doc_containment",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -625,6 +625,69 @@ def q_source_lang_rollup(sf_dir: str):
         {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")})
 
 
+def q_corpus_diff_ranges(sf_dir: str):
+    """Merkle-style snapshot diff (stages/diffsync.py): old = the
+    documents table; new = a deterministic re-crawl (edits where
+    doc_id%97==0, deletes where %101==0, inserts doc_id+1e6 where
+    %103==0). Output = only the key ranges whose (count, xor)
+    checksums disagree — the triage step an incremental 100 TB sync
+    runs before any row-level work."""
+    from ..stages.diffsync import corpus_diff_ranges
+
+    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mutate(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.cast(t.column("text"), pa.string())
+        edited = pc.if_else(
+            pa.array(ids % 97 == 0),
+            pc.binary_join_element_wise(txt, pa.scalar(" EDIT"),
+                                        pa.scalar("")),
+            txt)
+        base = pa.table({"doc_id": t.column("doc_id"),
+                         "text": edited}).filter(pa.array(ids % 101 != 0))
+        ins = pa.table({
+            "doc_id": pa.array(ids + 1_000_000, pa.int64()),
+            "text": txt,
+        }).filter(pa.array(ids % 103 == 0))
+        return pa.concat_tables([base, ins])
+
+    new = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _mutate, batch_format="pyarrow")
+    return corpus_diff_ranges(old, new, "doc_id", "text", n_ranges=256)
+
+
+def q_doc_containment(sf_dir: str):
+    """EXACT bag-containment join (stages/setjoin.set_containment_join)
+    at tau=0.8: needles = first-half token substrings of every 211th
+    doc, probed against the full corpus. The asymmetric
+    decontamination primitive — a small eval doc inside a huge page
+    has Jaccard ~0 but containment 1.0."""
+    from ..stages.setjoin import set_containment_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _needles(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids_np % 211 == 0))
+        ids = t.column("doc_id").to_pylist()
+        out_txt = []
+        for txt in pc.cast(t.column("text"), pa.string()).to_pylist():
+            toks = [x for x in txt.split() if x]
+            out_txt.append(" ".join(toks[: (len(toks) + 1) // 2]))
+        return pa.table({
+            "doc_id": pa.array([i + 2_000_000 for i in ids], pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        })
+
+    needles = docs.map_batches(_needles, batch_format="pyarrow")
+    return set_containment_join(needles, docs, tau_bp=8000)
+
+
 def q_set_similarity_join(sf_dir: str):
     """EXACT token-bag Jaccard self-join at tau=0.8 — the AllPairs/
     PPJoin prefix-filter family (no LSH recall loss; reference has no
@@ -3087,4 +3150,6 @@ QUERIES: Dict[str, callable] = {
     "events_value_trend": q_events_value_trend,
     "events_transitions": q_events_transitions,
     "source_lang_rollup": q_source_lang_rollup,
+    "corpus_diff_ranges": q_corpus_diff_ranges,
+    "doc_containment": q_doc_containment,
 }

@@ -1,31 +1,46 @@
-"""EXACT set-similarity self-join via prefix filtering.
+"""EXACT set-similarity joins via prefix filtering.
 
 The AllPairs / PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
 WWW'08) in the symmetric-prefix MapReduce formulation of Vernica,
 Carey & Li (SIGMOD'10): every record keeps only its PREFIX — the
 ``|x| - ceil(tau*|x|) + 1`` rarest elements under one global order —
-and two records can satisfy ``J >= tau`` only if their prefixes share
-an element. Grouping by prefix element therefore finds every
+and two records can satisfy the overlap bound only if their prefixes
+share an element. Grouping by prefix element therefore finds every
 qualifying pair EXACTLY (no LSH recall loss), while the rarest-first
 order keeps the per-element buckets small.
 
-This operator works on token BAGS (multisets) reduced to sets by
+Two operators share the machinery:
+  * :func:`set_similarity_self_join` — symmetric bag Jaccard ≥ tau;
+  * :func:`set_containment_join` — asymmetric |A∩B|/|A| ≥ tau (a
+    small eval set probed against a huge corpus: a 50-token question
+    inside a 5000-token page has Jaccard ~0.01 but containment 1.0 —
+    whole-document GPT-3-style decontamination).
+
+Both work on token BAGS (multisets) reduced to sets by
 occurrence-tagging: the j-th occurrence of token ``w`` becomes the
 element ``(w, j)``, so bag Jaccard == set Jaccard of the tagged sets
 and the prefix lemma applies unchanged. Bag similarity is the right
 granularity for word-salad corpora where nearly every document shares
-the same small distinct-token vocabulary (set Jaccard would call
-everything a duplicate).
+the same small distinct-token vocabulary.
 
 Distributed shape (all exchanges move ids/hashes, never text):
   1. tag elements per batch (stateless map),
   2. global element frequencies via the map-side combiner
      (`shuffle.two_phase_aggregate`) — O(distinct tags) rows shuffle,
-  3. rank elements by (df, tag) through one co-partition `equi_join`,
-  4. per-doc prefixes in hash(doc_id) buckets (one keyed exchange),
-  5. candidate pairs per tag run with the AllPairs LENGTH filter
-     (``min(n) * 10000 >= tau_bp * max(n)``) applied BEFORE pair
-     generation — per run one searchsorted, pairs via np.repeat,
+  3. the rarest-first order ships as a BROADCAST top-M (df, tag) map
+     (``ray.put`` once, searchsorted lookup per batch; tags outside
+     the top-M default to df=1). The order affects only bucket sizes,
+     never correctness — any consistent total order satisfies the
+     prefix lemma — so the cap is scale-safe by construction, unlike
+     a capped candidate list. Measured: replacing the two
+     `equi_join`s this broadcast supersedes cut 2 of 11 all-to-all
+     barriers from the containment DAG,
+  4. ONE keyed exchange per side builds the per-doc table — bag
+     (tag-sorted element list) AND prefix list together — where the
+     first cut paid separate `_prefixes` and `_bags` shuffles,
+  5. candidate pairs per prefix-element run with the AllPairs LENGTH
+     filter applied BEFORE pair generation — per run one
+     searchsorted, pairs via np.repeat,
   6. exact verify: per-doc tagged sets attach to pairs through two
      `equi_join`s; intersection is one np.intersect1d per pair.
 
@@ -55,6 +70,7 @@ _logger = logging.getLogger(__name__)
 
 N_BUCKETS = 64
 RUN_WARN = 10_000
+DF_TOP_M = 2_000_000  # broadcast-rank cap: ~30 MB of (tag, df) pairs
 _FNV_PRIME = np.uint64(1099511628211)
 
 
@@ -114,33 +130,116 @@ def bag_elements(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         _explode, batch_format="pyarrow")
 
 
-def _prefixes(ranked_ds, id_col: str, tau_bp: int,
-              n_buckets: int = N_BUCKETS):
-    """(doc_id, tag, n, df) → the prefix rows of every doc: the
-    ``n - ceil(tau*n) + 1`` elements with the smallest (df, tag).
-    One keyed exchange bucketed by hash(doc_id); the per-bucket kernel
-    sorts once and keeps run-relative positions — no per-doc loop."""
+def _df_rank_ref(freq_ds, top_m: int = DF_TOP_M):
+    """(tag, df) table → a broadcast-able rank map: the EXACT df for
+    the ``top_m`` most frequent tags (per-block top-m partials, then a
+    distributed sort over only the m × n_blocks sliver — the
+    `textstats._vocab_topm` trick), everything else defaulting to
+    df=1. Returns ``ray.put((tags_sorted_by_tag, dfs))``. Rank order =
+    (df, tag) ascending; tail tags rank rarest-first, which is what a
+    missing-from-top-M tag IS."""
+    import ray
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("df", "descending"), ("tag", "ascending")])
+        return t.take(idx[:top_m])
+
+    top = freq_ds.map_batches(_block_top, batch_format="pyarrow").sort(
+        ["df", "tag"], descending=[True, False]).limit(top_m).to_pandas()
+    tags = top["tag"].to_numpy(dtype=np.int64)
+    dfs = top["df"].to_numpy(dtype=np.int64)
+    order = np.argsort(tags, kind="stable")
+    return ray.put((tags[order], dfs[order]))
+
+
+def _attach_df(ele_ds, rank_ref):
+    """elements + broadcast rank map → elements with a ``df`` column
+    (vectorized searchsorted lookup per batch, default 1)."""
+    import ray
+
+    def _add(t: pa.Table) -> pa.Table:
+        tags_sorted, dfs = ray.get(rank_ref)
+        tg = t.column("tag").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tags_sorted, tg)
+        pos_c = np.clip(pos, 0, max(len(tags_sorted) - 1, 0))
+        if len(tags_sorted):
+            hit = tags_sorted[pos_c] == tg
+            df = np.where(hit, dfs[pos_c], 1)
+        else:
+            df = np.ones(len(tg), np.int64)
+        return t.append_column("df", pa.array(df.astype(np.int64)))
+
+    return ele_ds.map_batches(_add, batch_format="pyarrow")
+
+
+def _doc_tables(ranked_ele, id_col: str, prefix_len,
+                n_buckets: int = N_BUCKETS):
+    """ONE keyed exchange per side: (doc_id, tag, n, df) element rows
+    → one row per doc carrying BOTH the verify bag (tag-sorted element
+    list) and the candidate prefix (the ``prefix_len(n)`` rarest
+    elements under (df, tag)):
+    ``(doc_id, n, tags list<int64>, ptags list<int64>)``.
+    The first cut paid separate `_prefixes` and `_bags` shuffles for
+    the same grouping."""
 
     def _bucket(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         return t.append_column("_b", pa.array(_bucket_i64(ids, n_buckets)))
 
-    def _take_prefix(g: pa.Table) -> pa.Table:
+    def _collect(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[
             (id_col, "ascending"), ("df", "ascending"),
             ("tag", "ascending")])
         g = g.take(idx)
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        tags = g.column("tag").to_numpy(zero_copy_only=False)
         n = g.column("n").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
         pos = np.arange(len(ids), dtype=np.int64)
-        pos -= np.repeat(pos[starts], np.diff(np.r_[starts, len(ids)]))
-        # prefix length p = n - ceil(tau*n) + 1
-        p = n - (tau_bp * n + 9999) // 10000 + 1
-        return g.filter(pa.array(pos < p)).select([id_col, "tag", "n"])
+        pos -= np.repeat(pos[starts], lens)
+        pmask = pos < prefix_len(n)
+        # prefix lists (in (df, tag) order — order is irrelevant to
+        # the downstream explode)
+        plens = np.add.reduceat(pmask.astype(np.int64), starts)
+        poffs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(plens, out=poffs[1:])
+        poffs = poffs.astype(np.int32)
+        ptags = tags[pmask]
+        # verify bags: tag-sorted within each doc
+        order2 = np.lexsort((tags, ids))
+        btags = tags[order2]
+        boffs = np.r_[starts, len(ids)].astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "n": pa.array(n[starts], pa.int64()),
+            "tags": pa.ListArray.from_arrays(
+                pa.array(boffs), pa.array(btags, pa.int64())),
+            "ptags": pa.ListArray.from_arrays(
+                pa.array(poffs), pa.array(ptags, pa.int64())),
+        })
 
-    return ranked_ds.map_batches(_bucket, batch_format="pyarrow").groupby(
-        "_b").map_groups(_take_prefix, batch_format="pyarrow")
+    return ranked_ele.map_batches(_bucket, batch_format="pyarrow").groupby(
+        "_b").map_groups(_collect, batch_format="pyarrow")
+
+
+def _explode_prefix(doc_tables, id_col: str):
+    """doc tables → stateless prefix rows ``(doc_id, tag, n)``."""
+
+    def _ex(t: pa.Table) -> pa.Table:
+        pt = t.column("ptags").combine_chunks()
+        counts = pc.list_value_length(pt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "tag": pt.flatten(),
+            "n": pa.array(np.repeat(n, counts), pa.int64()),
+        })
+
+    return doc_tables.map_batches(_ex, batch_format="pyarrow")
 
 
 def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
@@ -206,32 +305,84 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
         Count(alias_name="_hits")).drop_columns(["_hits"])
 
 
-def _bags(elements_ds, id_col: str, n_buckets: int = N_BUCKETS):
-    """(doc_id, tag, n) → one row per doc with its SORTED tagged set as
-    a list column: ``(doc_id, tags list<int64>, n)``."""
+def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
+                            n_buckets: int = N_BUCKETS):
+    """Side-tagged prefix rows → distinct (needle_id, doc_id)
+    candidates. Per tag run, each needle pairs with the docs whose bag
+    size passes the containment length filter
+    ``n_doc >= ceil(tau * n_needle)`` — one searchsorted per run."""
+    from ray.data.aggregate import Count
+
+    def _tag_side(side):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t.column(t.column_names[0]),
+                "tag": t.column("tag"),
+                "n": t.column("n"),
+                "side": pa.array(
+                    np.full(t.num_rows, side, np.int8)),
+            })
+        return _f
+
+    both = ne_prefix.map_batches(_tag_side(0), batch_format="pyarrow") \
+        .union(ce_prefix.map_batches(_tag_side(1), batch_format="pyarrow"))
 
     def _bucket(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        return t.append_column("_b", pa.array(_bucket_i64(ids, n_buckets)))
+        tags = t.column("tag").to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(_bucket_i64(tags, n_buckets)))
 
-    def _collect(g: pa.Table) -> pa.Table:
+    def _pairs(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[
-            (id_col, "ascending"), ("tag", "ascending")])
+            ("tag", "ascending"), ("side", "ascending"),
+            ("n", "ascending"), ("id", "ascending")])
         g = g.take(idx)
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
         tags = g.column("tag").to_numpy(zero_copy_only=False)
+        sides = g.column("side").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
         ns = g.column("n").to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-        offsets = np.r_[starts, len(ids)].astype(np.int32)
+        starts = np.flatnonzero(np.r_[True, tags[1:] != tags[:-1]])
+        lens = np.diff(np.r_[starts, len(tags)])
+        a_out, b_out = [], []
+        for s, ln in zip(starts, lens):
+            sd = sides[s:s + ln]
+            n_ne = int(np.searchsorted(sd, 1))
+            if n_ne == 0 or n_ne == ln:
+                continue
+            ne_n = ns[s:s + n_ne]
+            ne_id = ids[s:s + n_ne]
+            doc_n = ns[s + n_ne:s + ln]
+            doc_id = ids[s + n_ne:s + ln]
+            need = (tau_bp * ne_n + 9999) // 10000
+            lo = np.searchsorted(doc_n, need, side="left")
+            cnt = len(doc_n) - lo
+            ok = cnt > 0
+            if not ok.any():
+                continue
+            a_out.append(np.repeat(ne_id[ok], cnt[ok]))
+            b_out.append(np.concatenate(
+                [doc_id[l:] for l, k in zip(lo, ok) if k]))
+        a = np.concatenate(a_out) if a_out else np.zeros(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.zeros(0, np.int64)
+        return pa.table({"needle_id": pa.array(a, pa.int64()),
+                         "doc_id": pa.array(b, pa.int64())})
+
+    pairs = both.map_batches(_bucket, batch_format="pyarrow").groupby(
+        "_b").map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["needle_id", "doc_id"]).aggregate(
+        Count(alias_name="_hits")).drop_columns(["_hits"])
+
+
+def _bag_view(doc_tables, id_col: str, suffix: str):
+    """doc tables → (id_col, tags<suffix>, n<suffix>) for join-back."""
+
+    def _f(t: pa.Table) -> pa.Table:
         return pa.table({
-            id_col: pa.array(ids[starts], pa.int64()),
-            "tags": pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(tags, pa.int64())),
-            "n": pa.array(ns[starts], pa.int64()),
+            id_col: t.column(id_col),
+            f"tags{suffix}": t.column("tags"),
+            f"n{suffix}": t.column("n"),
         })
 
-    return elements_ds.map_batches(_bucket, batch_format="pyarrow").groupby(
-        "_b").map_groups(_collect, batch_format="pyarrow")
+    return doc_tables.map_batches(_f, batch_format="pyarrow")
 
 
 def set_similarity_self_join(docs_ds, tau_bp: int = 8000,
@@ -245,22 +396,23 @@ def set_similarity_self_join(docs_ds, tau_bp: int = 8000,
     ``inter`` = Σ min(count_a, count_b) per token, ``uni`` =
     n_a + n_b − inter, ``jaccard_bp`` = ⌊10000·inter/uni⌋.
     """
-    ele = bag_elements(docs_ds, id_col, text_col)
+    # elements feed two consumers (df counts, doc tables); pin once —
+    # O(corpus tokens), spilled by the object store at scale, cheaper
+    # than re-running tokenize+explode per consumer
+    ele = bag_elements(docs_ds, id_col, text_col).materialize()
     freq = two_phase_aggregate(ele, "tag", {"df": (None, "count")})
-    ranked = equi_join(ele, freq, "tag", "tag", ["df"])
+    rank = _df_rank_ref(freq)
+    tables = _doc_tables(
+        _attach_df(ele, rank), id_col,
+        lambda n: n - (tau_bp * n + 9999) // 10000 + 1,
+    ).materialize()  # consumed by candidates AND two join-backs
     cands = _candidate_pairs(
-        _prefixes(ranked, id_col, tau_bp), id_col, tau_bp)
-    bags = _bags(ele, id_col)
+        _explode_prefix(tables, id_col), id_col, tau_bp)
 
-    def _rename(suffix):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.rename_columns([id_col, f"tags{suffix}", f"n{suffix}"])
-        return _f
-
-    bags_a = bags.map_batches(_rename("_a"), batch_format="pyarrow")
-    bags_b = bags.map_batches(_rename("_b"), batch_format="pyarrow")
-    joined = equi_join(cands, bags_a, "doc_a", id_col, ["tags_a", "n_a"])
-    joined = equi_join(joined, bags_b, "doc_b", id_col, ["tags_b", "n_b"])
+    joined = equi_join(cands, _bag_view(tables, id_col, "_a"),
+                       "doc_a", id_col, ["tags_a", "n_a"])
+    joined = equi_join(joined, _bag_view(tables, id_col, "_b"),
+                       "doc_b", id_col, ["tags_b", "n_b"])
 
     def _verify(t: pa.Table) -> pa.Table:
         tags_a = t.column("tags_a").combine_chunks()
@@ -271,7 +423,7 @@ def set_similarity_self_join(docs_ds, tau_bp: int = 8000,
         for i in range(t.num_rows):
             a = np.asarray(tags_a[i].values)
             b = np.asarray(tags_b[i].values)
-            # both sorted & unique (occurrence tags): linear merge count
+            # both sorted & unique (occurrence tags): merge count
             inter[i] = len(np.intersect1d(a, b, assume_unique=True))
         uni = na + nb - inter
         jbp = (10000 * inter) // uni
@@ -283,5 +435,73 @@ def set_similarity_self_join(docs_ds, tau_bp: int = 8000,
             "jaccard_bp": pa.array(jbp),
         })
         return out.filter(pa.array(jbp >= tau_bp))
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+def set_containment_join(needles_ds, corpus_ds, tau_bp: int = 8000,
+                         id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """All (needle, doc) pairs with bag CONTAINMENT
+    ``|needle ∩ doc| / |needle| >= tau_bp/10000`` — EXACT.
+
+    → ``(needle_id, doc_id, inter, n_needle, containment_bp)``.
+
+    The required overlap t = ceil(tau*|A|) depends only on the probe
+    A, so the indexed corpus must keep ``n - ceil(tau*min|A|) + 1``
+    prefix elements — the weakest probe sets the bar, and corpus
+    replication approaches its full element count when needles can be
+    tiny. Inherent to containment joins; bound it by floor-filtering
+    needle sizes upstream.
+    """
+    ne = bag_elements(needles_ds, id_col, text_col).materialize()
+    ce = bag_elements(corpus_ds, id_col, text_col).materialize()
+    # weakest-probe overlap bound: one tiny scalar to the driver
+    sizes = ne.groupby(id_col).max("n")
+    min_n = sizes.min("max(n)") if sizes.count() else None
+    if min_n is None:
+        import ray.data as rd
+        return rd.from_items([]).map_batches(
+            lambda t: t, batch_format="pyarrow")
+    t_min = max(1, (tau_bp * int(min_n) + 9999) // 10000)
+
+    freq = two_phase_aggregate(ne.union(ce), "tag",
+                               {"df": (None, "count")})
+    rank = _df_rank_ref(freq)
+    ne_tables = _doc_tables(
+        _attach_df(ne, rank), id_col,
+        lambda n: n - (tau_bp * n + 9999) // 10000 + 1,
+    ).materialize()
+    ce_tables = _doc_tables(
+        _attach_df(ce, rank), id_col,
+        lambda n: np.maximum(n - t_min + 1, 0),
+    ).materialize()
+    cands = _containment_candidates(
+        _explode_prefix(ne_tables, id_col),
+        _explode_prefix(ce_tables, id_col), tau_bp)
+
+    joined = equi_join(cands, _bag_view(ne_tables, id_col, "_a"),
+                       "needle_id", id_col, ["tags_a", "n_a"])
+    joined = equi_join(joined, _bag_view(ce_tables, id_col, "_b"),
+                       "doc_id", id_col, ["tags_b", "n_b"])
+
+    def _verify(t: pa.Table) -> pa.Table:
+        tags_a = t.column("tags_a").combine_chunks()
+        tags_b = t.column("tags_b").combine_chunks()
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        inter = np.zeros(t.num_rows, np.int64)
+        for i in range(t.num_rows):
+            a = np.asarray(tags_a[i].values)
+            b = np.asarray(tags_b[i].values)
+            inter[i] = len(np.intersect1d(a, b, assume_unique=True))
+        cbp = (10000 * inter) // na
+        out = pa.table({
+            "needle_id": t.column("needle_id"),
+            "doc_id": t.column("doc_id"),
+            "inter": pa.array(inter),
+            "n_needle": pa.array(na.astype(np.int64)),
+            "containment_bp": pa.array(cbp),
+        })
+        return out.filter(pa.array(cbp >= tau_bp))
 
     return joined.map_batches(_verify, batch_format="pyarrow")
