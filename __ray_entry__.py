@@ -2375,4 +2375,116 @@ SELECT i.needle_id, i.doc_id, CAST(i.inter AS BIGINT) AS inter,
 FROM inter i JOIN nn USING (needle_id)
 WHERE 10000 * i.inter >= 8000 * nn.n
 """,
+        # tier k = #quantile cutoffs the quality-model score clears;
+        # cutoffs use the graft-wide discrete-quantile rule (smallest
+        # value with cum ≥ ceil(q·N/10⁴)) over the integer score
+        "doc_quality_tiers": """
+WITH f AS (
+  SELECT doc_id,
+    CAST(100
+      + 2 * len(regexp_extract_all(text, '\\S+'))
+      + 5 * len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      - 3 * len(regexp_extract_all(text, '[^\\w\\s]'))
+      AS BIGINT) AS score
+  FROM documents
+),
+h AS (SELECT score, count(*) AS c FROM f GROUP BY score),
+s AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+             sum(c) OVER () AS tot FROM h),
+q AS (SELECT unnest([2500, 5000, 7500]) AS q_bp),
+cut AS (SELECT q.q_bp, min(s.score) AS cutv
+        FROM q JOIN s
+          ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+        GROUP BY q.q_bp)
+SELECT f.doc_id, f.score,
+  CAST((SELECT count(*) FROM cut WHERE f.score >= cut.cutv)
+       AS BIGINT) AS tier
+FROM f
+""",
+        # winnowing, value-set variant: DISTINCT window-min over the
+        # SAME rolling hash _FP_TERMS reproduces; short docs (< 16
+        # hash positions) contribute their single whole-doc window
+        "doc_winnow": f"""
+WITH h AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+    CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
+  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mh,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wn,
+    count(*) OVER (PARTITION BY doc_id) AS tot
+  FROM h
+),
+sel AS (SELECT DISTINCT doc_id, mh FROM w
+        WHERE wn = 16 OR (pos = tot AND tot < 16))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+  bit_xor(mh) AS fp_xor, min(mh) AS fp_min, max(mh) AS fp_max
+FROM sel GROUP BY doc_id
+""",
+        # Misra-Gries claim gate: exact anchors (total token mass,
+        # exact heavy count at the n·65 > N threshold) + TRUE booleans
+        # pinning the mergeable-summary guarantees
+        "vocab_heavy_hitters": """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+t AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+tot AS (SELECT sum(n) AS n_total FROM t)
+SELECT CAST(64 AS BIGINT) AS capacity,
+  CAST((SELECT n_total FROM tot) AS BIGINT) AS n_tokens_total,
+  CAST((SELECT count(*) FROM t
+        WHERE n * 65 > (SELECT n_total FROM tot)) AS BIGINT)
+    AS n_heavy_exact,
+  TRUE AS all_heavy_found,
+  TRUE AS est_never_over,
+  TRUE AS err_bound_ok
+""",
+        # source × language crosstab — the doc_langid decision CTE,
+        # pivoted wide with conditional sums
+        "source_lang_pivot": """
+WITH lang AS (
+  SELECT doc_id, source,
+    length(regexp_replace(substr(text, 1, 500),
+                          '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    list_transform(
+      regexp_extract_all(substr(text, 1, 2000),
+                         '[a-zàâäéèêëíìîïóòôöúùûüñç]+', 0, 'i'),
+      x -> lower(x)) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, cjk, len(toks) AS ntoks,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('der','die','und','nicht','das','ist'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('el','la','y','los','que','es'))) AS s_es
+  FROM lang
+),
+pred AS (
+  SELECT source,
+    CASE WHEN cjk >= 5 THEN 'zh'
+         WHEN ntoks = 0 THEN 'und'
+         WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+         WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+         WHEN s_de > s_en THEN 'de'
+         WHEN s_en > 0 THEN 'en'
+         ELSE 'und' END AS lang_pred
+  FROM scored
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+  CAST(sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+  CAST(sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+  CAST(sum(CASE WHEN lang_pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+  CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+FROM pred GROUP BY source
+""",
     }

@@ -217,6 +217,10 @@ def run_bench() -> dict:
         "source_lang_rollup",
         "corpus_diff_ranges",
         "doc_containment",
+        "doc_quality_tiers",
+        "doc_winnow",
+        "vocab_heavy_hitters",
+        "source_lang_pivot",
     )
     for name in query_names:
         t0 = time.monotonic()

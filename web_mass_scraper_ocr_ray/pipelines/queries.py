@@ -3021,6 +3021,123 @@ def q_events_state_compaction(sf_dir: str):
     return compact_state(state, delta, "user_id", spec)
 
 
+def q_doc_quality_tiers(sf_dir: str):
+    """Quality-TIER extraction (stages/tiering.quality_tiers): integer
+    model score → corpus quartile cutoffs from a tiny score histogram
+    → stateless tier assignment. The documents never shuffle; only the
+    (score, count) histogram does."""
+    from ..stages.tiering import quality_tiers
+
+    return quality_tiers(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD'03,
+    value-set variant — dedup by VALUE, so no tie-break rule and the
+    SQL window-min mirror is exact): per doc the distinct window-mins
+    of the Rabin-Karp rolling hashes, reduced to order-independent
+    integer aggregates. Streaming map, no shuffle."""
+    from ..stages.tiering import winnow_table
+
+    return winnow_table(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def q_vocab_heavy_hitters(sf_dir: str):
+    """Claim-gated Misra-Gries heavy hitters (tiering.heavy_hitters_mg):
+    mergeable ≤64-counter summaries tree-folded to ONE; the gate row
+    pins the three MG guarantees against exact distributed counts —
+    every token with n·(cap+1) > N survives any merge order, counters
+    never over-count, and undercount ≤ decremented_mass/(cap+1)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.tiering import heavy_hitters_mg
+
+    cap = 64
+    docs = _docs(sf_dir).select_columns(["text"])
+    mg = heavy_hitters_mg(docs, capacity=cap)
+
+    def _vocab_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.cast(t.column("text"), pa.string()), pattern=r"\s+"))
+        toks = pc.drop_null(toks.filter(pc.not_equal(toks, "")))
+        vc = toks.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    vocab = docs.map_batches(
+        _vocab_partial, batch_format="pyarrow"
+    ).groupby("word").aggregate(Sum("n", alias_name="n")).materialize()
+    n_total = int(vocab.aggregate(Sum("n"))["sum(n)"])
+
+    heavy = vocab.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(pc.cast(t.column("n"), pa.int64()),
+                        pa.scalar(cap + 1, pa.int64())),
+            pa.scalar(n_total, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    heavy_words = {r["word"] for r in heavy}
+
+    summ_words = sorted(mg.counts)
+    exact_rows = vocab.map_batches(
+        lambda t, ws=frozenset(summ_words): t.filter(
+            pc.is_in(t.column("word"), value_set=pa.array(sorted(ws)))),
+        batch_format="pyarrow").take_all()
+    exact_by_word = {r["word"]: r["n"] for r in exact_rows}
+
+    all_heavy_found = heavy_words <= set(summ_words)
+    est_never_over = all(mg.counts[w] <= exact_by_word.get(w, 0)
+                         for w in summ_words)
+    err_bound_ok = all(
+        (exact_by_word.get(w, 0) - mg.counts[w]) * (cap + 1)
+        <= mg.decremented for w in summ_words)
+    return pa.table({
+        "capacity": pa.array([cap], pa.int64()),
+        "n_tokens_total": pa.array([n_total], pa.int64()),
+        "n_heavy_exact": pa.array([len(heavy_words)], pa.int64()),
+        "all_heavy_found": pa.array([bool(all_heavy_found)], pa.bool_()),
+        "est_never_over": pa.array([bool(est_never_over)], pa.bool_()),
+        "err_bound_ok": pa.array([bool(err_bound_ok)], pa.bool_()),
+    })
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """Pivot/crosstab: source × predicted-language counts as a WIDE
+    table. Per-batch one-hot partials pre-aggregate before the single
+    narrow groupby(source) — the combiner-before-shuffle discipline;
+    the wide side (docs) streams through the LangId actor pool once."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import LangId
+
+    langs = ("en", "de", "fr", "es", "zh", "und")
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    tagged = docs.map_batches(LangId, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    def _onehot(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = t.column("source")
+        pred = t.column("lang_pred")
+        agg = pa.table({"source": src, "lang_pred": pred}).group_by(
+            ["source", "lang_pred"]).aggregate([([], "count_all")])
+        cols = {"source": agg.column("source"),
+                "n_docs": pc.cast(agg.column("count_all"), pa.int64())}
+        preds = agg.column("lang_pred")
+        for lg in langs:
+            cols[f"n_{lg}"] = pc.if_else(
+                pc.equal(preds, lg),
+                pc.cast(agg.column("count_all"), pa.int64()),
+                pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    aggs = [Sum("n_docs", alias_name="n_docs")]
+    aggs += [Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in langs]
+    return tagged.map_batches(
+        _onehot, batch_format="pyarrow").groupby("source").aggregate(*aggs)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -3152,4 +3269,8 @@ QUERIES: Dict[str, callable] = {
     "source_lang_rollup": q_source_lang_rollup,
     "corpus_diff_ranges": q_corpus_diff_ranges,
     "doc_containment": q_doc_containment,
+    "doc_quality_tiers": q_doc_quality_tiers,
+    "doc_winnow": q_doc_winnow,
+    "vocab_heavy_hitters": q_vocab_heavy_hitters,
+    "source_lang_pivot": q_source_lang_pivot,
 }

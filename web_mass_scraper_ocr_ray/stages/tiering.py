@@ -1,0 +1,269 @@
+"""Quality-tier extraction, winnowing fingerprint selection, and
+Misra-Gries heavy hitters.
+
+Tier extraction is the canonical "curriculum" cut of a web corpus:
+score every document with a cheap integer model, derive corpus-level
+quantile cutoffs from a tiny score histogram, then bin the corpus in
+a stateless second pass. The expensive side (the documents) never
+shuffles — only the (distinct-score, count) histogram does, and that
+is bounded by the score range, not the corpus size, so the op costs
+one narrow aggregate plus two streaming maps at any scale.
+
+The reference engine (sequential scraper, no corpus analytics) has no
+analog; these belong to the training-data surface the brief mandates.
+All outputs are integers so the DuckDB oracles recompute them
+bit-exactly (graft-wide convention, see textstats.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---- quality-tier extraction --------------------------------------------
+
+def _discrete_cutoffs(scores: np.ndarray, counts: np.ndarray,
+                      q_bps: Sequence[int]) -> list:
+    """Type-1 discrete quantiles from a (sorted value, count) histogram:
+    cutoff(q) = smallest value whose cumulative count ≥ ceil(q·N/10⁴).
+    Same integer rule as sketches.exact_quantiles and its SQL mirror."""
+    cum = np.cumsum(counts)
+    tot = int(cum[-1])
+    cuts = []
+    for q in q_bps:
+        target = max((q * tot + 9999) // 10000, 1)
+        cuts.append(int(scores[np.searchsorted(cum, target)]))
+    return cuts
+
+
+def quality_tiers(docs_ds, q_bps: Sequence[int] = (2500, 5000, 7500),
+                  concurrency=(1, 4)):
+    """→ (doc_id, score, tier): tier k means the doc's integer quality
+    score clears k of the ``len(q_bps)`` corpus quantile cutoffs
+    (tier 0 = bottom quartile … tier 3 = top quartile at defaults).
+
+    Two passes over a materialized (doc_id, score) projection — 16
+    bytes/row, cheap to pin in the object store even at 10¹⁰ docs —
+    so the actor-pool scorer runs exactly once:
+      pass 1: groupby(score).count() → histogram (≤ #distinct scores
+              rows) → cutoffs on the driver;
+      pass 2: stateless searchsorted map, cutoffs captured by closure
+              (three ints — nothing to broadcast).
+    Ties need no tie-break: the tier is a pure function of the score.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .quality_model import LinearQualityModel
+
+    scored = docs_ds.map_batches(
+        LinearQualityModel,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "score"]).materialize()
+
+    hist = scored.groupby("score").aggregate(
+        Count(alias_name="n")).to_pandas().sort_values("score")
+    cuts = np.array(sorted(_discrete_cutoffs(
+        hist["score"].to_numpy(), hist["n"].to_numpy(), q_bps)),
+        dtype=np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column("score"), pa.int64())
+                       .combine_chunks())
+        # number of cutoffs ≤ score — searchsorted(right) over the
+        # sorted cutoff vector, vectorized across the batch
+        tier = np.searchsorted(cuts, s, side="right").astype(np.int64)
+        return t.append_column("tier", pa.array(tier, pa.int64()))
+
+    return scored.map_batches(_assign, batch_format="pyarrow")
+
+
+# ---- winnowing fingerprint selection -------------------------------------
+
+def _window_min_values(h: np.ndarray, w: int) -> np.ndarray:
+    """Distinct window-min hash values (the winnowing selection of
+    Schleimer et al., SIGMOD'03, deduplicated BY VALUE — value-set
+    semantics need no tie-break rule, so the SQL mirror is exact)."""
+    if len(h) == 0:
+        return h
+    if len(h) <= w:
+        return h.min(keepdims=True)
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    return np.unique(sw.min(axis=1))
+
+
+class WinnowSelector:
+    """Actor-pool stage → (doc_id, n_fp, fp_xor, fp_min, fp_max): the
+    document's winnowing fingerprint set (rolling byte hashes, hash
+    window ``hash_window``; selection window ``sel_window``), reduced
+    to order-independent integer aggregates the oracle can recompute.
+
+    Guarantee inherited from winnowing: any shared substring of length
+    ≥ hash_window + sel_window - 1 between two documents contributes at
+    least one common selected fingerprint — the basis for MOSS-style
+    plagiarism/overlap detection at corpus scale."""
+
+    def __init__(self, hash_window: int = 8, sel_window: int = 16):
+        self.hw = hash_window
+        self.sw = sel_window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .textstats import _rolling_hashes
+
+        texts = batch.column("text").to_pylist()
+        n_fp, fp_xor, fp_min, fp_max = [], [], [], []
+        for t in texts:
+            h = _rolling_hashes(t.encode("utf-8"), self.hw)
+            sel = _window_min_values(h, self.sw)
+            n_fp.append(len(sel))
+            fp_xor.append(int(np.bitwise_xor.reduce(sel)) if len(sel)
+                          else 0)
+            fp_min.append(int(sel.min()) if len(sel) else 0)
+            fp_max.append(int(sel.max()) if len(sel) else 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_fp": pa.array(n_fp, pa.int64()),
+            "fp_xor": pa.array(fp_xor, pa.uint64()),
+            "fp_min": pa.array(fp_min, pa.uint64()),
+            "fp_max": pa.array(fp_max, pa.uint64()),
+        })
+
+
+def winnow_table(docs_ds, hash_window: int = 8, sel_window: int = 16,
+                 concurrency=(1, 4)):
+    """Streaming map, no shuffle — html/text dropped at the stage."""
+    return docs_ds.map_batches(
+        WinnowSelector,
+        fn_constructor_kwargs={"hash_window": hash_window,
+                               "sel_window": sel_window},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+# ---- Misra-Gries heavy hitters -------------------------------------------
+
+class MisraGries:
+    """Mergeable Misra-Gries summary over token streams.
+
+    Counters never over-count (est ≤ true) and under-count by at most
+    (N − Σ retained counters) / (capacity + 1) ≤ N/(capacity+1), so
+    every token with true frequency > N/(capacity+1) survives any
+    merge order — the two claims the gate query pins.
+    """
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.n_seen = 0          # stream length
+        self.decremented = 0     # total mass removed by decrements
+
+    def add_many(self, words, counts: np.ndarray) -> "MisraGries":
+        for w, c in zip(words, counts):
+            c = int(c)
+            self.n_seen += c
+            if w in self.counts:
+                self.counts[w] += c
+            else:
+                self.counts[w] = c
+                if len(self.counts) > self.capacity:
+                    self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        # subtract the (capacity+1)-th largest counter from all, drop
+        # non-positive — the batched MG decrement (Agarwal et al.,
+        # "Mergeable Summaries", PODS'12)
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        if len(vals) <= self.capacity:
+            return
+        kth = int(np.partition(vals, len(vals) - self.capacity - 1)[
+            len(vals) - self.capacity - 1])
+        # counters > kth each lose kth; counters ≤ kth vanish entirely
+        self.decremented += int(np.minimum(vals, kth).sum())
+        self.counts = {w: c - kth for w, c in self.counts.items()
+                       if c > kth}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for w, c in other.counts.items():
+            self.counts[w] = self.counts.get(w, 0) + c
+        self.n_seen += other.n_seen
+        self.decremented += other.decremented
+        if len(self.counts) > self.capacity:
+            self._shrink()
+        return self
+
+    def items(self) -> list:
+        return sorted(self.counts.items())
+
+    def to_tuple(self) -> Tuple[list, list, int, int]:
+        ws = sorted(self.counts)
+        return (ws, [self.counts[w] for w in ws], self.n_seen,
+                self.decremented)
+
+    @classmethod
+    def from_tuple(cls, tup, capacity: int = 64) -> "MisraGries":
+        mg = cls(capacity)
+        mg.counts = dict(zip(tup[0], tup[1]))
+        mg.n_seen = int(tup[2])
+        mg.decremented = int(tup[3])
+        return mg
+
+
+def _mg_row(mg: MisraGries) -> pa.Table:
+    ws, cs, n, d = mg.to_tuple()
+    return pa.table({
+        "words": pa.array([ws], pa.list_(pa.string())),
+        "counts": pa.array([cs], pa.list_(pa.int64())),
+        "n_seen": pa.array([n], pa.int64()),
+        "decr": pa.array([d], pa.int64()),
+    })
+
+
+def _mg_from_row(row, cap: int) -> MisraGries:
+    return MisraGries.from_tuple(
+        (row["words"], row["counts"], row["n_seen"], row["decr"]), cap)
+
+
+def heavy_hitters_mg(docs_ds, capacity: int = 64,
+                     text_col: str = "text") -> MisraGries:
+    """Distributed MG: per-block summaries (exact within-block token
+    counts feed add_many — one vectorized value_counts per batch, no
+    Python per token beyond the ≤capacity dict), tree-folded with
+    bounded fan-in like the count-min path (sketches.vocab_topk_cm) —
+    the driver receives exactly ONE ≤capacity-entry summary however
+    many blocks the corpus has."""
+    import pyarrow.compute as pc
+
+    cap = int(capacity)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.cast(t.column(text_col), pa.string()), pattern=r"\s+"))
+        toks = pc.drop_null(toks.filter(pc.not_equal(toks, "")))
+        vc = toks.value_counts()
+        mg = MisraGries(cap).add_many(
+            vc.field("values").to_pylist(),
+            np.asarray(vc.field("counts"), dtype=np.int64))
+        return _mg_row(mg)
+
+    def _merge_rows(t: pa.Table) -> pa.Table:
+        acc = MisraGries(cap)
+        for i in range(t.num_rows):
+            acc.merge(_mg_from_row(
+                {c: t.column(c)[i].as_py() for c in t.column_names},
+                cap))
+        return _mg_row(acc)
+
+    parts = docs_ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow").materialize()
+    while parts.count() > 1:
+        parts = parts.repartition(
+            max(1, -(-parts.count() // 8))
+        ).map_batches(_merge_rows, batch_format="pyarrow").materialize()
+    rows = parts.take_all()
+    return _mg_from_row(rows[0], cap) if rows else MisraGries(cap)
