@@ -2487,4 +2487,49 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
 FROM pred GROUP BY source
 """,
+        # row-level diff of the same deterministic re-crawl: full
+        # outer join by key, changed payloads only (the pipeline
+        # compares 56-bit content hashes; exact at these sizes)
+        "corpus_diff_rows": """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' EDIT'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 103 = 0
+)
+SELECT CAST(coalesce(o.doc_id, n.doc_id) AS BIGINT) AS key,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'deleted'
+       ELSE 'edited' END AS change
+FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+""",
+        # novelty: distinct window-8 rolling-hash shingles per doc,
+        # first owner = corpus-wide min doc_id per shingle
+        "doc_novelty": f"""
+WITH h AS (
+  SELECT DISTINCT doc_id,
+    CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
+  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+),
+f AS (SELECT hv, min(doc_id) AS first_doc FROM h GROUP BY hv)
+SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_novel,
+  CAST(10000 * sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+       // count(*) AS BIGINT) AS novelty_bp
+FROM h JOIN f USING (hv) GROUP BY h.doc_id
+""",
+        # debounce by the lag rule (same (user, type) < 60 s apart)
+        "events_dedup_burst": """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+    lag(ts) OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS pts
+  FROM events
+) WHERE pts IS NULL OR ts - pts > INTERVAL 60 SECOND
+""",
     }

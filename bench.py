@@ -221,6 +221,9 @@ def run_bench() -> dict:
         "doc_winnow",
         "vocab_heavy_hitters",
         "source_lang_pivot",
+        "corpus_diff_rows",
+        "doc_novelty",
+        "events_dedup_burst",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -9,6 +9,7 @@ import ray.data as rd
 from web_mass_scraper_ocr_ray.stages.diffsync import (
     _row_hashes,
     corpus_diff_ranges,
+    corpus_diff_rows,
     range_checksums,
 )
 
@@ -58,6 +59,27 @@ class TestDiffSync:
         rows = [(i, f"t{i}") for i in range(20)]
         assert corpus_diff_ranges(
             _ds(rows), _ds(rows), "k", "p", 8).take_all() == []
+
+    def test_diff_rows_classifies(self):
+        old = [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (5, "x")]
+        new = [(0, "a"), (1, "B"), (3, "d"), (7, "e"), (5, "x")]
+        got = {r["key"]: r["change"]
+               for r in corpus_diff_rows(_ds(old), _ds(new), "k", "p",
+                                         4).take_all()}
+        assert got == {1: "edited", 2: "deleted", 7: "added"}
+
+    def test_diff_rows_unchanged_rows_in_dirty_bucket_dropped(self):
+        # k=0 and k=4 share bucket 0; only k=0 is edited — k=4 must
+        # survive the bucket filter but NOT appear in the output
+        old = [(0, "a"), (4, "same")]
+        new = [(0, "A"), (4, "same")]
+        got = corpus_diff_rows(_ds(old), _ds(new), "k", "p", 4).take_all()
+        assert [(r["key"], r["change"]) for r in got] == [(0, "edited")]
+
+    def test_diff_rows_identical_empty(self):
+        rows = [(i, f"t{i}") for i in range(10)]
+        assert corpus_diff_rows(_ds(rows), _ds(rows), "k", "p",
+                                4).take_all() == []
 
     def test_swap_detected_despite_equal_counts(self):
         # two rows swap payloads within one bucket: counts equal,

@@ -143,6 +143,41 @@ class TestMisraGries:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNovelty:
+    def test_duplicate_scores_zero_original_full(self):
+        docs = rd.from_items([
+            {"doc_id": 1, "text": "the quick brown fox jumps high"},
+            {"doc_id": 2, "text": "the quick brown fox jumps high"},
+            {"doc_id": 3, "text": "совершенно different words here!"},
+        ])
+        from web_mass_scraper_ocr_ray.stages.tiering import (
+            novelty_table,
+        )
+
+        rows = {r["doc_id"]: r for r in novelty_table(docs).take_all()}
+        assert rows[1]["novelty_bp"] == 10000   # first owner of all
+        assert rows[2]["novelty_bp"] == 0       # exact dup, owns none
+        assert rows[3]["novelty_bp"] == 10000
+        assert rows[1]["n_shingles"] == rows[2]["n_shingles"]
+
+    def test_partial_overlap(self):
+        # doc 2 shares a long prefix with doc 1, adds a novel suffix
+        base = "aaaa bbbb cccc dddd eeee ffff"
+        docs = rd.from_items([
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " zzzz qqqq wwww"},
+        ])
+        from web_mass_scraper_ocr_ray.stages.tiering import (
+            novelty_table,
+        )
+
+        rows = {r["doc_id"]: r for r in novelty_table(docs).take_all()}
+        assert rows[1]["novelty_bp"] == 10000
+        assert 0 < rows[2]["novelty_bp"] < 10000
+        assert rows[2]["n_novel"] < rows[2]["n_shingles"]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHeavyHittersDistributed:
     def test_tree_fold_matches_guarantees(self):
         docs = rd.from_items([

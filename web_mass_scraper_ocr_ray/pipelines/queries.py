@@ -625,16 +625,10 @@ def q_source_lang_rollup(sf_dir: str):
         {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")})
 
 
-def q_corpus_diff_ranges(sf_dir: str):
-    """Merkle-style snapshot diff (stages/diffsync.py): old = the
-    documents table; new = a deterministic re-crawl (edits where
-    doc_id%97==0, deletes where %101==0, inserts doc_id+1e6 where
-    %103==0). Output = only the key ranges whose (count, xor)
-    checksums disagree — the triage step an incremental 100 TB sync
-    runs before any row-level work."""
-    from ..stages.diffsync import corpus_diff_ranges
-
-    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+def _mutated_snapshot(sf_dir: str):
+    """The deterministic 're-crawl' of documents the diff queries use:
+    edits where doc_id%97==0, deletes where %101==0, inserts
+    doc_id+1e6 where %103==0 (SQL mirror: the newsnap CTE)."""
 
     def _mutate(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -654,9 +648,31 @@ def q_corpus_diff_ranges(sf_dir: str):
         }).filter(pa.array(ids % 103 == 0))
         return pa.concat_tables([base, ins])
 
-    new = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _mutate, batch_format="pyarrow")
-    return corpus_diff_ranges(old, new, "doc_id", "text", n_ranges=256)
+
+
+def q_corpus_diff_ranges(sf_dir: str):
+    """Merkle-style snapshot diff (stages/diffsync.py): old = the
+    documents table; new = the deterministic re-crawl. Output = only
+    the key ranges whose (count, xor) checksums disagree — the triage
+    step an incremental 100 TB sync runs before any row-level work."""
+    from ..stages.diffsync import corpus_diff_ranges
+
+    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return corpus_diff_ranges(old, _mutated_snapshot(sf_dir),
+                              "doc_id", "text", n_ranges=256)
+
+
+def q_corpus_diff_rows(sf_dir: str):
+    """Row-level diff after range triage (diffsync.corpus_diff_rows):
+    (key, added/deleted/edited). Only rows in dirty buckets move —
+    incremental cost tracks the change volume, not the corpus."""
+    from ..stages.diffsync import corpus_diff_rows
+
+    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return corpus_diff_rows(old, _mutated_snapshot(sf_dir),
+                            "doc_id", "text", n_ranges=256)
 
 
 def q_doc_containment(sf_dir: str):
@@ -3138,6 +3154,38 @@ def q_source_lang_pivot(sf_dir: str):
         _onehot, batch_format="pyarrow").groupby("source").aggregate(*aggs)
 
 
+def q_doc_novelty(sf_dir: str):
+    """First-occurrence novelty (tiering.novelty_table): share of a
+    doc's distinct content shingles first owned (min doc_id) by the
+    doc itself — the novel-content-fraction curriculum signal."""
+    from ..stages.tiering import novelty_table
+
+    return novelty_table(_docs(sf_dir))
+
+
+def q_events_dedup_burst(sf_dir: str):
+    """Stream debounce: drop an event when the SAME (user, type) fired
+    < 60 s before it (lag rule — batch-expressible, unlike the chained
+    'previous kept' variant). Per-user groups sort in-worker; the
+    shuffle is the one groupby(user_id)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def _debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"])
+        prev = g.groupby("event_type")["ts"].shift(1)
+        keep = prev.isna() | (g["ts"] - prev >
+                              pd.Timedelta(seconds=60))
+        return g[keep][["event_id", "user_id", "event_type", "ts"]]
+
+    return ev.groupby("user_id").map_groups(_debounce,
+                                            batch_format="pandas")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -3273,4 +3321,7 @@ QUERIES: Dict[str, callable] = {
     "doc_winnow": q_doc_winnow,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "source_lang_pivot": q_source_lang_pivot,
+    "corpus_diff_rows": q_corpus_diff_rows,
+    "doc_novelty": q_doc_novelty,
+    "events_dedup_burst": q_events_dedup_burst,
 }

@@ -145,6 +145,82 @@ def winnow_table(docs_ds, hash_window: int = 8, sel_window: int = 16,
     )
 
 
+# ---- first-occurrence novelty scoring -------------------------------------
+
+def novelty_table(docs_ds, hash_window: int = 8):
+    """→ (doc_id, n_shingles, n_novel, novelty_bp): the share of a
+    document's distinct content shingles whose FIRST owner (min doc_id
+    corpus-wide) is the document itself — boilerplate scores ~0, fresh
+    prose ~10000. The dedup-adjacent quality signal (novel-content
+    fraction) LLM corpus curricula sort by.
+
+    Shape: distinct rolling-hash shingles per doc are a per-ROW
+    computation (no cross-row state); the exploded (hv, doc_id) pair
+    table takes one groupby(hv).min for first-owner attribution and
+    one groupby(doc_id).count per side — every shuffle carries 16-byte
+    rows with map-side combining, never text."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .textstats import _rolling_hashes
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hvs, out_ids = [], []
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            u = np.unique(_rolling_hashes(txt.encode("utf-8"),
+                                          hash_window))
+            hvs.append(u)
+            out_ids.append(np.full(len(u), ids[i], np.int64))
+        return pa.table({
+            "hv": pa.array(np.concatenate(hvs) if hvs else
+                           np.empty(0, np.uint64), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(out_ids) if out_ids else
+                               np.empty(0, np.int64), pa.int64()),
+        })
+
+    pairs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _pairs, batch_format="pyarrow").materialize()
+
+    n_sh = pairs.groupby("doc_id").aggregate(
+        Count(alias_name="n_shingles"))
+    novel = pairs.groupby("hv").aggregate(
+        Min("doc_id", alias_name="first_doc")
+    ).groupby("first_doc").aggregate(Count(alias_name="n_novel"))
+
+    def _left(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_shingles": t.column("n_shingles"),
+                         "n_novel": z})
+
+    def _right(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("first_doc"),
+                         "n_shingles": z,
+                         "n_novel": pc.cast(t.column("n_novel"),
+                                            pa.int64())})
+
+    both = n_sh.map_batches(_left, batch_format="pyarrow").union(
+        novel.map_batches(_right, batch_format="pyarrow"))
+    merged = both.groupby("doc_id").aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_novel", alias_name="n_novel"))
+
+    def _bp(t: pa.Table) -> pa.Table:
+        ns = pc.cast(t.column("n_shingles"), pa.int64())
+        nv = pc.cast(t.column("n_novel"), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_shingles": ns,
+            "n_novel": nv,
+            "novelty_bp": pc.divide(
+                pc.multiply(nv, pa.scalar(10000, pa.int64())), ns),
+        })
+
+    return merged.map_batches(_bp, batch_format="pyarrow")
+
+
 # ---- Misra-Gries heavy hitters -------------------------------------------
 
 class MisraGries:
