@@ -2532,4 +2532,45 @@ SELECT event_id, user_id, event_type, ts FROM (
   FROM events
 ) WHERE pts IS NULL OR ts - pts > INTERVAL 60 SECOND
 """,
+        # per-column profiling; count(DISTINCT) excludes nulls on
+        # both sides
+        "events_profile": """
+SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+  count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+  count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts),
+  count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+  count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+  count(DISTINCT props) FROM events
+""",
+        # 2-D skyline: not dominated on (token_count ↑, punct_count ↓)
+        "doc_skyline": """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+      AS token_count,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+      AS punct_count
+  FROM documents
+)
+SELECT a.doc_id, a.token_count, a.punct_count FROM f a
+WHERE NOT EXISTS (
+  SELECT 1 FROM f b
+  WHERE b.token_count >= a.token_count
+    AND b.punct_count <= a.punct_count
+    AND (b.token_count > a.token_count
+         OR b.punct_count < a.punct_count)
+)
+""",
     }

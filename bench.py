@@ -224,6 +224,8 @@ def run_bench() -> dict:
         "corpus_diff_rows",
         "doc_novelty",
         "events_dedup_burst",
+        "events_profile",
+        "doc_skyline",
     )
     for name in query_names:
         t0 = time.monotonic()

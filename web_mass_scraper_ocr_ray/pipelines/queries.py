@@ -3186,6 +3186,33 @@ def q_events_dedup_burst(sf_dir: str):
                                             batch_format="pandas")
 
 
+def q_events_profile(sf_dir: str):
+    """Dataset profiling (stages/profile.profile_columns): per-column
+    row/null/exact-distinct counts — one streaming pass for the
+    null partials plus one narrow distinct-shuffle per column."""
+    import ray.data as rd
+
+    from ..stages.profile import profile_columns
+
+    return profile_columns(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        ["event_id", "user_id", "event_type", "ts", "value", "props"])
+
+
+def q_doc_skyline(sf_dir: str):
+    """2-D Pareto frontier (stages/profile.skyline_2d): documents not
+    dominated on (token_count ↑, punct_count ↓). Rows never shuffle —
+    only the groupby(token_count).min(punct_count) histogram does,
+    folded into a broadcast suffix-min lookup."""
+    from ..stages.profile import skyline_2d
+    from ..stages.textstats import QualityScorer
+
+    feats = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        QualityScorer(), batch_format="pyarrow"
+    ).select_columns(["doc_id", "token_count", "punct_count"])
+    return skyline_2d(feats, "token_count", "punct_count")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -3324,4 +3351,6 @@ QUERIES: Dict[str, callable] = {
     "corpus_diff_rows": q_corpus_diff_rows,
     "doc_novelty": q_doc_novelty,
     "events_dedup_burst": q_events_dedup_burst,
+    "events_profile": q_events_profile,
+    "doc_skyline": q_doc_skyline,
 }
