@@ -2573,4 +2573,50 @@ WHERE NOT EXISTS (
          OR b.punct_count < a.punct_count)
 )
 """,
+        # co-citation: src-host pairs sharing ≥3 targets; targets with
+        # indegree > 64 excluded by contract on both sides
+        "host_cocitation": f"""
+WITH {_LINK_HL_CTE},
+e AS (
+  SELECT DISTINCT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host
+  FROM hl
+),
+deg AS (SELECT dst_host, count(*) AS c FROM e GROUP BY 1),
+keep AS (SELECT e.src_host, e.dst_host
+         FROM e JOIN deg USING (dst_host) WHERE deg.c <= 64)
+SELECT a.src_host AS host_a, b.src_host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM keep a JOIN keep b
+  ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+        # per-source tier cutoffs: same discrete rule, partitioned
+        "doc_quality_tiers_by_source": """
+WITH f AS (
+  SELECT doc_id, source,
+    CAST(100
+      + 2 * len(regexp_extract_all(text, '\\S+'))
+      + 5 * len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      - 3 * len(regexp_extract_all(text, '[^\\w\\s]'))
+      AS BIGINT) AS score
+  FROM documents
+),
+h AS (SELECT source, score, count(*) AS c FROM f GROUP BY 1, 2),
+s AS (SELECT source, score,
+        sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+        sum(c) OVER (PARTITION BY source) AS tot
+      FROM h),
+q AS (SELECT unnest([2500, 5000, 7500]) AS q_bp),
+cut AS (SELECT s.source, q.q_bp, min(s.score) AS cutv
+        FROM q JOIN s
+          ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+        GROUP BY 1, 2)
+SELECT f.doc_id, f.source, f.score,
+  CAST((SELECT count(*) FROM cut
+        WHERE cut.source = f.source AND f.score >= cut.cutv)
+       AS BIGINT) AS tier
+FROM f
+""",
     }

@@ -226,6 +226,8 @@ def run_bench() -> dict:
         "events_dedup_burst",
         "events_profile",
         "doc_skyline",
+        "host_cocitation",
+        "doc_quality_tiers_by_source",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -311,3 +311,41 @@ class TestHostTriangles:
         })
         out = host_triangles(rd.from_arrow(edges)).to_pandas()
         assert len(out) == 0
+
+
+class TestCocitation:
+    def test_common_targets_counted(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import (
+            host_cocitation,
+        )
+
+        # a and b share t1,t2,t3 (+ a duplicate edge); b and c share t3
+        edges = pa.table({
+            "src_host": ["a", "a", "a", "a", "b", "b", "b", "c"],
+            "dst_host": ["t1", "t2", "t3", "t1", "t1", "t2", "t3",
+                         "t3"],
+        })
+        out = host_cocitation(rd.from_arrow(edges).repartition(3),
+                              min_common=3).to_pandas()
+        assert [(r.host_a, r.host_b, r.n_common)
+                for r in out.itertuples()] == [("a", "b", 3)]
+
+    def test_mega_hub_excluded(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.linkgraph import (
+            host_cocitation,
+        )
+
+        # hub has indegree 3 > max_indegree=2 → contributes nothing;
+        # a-b still share t1,t2
+        edges = pa.table({
+            "src_host": ["a", "b", "c", "a", "b", "a", "b"],
+            "dst_host": ["hub", "hub", "hub", "t1", "t1", "t2", "t2"],
+        })
+        out = host_cocitation(rd.from_arrow(edges), min_common=2,
+                              max_indegree=2).to_pandas()
+        assert [(r.host_a, r.host_b, r.n_common)
+                for r in out.itertuples()] == [("a", "b", 2)]

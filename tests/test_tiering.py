@@ -143,6 +143,28 @@ class TestMisraGries:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestGroupedTiers:
+    def test_per_group_cutoffs_independent(self):
+        from web_mass_scraper_ocr_ray.stages.tiering import (
+            quality_tiers_by_source,
+        )
+
+        # source A: scores rise with i; source B: all identical docs.
+        docs = rd.from_items(
+            [{"doc_id": i, "source": "A",
+              "text": " ".join(["the"] * (i + 1))} for i in range(20)]
+            + [{"doc_id": 100 + i, "source": "B", "text": "the and of"}
+               for i in range(5)])
+        rows = quality_tiers_by_source(docs).take_all()
+        a = sorted((r["score"], r["tier"]) for r in rows
+                   if r["source"] == "A")
+        assert [t for _, t in a] == sorted(t for _, t in a)
+        assert {t for _, t in a} == {0, 1, 2, 3}
+        # B's constant score clears all three of ITS OWN cutoffs
+        assert {r["tier"] for r in rows if r["source"] == "B"} == {3}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNovelty:
     def test_duplicate_scores_zero_original_full(self):
         docs = rd.from_items([

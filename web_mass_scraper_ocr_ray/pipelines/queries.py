@@ -3213,6 +3213,26 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_host_cocitation(sf_dir: str):
+    """Co-citation host similarity (linkgraph.host_cocitation): source
+    hosts sharing ≥ 3 common link targets, mega-hub targets
+    (indegree > 64) excluded by contract — the link-ring detector."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    edges = lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    return lg.host_cocitation(edges, min_common=3, max_indegree=64)
+
+
+def q_doc_quality_tiers_by_source(sf_dir: str):
+    """Per-source tier extraction (tiering.quality_tiers_by_source):
+    each mixture stratum gets its own quantile cutoffs."""
+    from ..stages.tiering import quality_tiers_by_source
+
+    return quality_tiers_by_source(
+        _docs(sf_dir).select_columns(["doc_id", "source", "text"]))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -3353,4 +3373,6 @@ QUERIES: Dict[str, callable] = {
     "events_dedup_burst": q_events_dedup_burst,
     "events_profile": q_events_profile,
     "doc_skyline": q_doc_skyline,
+    "host_cocitation": q_host_cocitation,
+    "doc_quality_tiers_by_source": q_doc_quality_tiers_by_source,
 }

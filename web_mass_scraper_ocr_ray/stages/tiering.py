@@ -82,6 +82,56 @@ def quality_tiers(docs_ds, q_bps: Sequence[int] = (2500, 5000, 7500),
     return scored.map_batches(_assign, batch_format="pyarrow")
 
 
+def quality_tiers_by_source(docs_ds, group_col: str = "source",
+                            q_bps: Sequence[int] = (2500, 5000, 7500),
+                            concurrency=(1, 4)):
+    """Grouped tier extraction → (doc_id, source, score, tier): each
+    source stratum gets its OWN quantile cutoffs, so a spammy domain's
+    tier 3 is its local best, not the corpus's (the per-mixture
+    curriculum cut). Same shape as :func:`quality_tiers` — the grouped
+    (group, score, count) histogram is bounded by Σ per-group distinct
+    scores; the cutoff table (groups × len(q_bps) ints) is captured by
+    closure for the stateless second pass."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .quality_model import LinearQualityModel
+
+    scored = docs_ds.map_batches(
+        LinearQualityModel,
+        fn_constructor_kwargs={"passthrough": (group_col,)},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", group_col, "score"]).materialize()
+
+    hist = scored.groupby([group_col, "score"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    cuts_by_group = {}
+    for grp, g in hist.groupby(group_col):
+        g = g.sort_values("score")
+        cuts_by_group[grp] = np.array(sorted(_discrete_cutoffs(
+            g["score"].to_numpy(), g["n"].to_numpy(), q_bps)),
+            dtype=np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column("score"), pa.int64())
+                       .combine_chunks())
+        grps = t.column(group_col).to_pylist()
+        tier = np.empty(len(s), dtype=np.int64)
+        # vectorize per distinct group in the batch (≤ #sources)
+        import collections
+        idx_by_grp = collections.defaultdict(list)
+        for i, g in enumerate(grps):
+            idx_by_grp[g].append(i)
+        for g, idxs in idx_by_grp.items():
+            ii = np.asarray(idxs)
+            tier[ii] = np.searchsorted(cuts_by_group[g], s[ii],
+                                       side="right")
+        return t.append_column("tier", pa.array(tier, pa.int64()))
+
+    return scored.map_batches(_assign, batch_format="pyarrow")
+
+
 # ---- winnowing fingerprint selection -------------------------------------
 
 def _window_min_values(h: np.ndarray, w: int) -> np.ndarray:
