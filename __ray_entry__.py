@@ -2619,4 +2619,38 @@ SELECT f.doc_id, f.source, f.score,
        AS BIGINT) AS tier
 FROM f
 """,
+        # CUBE with the '(all)' sentinel the engine uses for rolled-up
+        # string keys
+        "events_cube": """
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_value_centi
+FROM e GROUP BY CUBE (event_type, day)
+""",
+        # 3-sigma outliers in HUGEINT arithmetic — the division-free
+        # z² > 9 rule over per-type (n, Σv, Σv²)
+        "events_outliers": """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_centi
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(value_centi) AS HUGEINT) AS s1,
+         CAST(sum(CAST(value_centi AS HUGEINT) * value_centi)
+              AS HUGEINT) AS s2
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value_centi
+FROM e JOIN m USING (event_type)
+WHERE (m.n * e.value_centi - m.s1) * (m.n * e.value_centi - m.s1)
+      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+""",
     }

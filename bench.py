@@ -228,6 +228,8 @@ def run_bench() -> dict:
         "doc_skyline",
         "host_cocitation",
         "doc_quality_tiers_by_source",
+        "events_cube",
+        "events_outliers",
     )
     for name in query_names:
         t0 = time.monotonic()

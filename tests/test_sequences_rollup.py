@@ -88,3 +88,35 @@ class TestRollupAggregate:
             ).take_all()
         }
         assert got == {"x": 1, "y": 2, "(all)": 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCubeAggregate:
+    def test_all_grouping_sets(self):
+        from web_mass_scraper_ocr_ray.stages.shuffle import (
+            cube_aggregate,
+        )
+
+        rows = [
+            {"s": "x", "l": "en", "v": 1},
+            {"s": "x", "l": "de", "v": 4},
+            {"s": "y", "l": "en", "v": 8},
+        ]
+        got = {
+            (r["s"], r["l"]): (r["n"], r["sv"])
+            for r in cube_aggregate(
+                rd.from_items(rows), ("s", "l"),
+                {"n": (None, "count"), "sv": ("v", "sum")},
+            ).take_all()
+        }
+        assert got == {
+            ("x", "en"): (1, 1),
+            ("x", "de"): (1, 4),
+            ("y", "en"): (1, 8),
+            ("x", "(all)"): (2, 5),
+            ("y", "(all)"): (1, 8),
+            # CUBE adds the (all), lang sets that ROLLUP lacks
+            ("(all)", "en"): (2, 9),
+            ("(all)", "de"): (1, 4),
+            ("(all)", "(all)"): (3, 13),
+        }

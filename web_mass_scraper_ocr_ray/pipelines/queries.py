@@ -3213,6 +3213,97 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_outliers(sf_dir: str):
+    """Per-type 3-sigma outliers in PURE INTEGERS: an event is an
+    outlier iff (n·v − sum)² > 9·n·(n·sumsq − sum²) — the z² > 9 rule
+    cleared of every division, so the oracle reproduces it bit-exactly
+    (the events_value_trend sufficient-statistics discipline).
+
+    Shape: one two-phase (n, Σv, Σv²) aggregate over the ~|types|
+    groups, the tiny moment table captured by closure, then a
+    stateless flag pass — the events never shuffle."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                     pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "value_centi": vc})
+
+    ev = ev.map_batches(_centi, batch_format="pyarrow").materialize()
+
+    def _moments(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("value_centi").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        tb = pa.table({"event_type": et,
+                       "n": pa.array(np.ones(len(v), np.int64)),
+                       "s1": pa.array(v),
+                       "s2": pa.array(v * v)})
+        return tb.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")]
+        ).rename_columns(["event_type", "n", "s1", "s2"])
+
+    from ray.data.aggregate import Sum
+
+    mom = ev.map_batches(_moments, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2")).take_all()
+    by_type = {r["event_type"]: (int(r["n"]), int(r["s1"]),
+                                 int(r["s2"])) for r in mom}
+
+    def _flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("value_centi").to_numpy(
+            zero_copy_only=False).astype(object)
+        types = t.column("event_type").to_pylist()
+        keep = np.zeros(len(v), dtype=bool)
+        for i, (ty, vv) in enumerate(zip(types, v)):
+            n, s1, s2 = by_type[ty]
+            # z² > 9 without division: (v−μ)² > 9σ² times n² on both
+            # sides gives (n·v − s1)² > 9·(n·s2 − s1²), since
+            # n²σ² = n·s2 − s1². Python ints — overflow-free.
+            keep[i] = (n * int(vv) - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+        return t.filter(pa.array(keep))
+
+    return ev.map_batches(_flag, batch_format="pyarrow")
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day) in ONE shuffle
+    (stages/shuffle.cube_aggregate): all four grouping sets expand
+    before the map-side combiner, so the wire still carries partial
+    rows, not events."""
+    import ray.data as rd
+
+    from ..stages.shuffle import cube_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "value_centi": pc.cast(
+                pc.round(pc.multiply(t.column("value"), 100.0)),
+                pa.int64()),
+        })
+
+    return cube_aggregate(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n_events": (None, "count"),
+         "sum_value_centi": ("value_centi", "sum")})
+
+
 def q_host_cocitation(sf_dir: str):
     """Co-citation host similarity (linkgraph.host_cocitation): source
     hosts sharing ≥ 3 common link targets, mega-hub targets
@@ -3375,4 +3466,6 @@ QUERIES: Dict[str, callable] = {
     "doc_skyline": q_doc_skyline,
     "host_cocitation": q_host_cocitation,
     "doc_quality_tiers_by_source": q_doc_quality_tiers_by_source,
+    "events_cube": q_events_cube,
+    "events_outliers": q_events_outliers,
 }

@@ -116,6 +116,35 @@ def rollup_aggregate(ds, keys: Sequence[str], spec: AggSpec,
         ds.map_batches(_expand, batch_format="pyarrow"), tuple(keys), spec)
 
 
+def cube_aggregate(ds, keys: Sequence[str], spec: AggSpec,
+                   sentinel: str = "(all)"):
+    """GROUP BY CUBE(keys...): all 2^len(keys) grouping sets in ONE
+    two-phase shuffle — the same expand-before-combiner trick as
+    :func:`rollup_aggregate`, over every key subset instead of the
+    prefixes. Keep ``keys`` short (2-3): the expansion factor is
+    2^k rows into the map-side combiner, which still collapses to
+    O(Σ distinct per set × batches) partial rows on the wire."""
+    keys = list(keys)
+    n_sets = 1 << len(keys)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sent = pa.array([sentinel] * n, pa.string())
+        parts = []
+        for mask in range(n_sets):
+            cols = {}
+            for j, k in enumerate(keys):
+                cols[k] = t.column(k) if (mask >> j) & 1 else sent
+            for c in t.column_names:
+                if c not in keys:
+                    cols[c] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return two_phase_aggregate(
+        ds.map_batches(_expand, batch_format="pyarrow"), tuple(keys), spec)
+
+
 def compact_state(state_ds, delta_ds, key, spec: AggSpec):
     """Incremental materialized-view COMPACTION — merge a new delta
     batch into a running per-key aggregate state (the 'nightly events
