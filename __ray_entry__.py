@@ -2653,4 +2653,32 @@ FROM e JOIN m USING (event_type)
 WHERE (m.n * e.value_centi - m.s1) * (m.n * e.value_centi - m.s1)
       > 9 * (m.n * m.s2 - m.s1 * m.s1)
 """,
+        # TPC-H-Q5 shape; revenue in integer micro-dollars
+        "region_supplier_revenue": """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+       AS BIGINT) AS revenue_micro
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+        # int8 quantization: float32→double promotion is exact and the
+        # multiply/divide order matches the numpy kernel
+        "embedding_quantize": """
+WITH x AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+m AS (SELECT vec_id, max(abs(v)) AS mx FROM x GROUP BY vec_id)
+SELECT x.vec_id, x.pos,
+  CAST(CASE WHEN m.mx = 0 THEN 0
+            ELSE trunc((x.v * 127.0) / m.mx) END AS BIGINT) AS q8,
+  CAST(trunc(m.mx * 1e6) AS BIGINT) AS scale_micro
+FROM x JOIN m USING (vec_id)
+""",
     }

@@ -230,6 +230,8 @@ def run_bench() -> dict:
         "doc_quality_tiers_by_source",
         "events_cube",
         "events_outliers",
+        "region_supplier_revenue",
+        "embedding_quantize",
     )
     for name in query_names:
         t0 = time.monotonic()

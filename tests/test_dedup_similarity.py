@@ -614,3 +614,32 @@ class TestKeepBestPerGroup:
             sort_keys=[("score", "descending"), ("doc_id", "ascending")],
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_bounds_and_zero_vector(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.similarity import (
+            quantize_embeddings,
+        )
+
+        vecs = [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0], [2.0, 1.0, -2.0]]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }))
+        rows = sorted(quantize_embeddings(ds).take_all(),
+                      key=lambda r: (r["vec_id"], r["pos"]))
+        by_vec = {}
+        for r in rows:
+            by_vec.setdefault(r["vec_id"], []).append(r)
+        # q8 = trunc(x*127/max|x|)
+        assert [r["q8"] for r in by_vec[10]] == [63, -127, 31]
+        assert [r["q8"] for r in by_vec[11]] == [0, 0, 0]
+        assert [r["q8"] for r in by_vec[12]] == [127, 63, -127]
+        assert by_vec[11][0]["scale_micro"] == 0
+        assert by_vec[12][0]["scale_micro"] == 2_000_000
+        assert all(-127 <= r["q8"] <= 127 for r in rows)
+        assert [r["pos"] for r in by_vec[10]] == [0, 1, 2]

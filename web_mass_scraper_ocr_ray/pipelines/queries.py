@@ -3213,6 +3213,77 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_region_supplier_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped star join: lineitem revenue rolled up to
+    (region, nation) through supplier→nation→region. The dimension
+    chain composes into ONE suppkey→(region, nation) lookup built
+    from the three small tables and broadcast via ``ray.put``; the
+    fact table streams through a stateless map + per-batch partial
+    aggregation — zero fact-side shuffle beyond the final ~25-group
+    exchange. Revenue in integer micro-dollars
+    (price_centi × (10⁴ − discount_bp)) — order-independent."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                      nat.column("n_name").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+    lookup = {sk: (r2name[n2r[nk]], n2name[nk])
+              for sk, nk in zip(sup.column("s_suppkey").to_pylist(),
+                                sup.column("s_nationkey").to_pylist())}
+    lookup_ref = ray.put(lookup)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lk = ray.get(lookup_ref)
+        price_c = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+            .combine_chunks())
+        disc_bp = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+            .combine_chunks())
+        rev = price_c * (10000 - disc_bp)
+        names = [lk[s] for s in t.column("l_suppkey").to_pylist()]
+        tb = pa.table({
+            "r_name": pa.array([r for r, _ in names], pa.string()),
+            "n_name": pa.array([n for _, n in names], pa.string()),
+            "n_items": pa.array(np.ones(len(rev), np.int64)),
+            "revenue_micro": pa.array(rev, pa.int64()),
+        })
+        return tb.group_by(["r_name", "n_name"]).aggregate(
+            [("n_items", "sum"), ("revenue_micro", "sum")]
+        ).rename_columns(["r_name", "n_name", "n_items",
+                          "revenue_micro"])
+
+    return li.map_batches(_partial, batch_format="pyarrow").groupby(
+        ["r_name", "n_name"]).aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_micro", alias_name="revenue_micro"))
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Int8 vector quantization (similarity.quantize_embeddings):
+    exploded (vec_id, pos, q8, scale_micro), bit-exact vs the SQL
+    mirror (same float32→double promotion, same multiply/divide
+    order)."""
+    from ..stages.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(sf_dir))
+
+
 def q_events_outliers(sf_dir: str):
     """Per-type 3-sigma outliers in PURE INTEGERS: an event is an
     outlier iff (n·v − sum)² > 9·n·(n·sumsq − sum²) — the z² > 9 rule
@@ -3468,4 +3539,6 @@ QUERIES: Dict[str, callable] = {
     "doc_quality_tiers_by_source": q_doc_quality_tiers_by_source,
     "events_cube": q_events_cube,
     "events_outliers": q_events_outliers,
+    "region_supplier_revenue": q_region_supplier_revenue,
+    "embedding_quantize": q_embedding_quantize,
 }

@@ -502,3 +502,45 @@ def _band_hashers(t: pa.Table, vec_col: str, n_bits: int, n_bands: int,
     dim = len(col[0].as_py()) if t.num_rows else 1
     return [HyperplaneHasher(dim, n_bits, seed + 101 * b)
             for b in range(n_bands)]
+
+
+def quantize_embeddings(emb_ds, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Symmetric int8 vector quantization → exploded
+    (vec_id, pos, q8, scale_micro): q8 = trunc(x·127/max|x|) per
+    vector — the 4× compression step before ANN index shipping, with
+    integer outputs so the DuckDB oracle recomputes every component
+    bit-exactly (float32→double promotion is exact; one multiply and
+    one divide in the SAME order on both sides → identical IEEE
+    results, the sampling-op discipline).
+
+    Streaming map, no shuffle; all-zero vectors quantize to zeros with
+    scale_micro = 0 by contract."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _quant(t: pa.Table) -> pa.Table:
+        col = t.column(emb_col).combine_chunks()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
+        row = np.asarray(pc.list_parent_indices(col), dtype=np.int64)
+        n = t.num_rows
+        mx = np.zeros(n, dtype=np.float64)
+        np.maximum.at(mx, row, np.abs(flat))
+        safe = np.where(mx == 0.0, 1.0, mx)
+        q8 = np.trunc(flat * 127.0 / safe[row]).astype(np.int64)
+        q8[mx[row] == 0.0] = 0
+        # component position within its vector
+        starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        pos = np.arange(len(row)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(row)]))
+        return pa.table({
+            id_col: pa.array(ids[row], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "q8": pa.array(q8, pa.int64()),
+            "scale_micro": pa.array(
+                np.trunc(mx[row] * 1e6).astype(np.int64), pa.int64()),
+        })
+
+    return emb_ds.select_columns([id_col, emb_col]).map_batches(
+        _quant, batch_format="pyarrow")
