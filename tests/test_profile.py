@@ -27,6 +27,27 @@ class TestProfile:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestProfileKeyEncoding:
+    def test_embedded_nul_values_stay_distinct(self):
+        # 1 and 1+2^16 share every byte up to the first NUL — the
+        # numpy-'S8' → pa.array path truncated there (C-string
+        # semantics) and merged them; FixedSizeBinary must not
+        ds = rd.from_arrow(pa.table({
+            "a": pa.array([1, 1 + 2**16, 1 + 2**32, 256, 2, 2 + 2**16],
+                          pa.int64()),
+        }))
+        t = profile_columns(ds, ["a"])
+        assert t.to_pylist()[0]["n_distinct"] == 6
+
+    def test_float_bit_patterns_distinct(self):
+        ds = rd.from_arrow(pa.table({
+            "f": pa.array([0.0, 1.0, 1.5, -1.5, 2.0**-30], pa.float64()),
+        }))
+        t = profile_columns(ds, ["f"])
+        assert t.to_pylist()[0]["n_distinct"] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSkyline:
     def _run(self, pts):
         ds = rd.from_items([
