@@ -2681,4 +2681,35 @@ SELECT x.vec_id, x.pos,
   CAST(trunc(m.mx * 1e6) AS BIGINT) AS scale_micro
 FROM x JOIN m USING (vec_id)
 """,
+        # tier CTE composed with the stratified-sample hash rule
+        "doc_tier_sample": """
+WITH f AS (
+  SELECT doc_id,
+    CAST(100
+      + 2 * len(regexp_extract_all(text, '\\S+'))
+      + 5 * len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      - 3 * len(regexp_extract_all(text, '[^\\w\\s]'))
+      AS BIGINT) AS score
+  FROM documents
+),
+h AS (SELECT score, count(*) AS c FROM f GROUP BY score),
+s AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+             sum(c) OVER () AS tot FROM h),
+q AS (SELECT unnest([2500, 5000, 7500]) AS q_bp),
+cut AS (SELECT q.q_bp, min(s.score) AS cutv
+        FROM q JOIN s
+          ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+        GROUP BY q.q_bp),
+tiers AS (
+  SELECT f.doc_id, f.score,
+    CAST((SELECT count(*) FROM cut WHERE f.score >= cut.cutv)
+         AS BIGINT) AS tier
+  FROM f
+)
+SELECT doc_id, score, tier FROM tiers
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
+      < CASE tier WHEN 0 THEN 500 WHEN 1 THEN 1000
+                  WHEN 2 THEN 2000 ELSE 10000 END
+""",
     }

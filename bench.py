@@ -232,6 +232,7 @@ def run_bench() -> dict:
         "events_outliers",
         "region_supplier_revenue",
         "embedding_quantize",
+        "doc_tier_sample",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -3213,6 +3213,22 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_doc_tier_sample(sf_dir: str):
+    """Operator COMPOSITION: tier extraction → tier-weighted
+    deterministic sampling (keep 5% of tier 0 up to 100% of tier 3 —
+    the quality-curriculum mixing step). Both stages are stateless
+    after their tiny broadcast tables; same id-hash Bernoulli rule as
+    `doc_sample_stratified`, so the SQL oracle composes the two CTEs."""
+    from ..stages.sampling import stratified_sample
+    from ..stages.tiering import quality_tiers
+
+    tiers = quality_tiers(_docs(sf_dir).select_columns(
+        ["doc_id", "text"]))
+    rates = {0: 500, 1: 1000, 2: 2000, 3: 10000}
+    return stratified_sample(tiers, id_col="doc_id", strata_col="tier",
+                             rates_bp=rates)
+
+
 def q_region_supplier_revenue(sf_dir: str):
     """TPC-H-Q5-shaped star join: lineitem revenue rolled up to
     (region, nation) through supplier→nation→region. The dimension
@@ -3541,4 +3557,5 @@ QUERIES: Dict[str, callable] = {
     "events_outliers": q_events_outliers,
     "region_supplier_revenue": q_region_supplier_revenue,
     "embedding_quantize": q_embedding_quantize,
+    "doc_tier_sample": q_doc_tier_sample,
 }
