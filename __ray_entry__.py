@@ -2712,4 +2712,34 @@ WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
       < CASE tier WHEN 0 THEN 500 WHEN 1 THEN 1000
                   WHEN 2 THEN 2000 ELSE 10000 END
 """,
+        # MOSS winnowing overlap pairs over the near-dup corpus —
+        # same window-min CTE as doc_winnow, self-joined
+        "dedup_winnow_pairs": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' xqz' AS text
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+    CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
+  FROM corpus, unnest(range(1, length(text) - 6)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mh,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wn,
+    count(*) OVER (PARTITION BY doc_id) AS tot
+  FROM h
+),
+sel AS (SELECT DISTINCT doc_id, mh FROM w
+        WHERE wn = 16 OR (pos = tot AND tot < 16))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+""",
     }

@@ -233,6 +233,7 @@ def run_bench() -> dict:
         "region_supplier_revenue",
         "embedding_quantize",
         "doc_tier_sample",
+        "dedup_winnow_pairs",
     )
     for name in query_names:
         t0 = time.monotonic()

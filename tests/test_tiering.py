@@ -165,6 +165,34 @@ class TestGroupedTiers:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWinnowPairs:
+    def test_near_dup_found_unrelated_not(self):
+        from web_mass_scraper_ocr_ray.stages.tiering import winnow_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and "
+                "keeps on running through the quiet forest tonight")
+        docs = rd.from_items([
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " xqz"},  # near-dup of 1
+            {"doc_id": 3, "text": "zw qv jx " * 15},  # unrelated
+        ]).repartition(2)
+        got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+               for r in winnow_pairs(docs, min_shared=2).take_all()}
+        assert (1, 2) in got
+        assert got[(1, 2)] >= 2
+        assert not any(3 in p for p in got)
+
+    def test_shared_count_symmetric_ordering(self):
+        from web_mass_scraper_ocr_ray.stages.tiering import winnow_pairs
+
+        t = "abcdefghijklmnopqrstuvwxyz0123456789 " * 4
+        docs = rd.from_items([{"doc_id": 9, "text": t},
+                              {"doc_id": 4, "text": t}])
+        got = winnow_pairs(docs, min_shared=1).take_all()
+        assert [(r["doc_a"], r["doc_b"]) for r in got] == [(4, 9)]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNovelty:
     def test_duplicate_scores_zero_original_full(self):
         docs = rd.from_items([

@@ -3213,6 +3213,16 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_dedup_winnow_pairs(sf_dir: str):
+    """MOSS-style winnowing overlap pairs (tiering.winnow_pairs) over
+    the near-dup corpus: recall-complete for shared substrings ≥
+    hash_window + sel_window − 1 = 23 bytes. Exact join semantics —
+    the SQL self-join recomputes every pair and shared-count."""
+    from ..stages.tiering import winnow_pairs
+
+    return winnow_pairs(_docs_with_neardups(sf_dir), min_shared=8)
+
+
 def q_doc_tier_sample(sf_dir: str):
     """Operator COMPOSITION: tier extraction → tier-weighted
     deterministic sampling (keep 5% of tier 0 up to 100% of tier 3 —
@@ -3558,4 +3568,5 @@ QUERIES: Dict[str, callable] = {
     "region_supplier_revenue": q_region_supplier_revenue,
     "embedding_quantize": q_embedding_quantize,
     "doc_tier_sample": q_doc_tier_sample,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
 }
