@@ -2742,4 +2742,19 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 8
 """,
+        # watermark late arrivals: arrival order = bijective modular
+        # permutation of event_id (simulated out-of-order delivery),
+        # global running-max ts with a strictly-preceding frame
+        "events_late": """
+SELECT arrival, user_id, ts, wm AS watermark_ts FROM (
+  SELECT CAST((CAST(event_id AS HUGEINT) * 2654435761)
+              % 1000000007 AS BIGINT) AS arrival,
+         user_id, ts,
+    max(ts) OVER (ORDER BY (CAST(event_id AS HUGEINT) * 2654435761)
+                           % 1000000007
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS wm
+  FROM events
+) WHERE wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR
+""",
     }

@@ -234,6 +234,7 @@ def run_bench() -> dict:
         "embedding_quantize",
         "doc_tier_sample",
         "dedup_winnow_pairs",
+        "events_late",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -120,3 +120,39 @@ class TestCubeAggregate:
             ("(all)", "de"): (1, 4),
             ("(all)", "(all)"): (3, 13),
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateEvents:
+    def _ds(self, rows):
+        import pandas as pd
+
+        return rd.from_items([
+            {"event_id": i, "user_id": 1,
+             "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(hours=h)}
+            for i, h in rows])
+
+    def test_in_order_stream_no_late(self):
+        from web_mass_scraper_ocr_ray.stages.sequences import late_events
+
+        ds = self._ds([(i, i) for i in range(50)])
+        assert late_events(ds, 3_600_000_000, n_ranges=4
+                           ).take_all() == []
+
+    def test_late_event_found_with_cross_bucket_carry(self):
+        import pandas as pd
+
+        from web_mass_scraper_ocr_ray.stages.sequences import late_events
+
+        # arrival ids 0..49; the max ts (hour 100) arrives FIRST (id
+        # 0); a 2-hour-behind event arrives at id 40 — with n_ranges=8
+        # the watermark must CARRY across buckets to catch it
+        rows = [(0, 100)] + [(i, 100 + i) for i in range(1, 40)] \
+            + [(40, 30)] + [(i, 140 + i) for i in range(41, 50)]
+        got = late_events(self._ds(rows), 3_600_000_000,
+                          n_ranges=8).take_all()
+        late_ids = sorted(r["event_id"] for r in got)
+        assert 40 in late_ids
+        # watermark for id 40 = hour 139 (max of ids 0..39)
+        wm = {r["event_id"]: r["watermark_ts"] for r in got}[40]
+        assert wm == pd.Timestamp("2026-01-01") + pd.Timedelta(hours=139)

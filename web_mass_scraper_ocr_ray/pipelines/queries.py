@@ -3213,6 +3213,38 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_late(sf_dir: str):
+    """Watermark late-data detection (sequences.late_events): events
+    arriving > 1 h behind the global running-max timestamp. The log's
+    ts is monotone in event_id, so ARRIVAL order is simulated with
+    the house multiplicative id-hash (deterministic out-of-order
+    network delivery); the SQL oracle orders by the same expression.
+    The distributed prefix-max: linear range buckets + per-bucket
+    carry — one row shuffle, no global sort."""
+    import ray.data as rd
+
+    from ..stages.sequences import late_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def _arrival(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # bijective modular permutation (prime modulus) — unlike a
+        # 2^32 hash, NO collisions, so the arrival order is total and
+        # the window result deterministic (ids < 10^9+7 by contract)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        arr = (e.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1_000_000_007)
+        return t.append_column("arrival",
+                               pa.array(arr.astype(np.int64)))
+
+    ev = ev.map_batches(_arrival, batch_format="pyarrow")
+    return late_events(ev, watermark_us=3_600_000_000,
+                       order_col="arrival")
+
+
 def q_dedup_winnow_pairs(sf_dir: str):
     """MOSS-style winnowing overlap pairs (tiering.winnow_pairs) over
     the near-dup corpus: recall-complete for shared substrings ≥
@@ -3569,4 +3601,5 @@ QUERIES: Dict[str, callable] = {
     "embedding_quantize": q_embedding_quantize,
     "doc_tier_sample": q_doc_tier_sample,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "events_late": q_events_late,
 }

@@ -21,7 +21,9 @@ events (holds for this corpus — event_id breaks ts ties).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .shuffle import two_phase_aggregate
 
@@ -57,3 +59,65 @@ def event_transitions(ev_ds, user_col: str = "user_id",
 
     return counts.groupby("ev_from").map_groups(
         _norm, batch_format="pandas")
+
+
+def late_events(ev_ds, watermark_us: int, order_col: str = "event_id",
+                ts_col: str = "ts", n_ranges: int = 64):
+    """Watermark-based late-data detection — the streaming primitive
+    batch engines fake with a GLOBAL running max: an event is LATE
+    when its timestamp falls more than ``watermark_us`` behind the
+    max timestamp of everything that ARRIVED before it (arrival order
+    = ``order_col``).
+
+    The global prefix-max is a range-partitioned scan, no sort of the
+    full table: (1) min/max of ``order_col`` (one cheap aggregate)
+    define n_ranges LINEAR buckets — bucket balance affects only
+    load, never correctness; (2) a stateless map assigns each row its
+    bucket; (3) per-bucket max(ts) — a tiny n_ranges-row table the
+    driver folds into per-bucket CARRY values (prefix-max of all
+    strictly earlier buckets); (4) in-bucket sort + running max,
+    seeded by the carry. Rows shuffle ONCE (the bucket groupby);
+    everything else is n_ranges-sized.
+
+    → late rows only: (event_id, user_id, ts, watermark_ts)."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ev_ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(mm[f"min({order_col})"])
+    hi = int(mm[f"max({order_col})"])
+    span = max(hi - lo + 1, 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        b = np.clip((o - lo) * n_ranges // span, 0, n_ranges - 1)
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    bucketed = ev_ds.map_batches(_bucket,
+                                 batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max
+
+    per_bucket = bucketed.groupby("_b").aggregate(
+        Max(ts_col, alias_name="mx")).to_pandas().sort_values("_b")
+    carry = {}
+    running = None
+    for _, row in per_bucket.iterrows():
+        carry[int(row["_b"])] = running  # max of STRICTLY earlier buckets
+        running = row["mx"] if running is None else max(running, row["mx"])
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col)
+        b = int(g["_b"].iloc[0])
+        prev = g[ts_col].cummax().shift(1)
+        c = carry.get(b)
+        if c is not None:
+            prev = prev.fillna(c).combine(
+                pd.Series([c] * len(prev), index=prev.index), max)
+        wm = prev - pd.Timedelta(microseconds=watermark_us)
+        late = prev.notna() & (g[ts_col] < wm)
+        out = g[late][[order_col, "user_id", ts_col]].copy()
+        out["watermark_ts"] = prev[late]
+        return out
+
+    return bucketed.groupby("_b").map_groups(_scan,
+                                             batch_format="pandas")
