@@ -780,3 +780,28 @@ class TestPerceptualHasher:
         })
         with _pytest.raises(NotImplementedError, match="PIL"):
             PerceptualHasher(strict=True)(batch)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlInterchange:
+    def test_roundtrip_matches_parquet_source(self, tmp_path):
+        import pyarrow as pa
+
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            read_pages_jsonl,
+            synth_pages_dataset,
+            write_pages_jsonl,
+        )
+
+        ds = synth_pages_dataset("/root/testdata/sf0.001").limit(50)
+        out = str(tmp_path / "jsonl")
+        write_pages_jsonl(ds, out)
+        back = read_pages_jsonl(out, columns=["url", "html"])
+        a = sorted(r["url"] for r in ds.select_columns(["url"]).take_all())
+        b = sorted(r["url"] for r in back.take_all())
+        assert a == b
+        # html payloads survive JSON encoding byte-for-byte
+        h0 = {r["url"]: r["html"] for r in
+              ds.select_columns(["url", "html"]).take_all()}
+        h1 = {r["url"]: r["html"] for r in back.take_all()}
+        assert h0 == h1

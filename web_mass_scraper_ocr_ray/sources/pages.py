@@ -488,3 +488,41 @@ def write_bench_corpus(sf_dir: str, out_dir: str, replication: int = 1) -> int:
             tbl = base.set_column(0, "url", pa.array(urls, pa.string()))
         pq.write_table(tbl, os.path.join(out_dir, f"part-{k:05d}.parquet"))
     return n * replication
+
+
+def read_pages_jsonl(path, columns=None, **kwargs):
+    """JSONL interchange source — the Common-Crawl-dump / curl-pipe
+    format. Unlike Parquet, JSON cannot prune columns at the scan
+    (every byte is read and parsed before projection), so this is the
+    INGEST seam only; first step of any repeated pipeline should be a
+    one-time convert to Parquet via :func:`read_pages`'s layout. The
+    ``columns`` projection still drops data before it enters the
+    object store."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(list(columns))
+
+    def _restore(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        # JSON has no binary type: the html payload round-trips as a
+        # string — cast back to the pages-schema binary contract.
+        # (JSONL interchange therefore requires text-decodable html;
+        # raw non-UTF-8 captures must travel as Parquet.)
+        if "html" in t.column_names and _pa.types.is_string(
+                t.schema.field("html").type):
+            idx = t.column_names.index("html")
+            t = t.set_column(idx, "html",
+                             _pc.cast(t.column("html"), _pa.binary()))
+        return t
+
+    return ds.map_batches(_restore, batch_format="pyarrow")
+
+
+def write_pages_jsonl(ds, path, **kwargs):
+    """JSONL interchange sink (one file per block, like the Parquet
+    writer — resumable/parallel layout)."""
+    return ds.write_json(path, **kwargs)
