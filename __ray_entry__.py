@@ -2757,4 +2757,26 @@ SELECT arrival, user_id, ts, wm AS watermark_ts FROM (
   FROM events
 ) WHERE wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR
 """,
+        # winsorize to the exact discrete [p1, p99] — same integer
+        # quantile rule as the quantile family
+        "events_winsorize": """
+WITH e AS (
+  SELECT event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_centi
+  FROM events
+),
+h AS (SELECT value_centi AS v, count(*) AS c FROM e GROUP BY 1),
+s AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             sum(c) OVER () AS tot FROM h),
+q AS (SELECT unnest([100, 9900]) AS q_bp),
+cut AS (SELECT q.q_bp, min(s.v) AS v
+        FROM q JOIN s
+          ON s.cum >= greatest((q.q_bp * s.tot + 9999) // 10000, 1)
+        GROUP BY q.q_bp)
+SELECT e.event_id, e.value_centi,
+  least(greatest(e.value_centi,
+                 (SELECT v FROM cut WHERE q_bp = 100)),
+        (SELECT v FROM cut WHERE q_bp = 9900)) AS value_winsorized
+FROM e
+""",
     }

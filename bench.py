@@ -235,6 +235,7 @@ def run_bench() -> dict:
         "doc_tier_sample",
         "dedup_winnow_pairs",
         "events_late",
+        "events_winsorize",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -3213,6 +3213,43 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_winsorize(sf_dir: str):
+    """Winsorization — clip values to the exact [p1, p99] discrete
+    quantiles (the outlier-taming step before any mean-based
+    statistic). Histogram-broadcast shape: one (value, count) shuffle
+    for the cutoffs, then a stateless clip; events never shuffle."""
+    import ray.data as rd
+
+    from ..stages.sketches import exact_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value_centi": pc.cast(
+                pc.round(pc.multiply(t.column("value"), 100.0)),
+                pa.int64()),
+        })
+
+    ev = ev.map_batches(_centi, batch_format="pyarrow").materialize()
+    qs = {r["q_bp"]: r["value"]
+          for r in exact_quantiles(ev, "value_centi",
+                                   qs_bp=(100, 9900)).to_pylist()}
+    lo, hi = qs[100], qs[9900]
+
+    def _clip(t: pa.Table) -> pa.Table:
+        v = t.column("value_centi")
+        return t.append_column(
+            "value_winsorized",
+            pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(lo, pa.int64())),
+                pa.scalar(hi, pa.int64())))
+
+    return ev.map_batches(_clip, batch_format="pyarrow")
+
+
 def q_events_late(sf_dir: str):
     """Watermark late-data detection (sequences.late_events): events
     arriving > 1 h behind the global running-max timestamp. The log's
@@ -3602,4 +3639,5 @@ QUERIES: Dict[str, callable] = {
     "doc_tier_sample": q_doc_tier_sample,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "events_late": q_events_late,
+    "events_winsorize": q_events_winsorize,
 }
