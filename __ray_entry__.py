@@ -2779,4 +2779,32 @@ SELECT e.event_id, e.value_centi,
         (SELECT v FROM cut WHERE q_bp = 9900)) AS value_winsorized
 FROM e
 """,
+        # division-free pooled two-proportion z-test (z² = 4) in
+        # HUGEINT arithmetic
+        "events_ab_test": """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT user_id % 2 AS variant, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(converted) AS HUGEINT) AS k
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT
+    (SELECT n FROM v WHERE variant = 0) AS n1,
+    (SELECT k FROM v WHERE variant = 0) AS k1,
+    (SELECT n FROM v WHERE variant = 1) AS n2,
+    (SELECT k FROM v WHERE variant = 1) AS k2
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(k1 AS BIGINT) AS k_a,
+       CAST(n2 AS BIGINT) AS n_b, CAST(k2 AS BIGINT) AS k_b,
+       (k1 * n2 - k2 * n1) * (k1 * n2 - k2 * n1) * (n1 + n2)
+         > 4 * n1 * n2 * (k1 + k2) * (n1 + n2 - k1 - k2)
+         AS significant_z2
+FROM w
+""",
     }

@@ -236,6 +236,7 @@ def run_bench() -> dict:
         "dedup_winnow_pairs",
         "events_late",
         "events_winsorize",
+        "events_ab_test",
     )
     for name in query_names:
         t0 = time.monotonic()

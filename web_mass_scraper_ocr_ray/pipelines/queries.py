@@ -3213,6 +3213,59 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_ab_test(sf_dir: str):
+    """Two-proportion A/B significance in PURE INTEGERS: variant =
+    user_id % 2, conversion = user did ≥1 'purchase'. The pooled
+    z-test cleared of divisions —
+      (k1·n2 − k2·n1)² · (n1+n2) > z²·n1·n2·(k1+k2)·(n1+n2−k1−k2)
+    with z² = 4 (|z| > 2) — so the oracle recomputes the verdict
+    bit-exactly (the events_outliers discipline). One groupby(user)
+    to per-user conversion, one 4-int reduce; nothing else moves."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def _conv(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "is_purchase": pc.cast(
+                pc.equal(t.column("event_type"), "purchase"),
+                pa.int64()),
+        })
+
+    per_user = ev.map_batches(_conv, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Max("is_purchase", alias_name="converted"))
+
+    def _variant(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "variant": pa.array((u % 2).astype(np.int64)),
+            "n": pa.array(np.ones(len(u), np.int64)),
+            "k": pc.cast(t.column("converted"), pa.int64()),
+        })
+
+    agg = per_user.map_batches(_variant, batch_format="pyarrow") \
+        .groupby("variant").aggregate(
+            Sum("n", alias_name="n"), Sum("k", alias_name="k")) \
+        .take_all()
+    by_v = {int(r["variant"]): (int(r["n"]), int(r["k"])) for r in agg}
+    n1, k1 = by_v.get(0, (0, 0))
+    n2, k2 = by_v.get(1, (0, 0))
+    lhs = (k1 * n2 - k2 * n1) ** 2 * (n1 + n2)
+    rhs = 4 * n1 * n2 * (k1 + k2) * (n1 + n2 - k1 - k2)
+    return pa.table({
+        "n_a": pa.array([n1], pa.int64()),
+        "k_a": pa.array([k1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "k_b": pa.array([k2], pa.int64()),
+        "significant_z2": pa.array([bool(lhs > rhs)], pa.bool_()),
+    })
+
+
 def q_events_winsorize(sf_dir: str):
     """Winsorization — clip values to the exact [p1, p99] discrete
     quantiles (the outlier-taming step before any mean-based
@@ -3640,4 +3693,5 @@ QUERIES: Dict[str, callable] = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "events_late": q_events_late,
     "events_winsorize": q_events_winsorize,
+    "events_ab_test": q_events_ab_test,
 }
