@@ -3369,7 +3369,14 @@ def q_region_supplier_revenue(sf_dir: str):
     fact table streams through a stateless map + per-batch partial
     aggregation — zero fact-side shuffle beyond the final ~25-group
     exchange. Revenue in integer micro-dollars
-    (price_centi × (10⁴ − discount_bp)) — order-independent."""
+    (price_centi × (10⁴ − discount_bp)) — order-independent.
+
+    Scale bound: the broadcast is the supplier→(region, nation) map
+    (TPC-H: 10⁴ rows per SF — GBs only past SF~10⁵); when the
+    dimension outgrows the object store, swap the lookup for the
+    co-partition ``stages.joins.equi_join`` (the
+    order_customer_join_large pattern) — same output, one extra
+    keyed exchange."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
