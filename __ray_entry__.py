@@ -2807,4 +2807,53 @@ SELECT CAST(n1 AS BIGINT) AS n_a, CAST(k1 AS BIGINT) AS k_a,
          AS significant_z2
 FROM w
 """,
+        # per-user consecutive event-type trigrams (double lag)
+        "events_trigrams": """
+WITH o AS (
+  SELECT user_id, event_type,
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2
+  FROM events
+)
+SELECT p2 AS ev1, p1 AS ev2, event_type AS ev3,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+""",
+        "doc_profile": """
+SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text),
+  count(DISTINCT text) FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang),
+  count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+  count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+  count(DISTINCT n_chars) FROM documents
+""",
+        # edges present in exactly one snapshot (re-crawl drops every
+        # third page's outlinks)
+        "host_graph_delta": f"""
+WITH {_LINK_HL_CTE},
+oe AS (SELECT DISTINCT
+         printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host
+       FROM hl),
+ne AS (SELECT DISTINCT
+         printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host
+       FROM hl WHERE d % 3 <> 0)
+SELECT coalesce(o.src_host, n.src_host) AS src_host,
+       coalesce(o.dst_host, n.dst_host) AS dst_host,
+       CASE WHEN n.src_host IS NULL THEN 'removed'
+            ELSE 'added' END AS change
+FROM oe o FULL OUTER JOIN ne n
+  ON o.src_host = n.src_host AND o.dst_host = n.dst_host
+WHERE o.src_host IS NULL OR n.src_host IS NULL
+""",
     }

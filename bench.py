@@ -237,6 +237,9 @@ def run_bench() -> dict:
         "events_late",
         "events_winsorize",
         "events_ab_test",
+        "events_trigrams",
+        "doc_profile",
+        "host_graph_delta",
     )
     for name in query_names:
         t0 = time.monotonic()

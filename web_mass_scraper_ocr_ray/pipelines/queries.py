@@ -3213,6 +3213,106 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_trigrams(sf_dir: str):
+    """Sequence mining one step past the transition matrix: per-user
+    consecutive event-type TRIGRAMS, counted corpus-wide. One
+    groupby(user) to order each sequence in-worker; trigram partials
+    pre-aggregate before the tiny final groupby."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def _tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        t = g["event_type"].to_numpy()
+        if len(t) < 3:
+            return pd.DataFrame({"ev1": [], "ev2": [], "ev3": [],
+                                 "n": []}).astype(
+                {"ev1": str, "ev2": str, "ev3": str, "n": "int64"})
+        df = pd.DataFrame({"ev1": t[:-2], "ev2": t[1:-1], "ev3": t[2:]})
+        out = df.groupby(["ev1", "ev2", "ev3"]).size().reset_index(
+            name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(
+        _tri, batch_format="pandas"
+    ).groupby(["ev1", "ev2", "ev3"]).aggregate(Sum("n", alias_name="n"))
+
+
+def q_doc_profile(sf_dir: str):
+    """The documents-table profile (stages/profile.profile_columns
+    reused over a second table): per-column rows/nulls/exact distinct
+    through the one-exchange fused distinct."""
+    from ..stages.profile import profile_columns
+
+    return profile_columns(
+        _docs(sf_dir), ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_host_graph_delta(sf_dir: str):
+    """Graph diff between two crawl snapshots: host-level edges
+    present in exactly one of (documents, re-crawl) link graphs —
+    union-tag + one keyed exchange per the diffsync discipline;
+    edges carry (src, dst) strings only."""
+    from ray.data.aggregate import Max, Min
+
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    old_e = lg.host_edges(lg.outlinks(
+        synth_link_pages_dataset(sf_dir))).select_columns(
+        ["src_host", "dst_host"])
+
+    # re-crawl: drop every third doc's outlinks (doc_id % 3 == 0
+    # pages vanish) — a deterministic topology change
+    pages = synth_link_pages_dataset(sf_dir)
+
+    def _drop(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # pages carry no doc_id column — it's the url's trailing int
+        tail = pc.replace_substring_regex(t.column("url"), r"^.*/", "")
+        ids = pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 != 0))
+
+    new_e = lg.host_edges(lg.outlinks(pages.map_batches(
+        _drop, batch_format="pyarrow"))).select_columns(
+        ["src_host", "dst_host"])
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return _f
+
+    both = old_e.map_batches(_tag(0), batch_format="pyarrow").union(
+        new_e.map_batches(_tag(1), batch_format="pyarrow"))
+    agg = both.groupby(["src_host", "dst_host"]).aggregate(
+        Min("side", alias_name="mn"), Max("side", alias_name="mx"))
+
+    def _delta(t: pa.Table) -> pa.Table:
+        mn = t.column("mn")
+        mx = t.column("mx")
+        only_old = pc.and_(pc.equal(mn, 0), pc.equal(mx, 0))
+        only_new = pc.and_(pc.equal(mn, 1), pc.equal(mx, 1))
+        keep = pc.or_(only_old, only_new)
+        out = pa.table({
+            "src_host": t.column("src_host"),
+            "dst_host": t.column("dst_host"),
+            "change": pc.if_else(only_old, pa.scalar("removed"),
+                                 pa.scalar("added")),
+        }).filter(keep)
+        return out
+
+    return agg.map_batches(_delta, batch_format="pyarrow")
+
+
 def q_events_ab_test(sf_dir: str):
     """Two-proportion A/B significance in PURE INTEGERS: variant =
     user_id % 2, conversion = user did ≥1 'purchase'. The pooled
@@ -3701,4 +3801,7 @@ QUERIES: Dict[str, callable] = {
     "events_late": q_events_late,
     "events_winsorize": q_events_winsorize,
     "events_ab_test": q_events_ab_test,
+    "events_trigrams": q_events_trigrams,
+    "doc_profile": q_doc_profile,
+    "host_graph_delta": q_host_graph_delta,
 }
