@@ -2856,4 +2856,28 @@ FROM oe o FULL OUTER JOIN ne n
   ON o.src_host = n.src_host AND o.dst_host = n.dst_host
 WHERE o.src_host IS NULL OR n.src_host IS NULL
 """,
+        # robust outliers: |v - median| > 3*MAD, both exact discrete
+        # quantiles by the shared integer rule
+        "events_mad_outliers": """
+WITH e AS (
+  SELECT event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_centi
+  FROM events
+),
+h1 AS (SELECT value_centi AS v, count(*) AS c FROM e GROUP BY 1),
+s1 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+              sum(c) OVER () AS tot FROM h1),
+med AS (SELECT min(v) AS m FROM s1
+        WHERE cum >= greatest((5000 * tot + 9999) // 10000, 1)),
+d AS (SELECT event_id, value_centi,
+             abs(value_centi - (SELECT m FROM med)) AS abs_dev
+      FROM e),
+h2 AS (SELECT abs_dev AS v, count(*) AS c FROM d GROUP BY 1),
+s2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+              sum(c) OVER () AS tot FROM h2),
+mad AS (SELECT min(v) AS m FROM s2
+        WHERE cum >= greatest((5000 * tot + 9999) // 10000, 1))
+SELECT event_id, value_centi, abs_dev
+FROM d WHERE abs_dev > 3 * (SELECT m FROM mad)
+""",
     }

@@ -240,6 +240,7 @@ def run_bench() -> dict:
         "events_trigrams",
         "doc_profile",
         "host_graph_delta",
+        "events_mad_outliers",
     )
     for name in query_names:
         t0 = time.monotonic()

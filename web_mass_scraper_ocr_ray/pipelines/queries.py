@@ -3213,6 +3213,48 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier flagging — the heavy-tail-safe
+    complement to the z-test: flag |v − median| > 3·MAD, both the
+    median and the MAD being exact discrete (type-1) quantiles. Two
+    histogram-broadcast passes ((value, count) then (|v−med|, count)
+    — each bounded by distinct values, never corpus size); the
+    events themselves never shuffle. Pure integers throughout."""
+    import ray.data as rd
+
+    from ..stages.sketches import exact_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value_centi": pc.cast(
+                pc.round(pc.multiply(t.column("value"), 100.0)),
+                pa.int64()),
+        })
+
+    ev = ev.map_batches(_centi, batch_format="pyarrow").materialize()
+    med = int(exact_quantiles(ev, "value_centi",
+                              qs_bp=(5000,)).column("value")[0].as_py())
+
+    def _dev(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "abs_dev", pc.abs(pc.subtract(
+                t.column("value_centi"), pa.scalar(med, pa.int64()))))
+
+    dev = ev.map_batches(_dev, batch_format="pyarrow").materialize()
+    mad = int(exact_quantiles(dev, "abs_dev",
+                              qs_bp=(5000,)).column("value")[0].as_py())
+
+    def _flag(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(
+            t.column("abs_dev"), pa.scalar(3 * mad, pa.int64())))
+
+    return dev.map_batches(_flag, batch_format="pyarrow")
+
+
 def q_events_trigrams(sf_dir: str):
     """Sequence mining one step past the transition matrix: per-user
     consecutive event-type TRIGRAMS, counted corpus-wide. One
@@ -3804,4 +3846,5 @@ QUERIES: Dict[str, callable] = {
     "events_trigrams": q_events_trigrams,
     "doc_profile": q_doc_profile,
     "host_graph_delta": q_host_graph_delta,
+    "events_mad_outliers": q_events_mad_outliers,
 }
