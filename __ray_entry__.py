@@ -2880,4 +2880,14 @@ mad AS (SELECT min(v) AS m FROM s2
 SELECT event_id, value_centi, abs_dev
 FROM d WHERE abs_dev > 3 * (SELECT m FROM mad)
 """,
+        # TPC-H Q4 shape: EXISTS decorrelated through max(l_shipdate)
+        "orders_priority_report": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
     }

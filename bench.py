@@ -241,6 +241,7 @@ def run_bench() -> dict:
         "doc_profile",
         "host_graph_delta",
         "events_mad_outliers",
+        "orders_priority_report",
     )
     for name in query_names:
         t0 = time.monotonic()

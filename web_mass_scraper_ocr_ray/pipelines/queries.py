@@ -3213,6 +3213,39 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_orders_priority_report(sf_dir: str):
+    """TPC-H-Q4-shaped correlated EXISTS: orders whose ANY lineitem
+    shipped after the order date, counted by priority. The correlated
+    predicate decorrelates into one grouped max —
+    groupby(l_orderkey).max(l_shipdate) — then a co-partition
+    equi_join and a stateless compare: EXISTS(l_shipdate > o_orderdate)
+    ⇔ max(l_shipdate) > o_orderdate. Two keyed exchanges total; no
+    row ever carries more than (key, date, priority)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.joins import equi_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    last_ship = li.groupby("l_orderkey").aggregate(
+        Max("l_shipdate", alias_name="max_shipdate"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = equi_join(orders, last_ship, "o_orderkey", "l_orderkey",
+                       ["max_shipdate"])
+
+    def _late(t: pa.Table) -> pa.Table:
+        ms = t.column("max_shipdate")
+        keep = pc.and_(pc.is_valid(ms),
+                       pc.greater(ms, t.column("o_orderdate")))
+        return t.filter(keep)
+
+    return joined.map_batches(_late, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
 def q_events_mad_outliers(sf_dir: str):
     """Robust (median/MAD) outlier flagging — the heavy-tail-safe
     complement to the z-test: flag |v − median| > 3·MAD, both the
@@ -3847,4 +3880,5 @@ QUERIES: Dict[str, callable] = {
     "doc_profile": q_doc_profile,
     "host_graph_delta": q_host_graph_delta,
     "events_mad_outliers": q_events_mad_outliers,
+    "orders_priority_report": q_orders_priority_report,
 }
