@@ -2890,4 +2890,20 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """,
+        # TPC-H Q14 shape in integer micro-dollars
+        "promo_revenue_share": """
+WITH r AS (
+  SELECT CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS rev,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT
+  CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+    AS promo_revenue_micro,
+  CAST(sum(rev) AS BIGINT) AS total_revenue_micro,
+  CAST(10000 * sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+       // sum(rev) AS BIGINT) AS promo_share_bp
+FROM r
+""",
     }

@@ -242,6 +242,7 @@ def run_bench() -> dict:
         "host_graph_delta",
         "events_mad_outliers",
         "orders_priority_report",
+        "promo_revenue_share",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -3213,6 +3213,57 @@ def q_doc_skyline(sf_dir: str):
     return skyline_2d(feats, "token_count", "punct_count")
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo share: fraction (integer bp) of lineitem
+    revenue on PROMO-type parts. The part→is_promo map broadcasts via
+    ``ray.put`` (one bit per part); lineitem streams with per-batch
+    partial sums — the only exchange is a 2-row aggregate. Revenue in
+    integer micro-dollars, share as 10⁴·promo // total."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = {k for k, t in zip(part.column("p_partkey").to_pylist(),
+                               part.column("p_type").to_pylist())
+             if t.startswith("PROMO")}
+    promo_ref = ray.put(frozenset(promo))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pr = ray.get(promo_ref)
+        price_c = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+            .combine_chunks())
+        disc_bp = np.asarray(pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+            .combine_chunks())
+        rev = price_c * (10000 - disc_bp)
+        is_promo = np.fromiter(
+            (k in pr for k in t.column("l_partkey").to_pylist()),
+            dtype=bool, count=t.num_rows)
+        return pa.table({
+            "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_rev": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    agg = li.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="p"), Sum("total_rev", alias_name="t"))
+    p, t = int(agg["p"]), int(agg["t"])
+    return pa.table({
+        "promo_revenue_micro": pa.array([p], pa.int64()),
+        "total_revenue_micro": pa.array([t], pa.int64()),
+        "promo_share_bp": pa.array([10000 * p // t if t else 0],
+                                   pa.int64()),
+    })
+
+
 def q_orders_priority_report(sf_dir: str):
     """TPC-H-Q4-shaped correlated EXISTS: orders whose ANY lineitem
     shipped after the order date, counted by priority. The correlated
@@ -3881,4 +3932,5 @@ QUERIES: Dict[str, callable] = {
     "host_graph_delta": q_host_graph_delta,
     "events_mad_outliers": q_events_mad_outliers,
     "orders_priority_report": q_orders_priority_report,
+    "promo_revenue_share": q_promo_revenue_share,
 }
