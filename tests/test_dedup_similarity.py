@@ -643,3 +643,58 @@ class TestQuantizeEmbeddings:
         assert by_vec[12][0]["scale_micro"] == 2_000_000
         assert all(-127 <= r["q8"] <= 127 for r in rows)
         assert [r["pos"] for r in by_vec[10]] == [0, 1, 2]
+
+
+class TestPairJaccardKernel:
+    """Pins the shingle-once vectorized verify kernel (r3 verdict #1):
+    `_pair_jaccard_counts` takes ONE shingle set per UNIQUE doc and
+    computes every pair's (inter, union) with one lexsort — it must be
+    bit-identical to the scalar `jaccard_counts` reference even when a
+    single doc participates in many pairs (the case the old per-pair
+    loop re-shingled P times)."""
+
+    def test_matches_scalar_under_heavy_pair_reuse(self):
+        import numpy as np
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            _pair_jaccard_counts,
+            _shingle_hashes,
+            jaccard_counts,
+        )
+
+        rng = np.random.RandomState(42)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = {
+            i: " ".join(rng.choice(words, size=rng.randint(3, 40)))
+            for i in range(12)
+        }
+        texts[0] = "x"  # shorter than shingle_k → padded single hash
+        # doc 1 appears in ~50 pairs: the re-use hot case
+        pairs = [(1, j) for j in range(2, 12) for _ in range(5)]
+        pairs += [(i, j) for i in range(12) for j in range(i + 1, 12)]
+        doc_a = np.array([p[0] for p in pairs], dtype=np.int64)
+        doc_b = np.array([p[1] for p in pairs], dtype=np.int64)
+
+        uniq = np.unique(np.concatenate([doc_a, doc_b]))
+        shingles = [_shingle_hashes(texts[int(d)], 5) for d in uniq]
+        inter, union = _pair_jaccard_counts(doc_a, doc_b, uniq, shingles)
+
+        for p, (i_v, u_v) in enumerate(zip(inter, union)):
+            i_ref, u_ref = jaccard_counts(
+                texts[int(doc_a[p])], texts[int(doc_b[p])], 5)
+            assert (i_v, u_v) == (i_ref, u_ref), pairs[p]
+
+    def test_one_shingle_set_per_unique_doc(self):
+        import numpy as np
+        from web_mass_scraper_ocr_ray.stages.dedup import (
+            _pair_jaccard_counts,
+            _shingle_hashes,
+        )
+
+        # identical docs in every pair → inter == union always
+        sh = _shingle_hashes("the quick brown fox jumps", 5)
+        uniq = np.array([7, 9], dtype=np.int64)
+        doc_a = np.full(64, 7, dtype=np.int64)
+        doc_b = np.full(64, 9, dtype=np.int64)
+        inter, union = _pair_jaccard_counts(doc_a, doc_b, uniq, [sh, sh])
+        assert (inter == len(sh)).all()
+        assert (union == len(sh)).all()
