@@ -1344,53 +1344,126 @@ SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h — sized to the corpus's
 
 def q_events_sessionize(sf_dir: str):
     """Session windows (gap-based) per user — the classic stateful
-    streaming op as a batch groupby: partition by user, sort by ts
-    within the group, break sessions where the gap exceeds the
-    threshold. Ordering assumption: per-user event order is total
-    (no duplicate (user, ts) — holds for this corpus)."""
-    import pandas as pd
+    streaming op, on the skew-proof hash-bucketed group shape: users
+    are BUCKETED (hash(user_id) % 64), one (user, ts) sort per bucket,
+    and session breaks / rollups are pure numpy over run boundaries —
+    no per-user task, so 10⁹ users cost the same per-row work as 15
+    (r3 verdict #2; pattern of sampling.rank_per_group). Ordering
+    assumption: per-user event order is total (no duplicate (user, ts)
+    — holds for this corpus)."""
+    import numpy as np
     import ray.data as rd
+
+    from ..stages.shuffle import bucketed_map_groups
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"]
                          )
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff()
-        brk = (gap.isna()) | (gap > pd.Timedelta(microseconds=SESSION_GAP_US))
-        g["session_id"] = brk.cumsum().astype("int64")
-        out = g.groupby("session_id").agg(
-            n_events=("ts", "size"),
-            start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("start_ts", pa.timestamp("us")), ("end_ts", pa.timestamp("us")),
+    ])
 
-    return ev.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    def _sessions(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        ts = s.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (
+            ts[1:] - ts[:-1] > SESSION_GAP_US)
+        # per-user session_id = cumsum(brk) rebased at each user's
+        # first row (sessions never span users: user change forces brk)
+        cum = np.cumsum(brk)
+        user_start = np.empty(n, dtype=bool)
+        user_start[0] = True
+        user_start[1:] = uid[1:] != uid[:-1]
+        base = cum[np.maximum.accumulate(
+            np.where(user_start, np.arange(n), 0))]
+        sess = cum - base + 1
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:] - 1, n - 1)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sess[starts], pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "start_ts": pa.array(ts[starts]).cast(pa.timestamp("us")),
+            "end_ts": pa.array(ts[ends]).cast(pa.timestamp("us")),
+        })
+
+    return bucketed_map_groups(ev, "user_id", _sessions,
+                               out_schema=out_schema)
+
+
+def _topk_per_user_kernel(k: int):
+    """Vectorized top-k-per-group kernel: one (user, value desc,
+    event_id) sort, dense in-run rank via the first-occurrence trick,
+    keep rank ≤ k. Used both as the map-side combiner (per batch) and
+    the in-bucket finisher — a classic partial top-k."""
+    import numpy as np
+
+    def _topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("value", "descending"),
+            ("event_id", "ascending")])
+        s = t.take(idx).combine_chunks()
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], s.schema.field("value").type),
+                "rank": pa.array([], pa.int64()),
+            })
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = uid[1:] != uid[:-1]
+        first = np.maximum.accumulate(np.where(start, np.arange(n), 0))
+        rank = np.arange(n) - first + 1
+        keep = np.flatnonzero(rank <= k)
+        out = s.take(keep)
+        return pa.table({
+            "user_id": out.column("user_id"),
+            "event_id": out.column("event_id"),
+            "value": out.column("value"),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return _topk
 
 
 def q_top_events_per_user(sf_dir: str):
     """Grouped top-k: 3 highest-value events per user (tie-break
-    event_id). Partial top-k per batch would be the at-scale shape;
-    with 15 users a direct groupby.map_groups is the simple form."""
-    import pandas as pd
+    event_id), at-scale shape (r3 verdict #2): a map-side partial
+    top-3 per batch shrinks each batch to ≤3 rows/user BEFORE the
+    shuffle, then users are hash-bucketed and one in-bucket sort ranks
+    every group — no keyed groupby over an unbounded user key."""
     import ray.data as rd
+
+    from ..stages.shuffle import bucketed_map_groups
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "value"]
                          )
+    kern = _topk_per_user_kernel(3)
+    partial = ev.map_batches(kern, batch_format="pyarrow")
 
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"],
-                          ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rank"] = (g.index + 1).astype("int64")
-        return g[["user_id", "rank", "event_id"]]
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("rank", pa.int64()),
+        ("event_id", pa.int64()),
+    ])
 
-    return ev.groupby("user_id").map_groups(_topk, batch_format="pandas")
+    def _final(g: pa.Table) -> pa.Table:
+        return kern(g).select(["user_id", "rank", "event_id"])
+
+    return bucketed_map_groups(partial, "user_id", _final,
+                               out_schema=out_schema)
 
 
 def q_approx_distinct_urls(sf_dir: str):
@@ -1508,37 +1581,60 @@ def q_events_cumulative(sf_dir: str):
     order-independent across engines (same contract as
     lineitem_pricing)."""
     import numpy as np
-    import pandas as pd
     import ray.data as rd
+
+    from ..stages.shuffle import bucketed_map_groups
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
     )
 
-    def _cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        centi = np.asarray(
-            pc.cast(pc.round(pc.multiply(
-                pa.array(g["value"].to_numpy()), 100.0)), pa.int64())
-        )
-        out = g[["event_id", "user_id"]].copy()
-        out["running_value_centi"] = np.cumsum(centi)
-        out["seq"] = np.arange(1, len(g) + 1, dtype="int64")
-        return out
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("running_value_centi", pa.int64()), ("seq", pa.int64()),
+    ])
 
-    return ev.groupby("user_id").map_groups(_cum, batch_format="pandas")
+    def _cum(g: pa.Table) -> pa.Table:
+        # skew-proof shape (r3 verdict #2): one (user, ts, event_id)
+        # sort per hash bucket, then the running sum of EVERY user in
+        # the bucket is one global cumsum rebased at each run start.
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        centi = pc.cast(pc.round(pc.multiply(
+            s.column("value"), 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(uid)
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = uid[1:] != uid[:-1]
+        first = np.maximum.accumulate(np.where(start, np.arange(n), 0))
+        cum = np.cumsum(centi)
+        base = cum[first] - centi[first]
+        return pa.table({
+            "event_id": s.column("event_id"),
+            "user_id": s.column("user_id"),
+            "running_value_centi": pa.array(cum - base, pa.int64()),
+            "seq": pa.array(np.arange(n) - first + 1, pa.int64()),
+        })
+
+    return bucketed_map_groups(ev, "user_id", _cum, out_schema=out_schema)
 
 
 def q_events_moving_window(sf_dir: str):
     """Per-user 7-day moving sum over DAILY totals — the RANGE-frame
     window (calendar window, gaps included), not a ROWS frame: each
     user's days are aggregated, sorted, and the trailing window is a
-    cumsum difference with one searchsorted per group (no per-day
-    Python). Centi-unit ints keep it bit-exact vs SQL."""
+    cumsum difference with one composite-key searchsorted over the
+    whole bucket (no per-day, no per-USER Python — r3 verdict #2).
+    Centi-unit ints keep it bit-exact vs SQL."""
     import numpy as np
-    import pandas as pd
     import ray.data as rd
+
+    from ..stages.shuffle import bucketed_map_groups
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
@@ -1557,24 +1653,48 @@ def q_events_moving_window(sf_dir: str):
 
     daily = ev.map_batches(_daily, batch_format="pyarrow")
 
-    def _window(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("day", sort=True)["v"].sum()
-        days = agg.index.to_numpy().astype("datetime64[D]").astype(
-            np.int64)  # calendar-day ordinals for the RANGE frame
-        vals = agg.to_numpy(dtype=np.int64)
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("day", pa.timestamp("us")),
+        ("day_sum_centi", pa.int64()), ("win7_sum_centi", pa.int64()),
+    ])
+
+    def _window(g: pa.Table) -> pa.Table:
+        # one (user, day) sort per bucket; duplicate per-batch partials
+        # collapse with reduceat; the RANGE frame for EVERY user comes
+        # from one searchsorted on the composite (user, day-ordinal)
+        # key — a probe at (u, d-6) can never cross into another user's
+        # span, and cum[i]−cum[lo−1] only spans rows of user u.
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        day_us = s.column("day").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = s.column("v").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        day_ord = day_us // 86_400_000_000  # us per day
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = (uid[1:] != uid[:-1]) | (day_ord[1:] != day_ord[:-1])
+        firsts = np.flatnonzero(start)
+        u_u = uid[firsts]
+        d_u = day_ord[firsts]
+        vals = np.add.reduceat(v, firsts)
+        big = np.int64(1) << np.int64(22)  # day ordinals < 2^22
+        combo = u_u * big + d_u
         cum = np.cumsum(vals)
-        lo = np.searchsorted(days, days - 6)  # first day >= d-6
-        prev = np.where(lo > 0, cum[lo - 1], 0)
-        return pd.DataFrame({
-            "user_id": np.full(len(days), g["user_id"].iloc[0],
-                               dtype=np.int64),
-            "day": agg.index,
-            "day_sum_centi": vals,
-            "win7_sum_centi": cum - prev,
+        lo = np.searchsorted(combo, u_u * big + (d_u - 6))
+        prev = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "user_id": pa.array(u_u, pa.int64()),
+            "day": pa.array(d_u * 86_400_000_000).cast(
+                pa.timestamp("us")),
+            "day_sum_centi": pa.array(vals, pa.int64()),
+            "win7_sum_centi": pa.array(cum - prev, pa.int64()),
         })
 
-    return daily.groupby("user_id").map_groups(
-        _window, batch_format="pandas")
+    return bucketed_map_groups(daily, "user_id", _window,
+                               out_schema=out_schema)
 
 
 def _docs_with_pii(sf_dir: str):

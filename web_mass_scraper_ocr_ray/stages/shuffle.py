@@ -303,3 +303,69 @@ def rebalance_by_size(ds, size_col: str, id_col: str,
         _assign, batch_format="pyarrow"
     ).groupby("_size_group").map_groups(_identity,
                                         batch_format="pyarrow")
+
+
+def bucketed_map_groups(ds, group_col: str, kernel, n_buckets: int = 64,
+                        out_schema: pa.Schema | None = None):
+    """Skew-proof replacement for ``groupby(key).map_groups`` on an
+    UNBOUNDED key (user ids, urls): hash-BUCKET the key, groupby the
+    bucket, and run ``kernel`` once per bucket over a pa.Table holding
+    every whole group that hashed there (groups never split).
+
+    Why: Ray's sort-based keyed groupby pays per-group overhead —
+    measured ~40× slower than this shape on millions of tiny groups
+    (SURVEY §10.4, setjoin._distinct_pairs) — and a per-group Python
+    kernel dies at 10⁹ users. ``kernel`` must be vectorized over runs
+    inside the bucket: one (group, order) sort, then numpy over run
+    boundaries (see rank_per_group / the events kernels for the
+    pattern). ``out_schema`` (optional) is returned for empty buckets
+    so schema inference never sees a 0-column block.
+    """
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        col = t.column(group_col)
+        if pa.types.is_integer(col.type):
+            ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hv = ((ids * np.uint64(2654435761)) >> np.uint64(17)
+                  ).astype(np.int64) % n_buckets
+            hv = hv.astype(np.int32)
+        else:
+            hv = np.array(
+                [zlib.crc32(str(v).encode("utf-8")) % n_buckets
+                 for v in col.to_pylist()], dtype=np.int32)
+        return t.append_column("_bucket", pa.array(hv))
+
+    def _run(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        if g.num_rows == 0 and out_schema is not None:
+            return out_schema.empty_table()
+        return kernel(g)
+
+    return ds.map_batches(
+        _bucket, batch_format="pyarrow"
+    ).groupby("_bucket").map_groups(_run, batch_format="pyarrow")
+
+
+def run_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking each group run's first row of a SORTED key
+    array — the core of every vectorized in-bucket window kernel."""
+    import numpy as np
+
+    out = np.empty(len(keys), dtype=bool)
+    if len(keys) == 0:
+        return out
+    out[0] = True
+    out[1:] = keys[1:] != keys[:-1]
+    return out
+
+
+def first_of_run(starts: np.ndarray) -> np.ndarray:
+    """Index of each row's run-first row, given the run_starts mask."""
+    import numpy as np
+
+    return np.maximum.accumulate(
+        np.where(starts, np.arange(len(starts)), 0))
