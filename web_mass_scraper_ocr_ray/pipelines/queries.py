@@ -48,19 +48,23 @@ NEARDUP_COS_THRESHOLD = 0.4
 # split at the read.
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=None):
+    """documents table. Pass ``columns`` so pruning happens AT THE
+    READ (only those columns leave storage) instead of relying on the
+    optimizer to push a downstream select_columns into the scan
+    (r3 verdict #3)."""
     import ray.data as rd
 
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet"
+        f"{sf_dir}/documents.parquet", columns=columns
     )
 
 
-def _emb(sf_dir: str):
+def _emb(sf_dir: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet"
+        f"{sf_dir}/embeddings.parquet", columns=columns
     )
 
 
@@ -101,7 +105,7 @@ def q_session_summary(sf_dir: str):
 
 def q_validate_urls(sf_dir: str):
     """M1 validator over the 8 bad-url families (sources/pages.py)."""
-    docs = _docs(sf_dir).select_columns(["doc_id"])
+    docs = _docs(sf_dir, ["doc_id"])
 
     def _validate(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -349,7 +353,7 @@ def q_company_join(sf_dir: str):
             ),
         })
 
-    return _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+    return _docs(sf_dir, ["doc_id"]).map_batches(
         _join, batch_format="pyarrow"
     )
 
@@ -534,7 +538,7 @@ def q_dedup_minhash(sf_dir: str):
                 out.append(False)
         return pa.table({"doc_id": t.column("doc_id").filter(pa.array(out))})
 
-    truth = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    truth = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _truth, batch_format="pyarrow"
     )
     found = cands.map_batches(_found, batch_format="pyarrow")
@@ -619,7 +623,7 @@ def q_source_lang_rollup(sf_dir: str):
     sentinel."""
     from ..stages.shuffle import rollup_aggregate
 
-    docs = _docs(sf_dir).select_columns(["source", "lang", "n_chars"])
+    docs = _docs(sf_dir, ["source", "lang", "n_chars"])
     return rollup_aggregate(
         docs, ("source", "lang"),
         {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")})
@@ -648,7 +652,7 @@ def _mutated_snapshot(sf_dir: str):
         }).filter(pa.array(ids % 103 == 0))
         return pa.concat_tables([base, ins])
 
-    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _mutate, batch_format="pyarrow")
 
 
@@ -659,7 +663,7 @@ def q_corpus_diff_ranges(sf_dir: str):
     step an incremental 100 TB sync runs before any row-level work."""
     from ..stages.diffsync import corpus_diff_ranges
 
-    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+    old = _docs(sf_dir, ["doc_id", "text"])
     return corpus_diff_ranges(old, _mutated_snapshot(sf_dir),
                               "doc_id", "text", n_ranges=256)
 
@@ -670,7 +674,7 @@ def q_corpus_diff_rows(sf_dir: str):
     incremental cost tracks the change volume, not the corpus."""
     from ..stages.diffsync import corpus_diff_rows
 
-    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+    old = _docs(sf_dir, ["doc_id", "text"])
     return corpus_diff_rows(old, _mutated_snapshot(sf_dir),
                             "doc_id", "text", n_ranges=256)
 
@@ -683,7 +687,7 @@ def q_doc_containment(sf_dir: str):
     has Jaccard ~0 but containment 1.0."""
     from ..stages.setjoin import set_containment_join
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
     def _needles(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -712,7 +716,7 @@ def q_set_similarity_join(sf_dir: str):
     from ..stages.setjoin import set_similarity_self_join
 
     return set_similarity_self_join(
-        _docs(sf_dir).select_columns(["doc_id", "text"]), tau_bp=8000)
+        _docs(sf_dir, ["doc_id", "text"]), tau_bp=8000)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -725,7 +729,7 @@ def q_dedup_simhash(sf_dir: str):
     n_exact_dup_pairs = Σ C(n,2) over identical-text groups is exact
     SQL; the boolean pins blocking completeness (a banding bug or a
     pair-cap regression flips it)."""
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
     def _copy(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -931,7 +935,7 @@ def q_salted_rollup(sf_dir: str):
     from ..stages.shuffle import salted_group_sizes
 
     per_salt = salted_group_sizes(
-        _docs(sf_dir).select_columns(["source"]), "source", n_salts=8
+        _docs(sf_dir, ["source"]), "source", n_salts=8
     )
     return per_salt.groupby("source").aggregate(
         Sum("n", alias_name="n_docs")
@@ -1042,7 +1046,7 @@ def q_lang_distribution(sf_dir: str):
     """A6 global distinct (+ counts): distinct lang values via groupby."""
     from ray.data.aggregate import Count
 
-    return _docs(sf_dir).select_columns(["lang"]).groupby("lang").aggregate(
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
         Count(alias_name="n_docs")
     )
 
@@ -1051,9 +1055,7 @@ def q_source_rollup(sf_dir: str):
     """Grouped aggregate keyed by source (second shuffle-key demo)."""
     from ray.data.aggregate import Count, Sum
 
-    return _docs(sf_dir).select_columns(
-        ["source", "n_chars"]
-    ).groupby("source").aggregate(
+    return _docs(sf_dir, ["source", "n_chars"]).groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="sum_chars"),
     )
@@ -1718,7 +1720,7 @@ def _docs_with_pii(sf_dir: str):
         df["text"] = df["text"].where(~m, df["text"] + extra)
         return df
 
-    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _inject, batch_format="pandas"
     )
 
@@ -1734,14 +1736,13 @@ def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition/boilerplate features (duplicate-word,
     top-word and duplicate-bigram fractions in basis points) — the
     standard pre-training quality filter family."""
-    return ts.repetition_table(_docs(sf_dir).select_columns(
-        ["doc_id", "text"]))
+    return ts.repetition_table(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-20 tokens (heavy hitters) — exact two-phase
     counts, deterministic tie-break."""
-    return ts.vocab_topk(_docs(sf_dir).select_columns(["text"]), k=20)
+    return ts.vocab_topk(_docs(sf_dir, ["text"]), k=20)
 
 
 def q_doc_quality_model(sf_dir: str):
@@ -1752,7 +1753,7 @@ def q_doc_quality_model(sf_dir: str):
     from ..stages.quality_model import score_quality
 
     return score_quality(
-        _docs(sf_dir).select_columns(["doc_id", "text"]))
+        _docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_vocab_topk_sketch(sf_dir: str):
@@ -1765,7 +1766,7 @@ def q_vocab_topk_sketch(sf_dir: str):
     fails the driver's hash compare."""
     from ..stages.sketches import vocab_topk_cm
 
-    docs = _docs(sf_dir).select_columns(["text"])
+    docs = _docs(sf_dir, ["text"])
     exact = ts.vocab_topk(docs, k=20).take_all()
     sk = vocab_topk_cm(docs, k=20)
     exact_by_word = {r["word"]: r["n"] for r in exact}
@@ -1790,7 +1791,7 @@ def q_doc_length_quantiles(sf_dir: str):
     from ..stages.sketches import exact_quantiles
 
     return exact_quantiles(
-        _docs(sf_dir).select_columns(["n_chars"]), column="n_chars")
+        _docs(sf_dir, ["n_chars"]), column="n_chars")
 
 
 def q_doc_length_quantiles_by_source(sf_dir: str):
@@ -1800,7 +1801,7 @@ def q_doc_length_quantiles_by_source(sf_dir: str):
     from ..stages.sketches import grouped_exact_quantiles
 
     return grouped_exact_quantiles(
-        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        _docs(sf_dir, ["source", "n_chars"]),
         column="n_chars", group_col="source")
 
 
@@ -1813,7 +1814,7 @@ def q_doc_rebalance_by_size(sf_dir: str):
     from ..stages.shuffle import rebalance_by_size
 
     return rebalance_by_size(
-        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "n_chars"]),
         size_col="n_chars", id_col="doc_id",
         target_group_bytes=16 << 10,  # small target: many groups at sf
     )
@@ -1826,7 +1827,7 @@ def q_doc_length_percentile(sf_dir: str):
     from ..stages.sketches import percentile_rank
 
     return percentile_rank(
-        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "n_chars"]),
         column="n_chars")
 
 
@@ -1839,7 +1840,7 @@ def q_doc_sample_stratified(sf_dir: str):
 
     rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
     return stratified_sample(
-        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         id_col="doc_id", strata_col="source", rates_bp=rates,
     )
 
@@ -1886,7 +1887,7 @@ def q_doc_cap_per_source(sf_dir: str):
     from ..stages.sampling import cap_per_group
 
     return cap_per_group(
-        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         group_col="source", k=5, order_col="doc_id",
     )
 
@@ -1899,7 +1900,7 @@ def q_doc_shard_for_training(sf_dir: str):
     from ..stages.sampling import shard_by_hash
 
     return shard_by_hash(
-        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        _docs(sf_dir, ["doc_id", "source"]),
         id_col="doc_id", n_shards=8,
     )
 
@@ -1913,7 +1914,7 @@ def q_doc_mixture_upsample(sf_dir: str):
 
     factors = {f"src{i}": 1 + (i % 3) for i in range(64)}
     return upsample_by_group(
-        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         group_col="source", factors=factors,
     )
 
@@ -1922,7 +1923,7 @@ def q_doc_corpus_freq(sf_dir: str):
     """Model-based-quality-scoring shape: two-pass corpus unigram
     frequency table, broadcast once, vectorized per-doc scoring."""
     return ts.corpus_freq_score(
-        _docs(sf_dir).select_columns(["doc_id", "text"]))
+        _docs(sf_dir, ["doc_id", "text"]))
 
 
 SEARCH_PROBES = ("scan", "window", "column")
@@ -1934,7 +1935,7 @@ def q_token_search(sf_dir: str):
     vectorized membership test per batch, no shuffle, no index
     materialization; the at-scale variant persists the same
     (token, doc_id) pairs as a hash-partitioned posting-list table."""
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     probes = sorted(SEARCH_PROBES)
 
     def _probe(t: pa.Table) -> pa.Table:
@@ -1970,9 +1971,7 @@ def _docs_with_exact_dups(sf_dir: str):
         cp["doc_id"] = cp["doc_id"] + 1000000
         return pd.concat([df, cp], ignore_index=True)
 
-    return _docs(sf_dir).select_columns(
-        ["doc_id", "text", "source"]
-    ).map_batches(_dup, batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(_dup, batch_format="pandas")
 
 
 def q_corpus_prep(sf_dir: str):
@@ -2127,7 +2126,7 @@ def _docs_with_lines(sf_dir: str):
     body, a global cookie banner (grouped per source), and a unique ref
     line — so boilerplate removal is non-trivial on random text. The
     SAME construction is mirrored in the oracle CTE (string concat)."""
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
 
     def _reshape(t: pa.Table) -> pa.Table:
         doc_id = t.column("doc_id")
@@ -2334,7 +2333,7 @@ def q_doc_split_assign(sf_dir: str):
     from ..stages.sampling import assign_splits
 
     return assign_splits(
-        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        _docs(sf_dir, ["doc_id", "source"]),
         id_col="doc_id")
 
 
@@ -2347,7 +2346,7 @@ def q_doc_pack_sequences(sf_dir: str):
     from ..stages.sampling import pack_token_budget
 
     return pack_token_budget(
-        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "n_chars"]),
         id_col="doc_id", cost_col="n_chars", budget=2048, n_shards=4)
 
 
@@ -2356,7 +2355,7 @@ def q_doc_oov_rate(sf_dir: str):
     tokenizer-coverage QA with the bounded-broadcast vocab shape
     (stages/textstats.oov_rate)."""
     return ts.oov_rate(
-        _docs(sf_dir).select_columns(["doc_id", "text"]), top_m=50)
+        _docs(sf_dir, ["doc_id", "text"]), top_m=50)
 
 
 def q_doc_chunk_windows(sf_dir: str):
@@ -2365,7 +2364,7 @@ def q_doc_chunk_windows(sf_dir: str):
     expansion, vectorized per chunk index not per doc
     (stages/textstats.chunk_token_windows)."""
     return ts.chunk_token_windows(
-        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        _docs(sf_dir, ["doc_id", "text"]),
         window=32, stride=24)
 
 
@@ -2376,7 +2375,7 @@ def q_source_lang_diversity(sf_dir: str):
     from ..stages.shuffle import category_diversity
 
     out = category_diversity(
-        _docs(sf_dir).select_columns(["source", "lang"]),
+        _docs(sf_dir, ["source", "lang"]),
         key_col="source", cat_col="lang")
     return out.rename_columns(
         {"n_rows": "n_docs", "n_cats": "n_langs",
@@ -2404,7 +2403,7 @@ def q_domain_quality_filter(sf_dir: str):
     from ..stages.quality_model import domain_quality_filter
 
     return domain_quality_filter(
-        _docs(sf_dir).select_columns(["doc_id", "text", "source"]))
+        _docs(sf_dir, ["doc_id", "text", "source"]))
 
 
 def q_doc_sample_bottomk(sf_dir: str):
@@ -2415,7 +2414,7 @@ def q_doc_sample_bottomk(sf_dir: str):
     from ..stages.sampling import sample_bottomk
 
     return sample_bottomk(
-        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        _docs(sf_dir, ["doc_id", "source"]),
         id_col="doc_id", k=50)
 
 
@@ -2429,7 +2428,7 @@ def q_doc_sample_weighted(sf_dir: str):
     from ..stages.sampling import sample_weighted_bottomk
 
     return sample_weighted_bottomk(
-        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         id_col="doc_id", weight_col="n_chars", k=50)
 
 
@@ -2551,7 +2550,7 @@ def q_doc_inverted_index(sf_dir: str):
     from ..stages.textstats import inverted_index
 
     return inverted_index(
-        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        _docs(sf_dir, ["doc_id", "text"]),
         max_postings=10)
 
 
@@ -2652,7 +2651,7 @@ def q_dedup_keep_best(sf_dir: str):
     (stages/dedup.keep_best_per_group — two-phase argmax+count)."""
     from ..stages.dedup import keep_best_per_group
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
     def _variants(t: pa.Table) -> pa.Table:
         even = t.filter(pc.equal(
@@ -2788,7 +2787,7 @@ def q_doc_sentence_stats(sf_dir: str):
     """Per-doc sentence statistics — readability features for quality
     filtering: sentence count ([.!?]+ runs, Arrow RE2 kernel) and
     integer mean sentence length. Pure streaming map, zero shuffle."""
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
     def _stats(t: pa.Table) -> pa.Table:
         n_sent = pc.cast(pc.count_substring_regex(
@@ -2867,7 +2866,7 @@ def q_corpus_char_freq(sf_dir: str):
     concatenated utf-8 bytes (the corpus contract is printable ASCII,
     asserted — so byte == char), emitting ≤128 partial rows per batch;
     the groupby then sums ≤128-row partials, never text."""
-    docs = _docs(sf_dir).select_columns(["text"])
+    docs = _docs(sf_dir, ["text"])
 
     def _hist(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -2900,7 +2899,7 @@ def q_source_token_budget(sf_dir: str):
     share is order-independent."""
     from ..stages.shuffle import two_phase_aggregate
 
-    docs = _docs(sf_dir).select_columns(["source", "text"])
+    docs = _docs(sf_dir, ["source", "text"])
 
     def _tok(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2935,7 +2934,7 @@ def q_doc_embedding_join(sf_dir: str):
 
     from ..stages.joins import equi_join
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "label"])
     return equi_join(docs, emb, left_on="doc_id", right_on="vec_id",
@@ -2965,7 +2964,7 @@ def q_token_cooccurrence(sf_dir: str):
     token instances never shuffle."""
     from ..stages.textstats import vocab_topk
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     top = vocab_topk(docs, k=20)
     top_words = frozenset(
         r["word"] for r in top.select_columns(["word"]).take_all())
@@ -3041,7 +3040,7 @@ def q_vocab_bigrams_topk(sf_dir: str):
     analysis through the same combiner-pruned top-k shape as
     vocab_topk (stages/textstats.bigram_topk)."""
     return ts.bigram_topk(
-        _docs(sf_dir).select_columns(["text"]), k=20)
+        _docs(sf_dir, ["text"]), k=20)
 
 
 def q_langid_confusion(sf_dir: str):
@@ -3051,7 +3050,7 @@ def q_langid_confusion(sf_dir: str):
     oracle recomputes the full decision from the marker sets."""
     from ray.data.aggregate import Count
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
     pred = docs.map_batches(
         ts.LangId, batch_format="pyarrow",
         concurrency=ts.autoscale_actors())
@@ -3071,7 +3070,7 @@ def q_doc_dup_ratio_by_source(sf_dir: str):
 
     from ..stages.dedup import add_text_hash
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def _with_dups(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -3164,7 +3163,7 @@ def q_doc_quality_tiers(sf_dir: str):
     (score, count) histogram does."""
     from ..stages.tiering import quality_tiers
 
-    return quality_tiers(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return quality_tiers(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_doc_winnow(sf_dir: str):
@@ -3175,7 +3174,7 @@ def q_doc_winnow(sf_dir: str):
     integer aggregates. Streaming map, no shuffle."""
     from ..stages.tiering import winnow_table
 
-    return winnow_table(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return winnow_table(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_vocab_heavy_hitters(sf_dir: str):
@@ -3190,7 +3189,7 @@ def q_vocab_heavy_hitters(sf_dir: str):
     from ..stages.tiering import heavy_hitters_mg
 
     cap = 64
-    docs = _docs(sf_dir).select_columns(["text"])
+    docs = _docs(sf_dir, ["text"])
     mg = heavy_hitters_mg(docs, capacity=cap)
 
     def _vocab_partial(t: pa.Table) -> pa.Table:
@@ -3247,7 +3246,7 @@ def q_source_lang_pivot(sf_dir: str):
     from ..stages.textstats import LangId
 
     langs = ("en", "de", "fr", "es", "zh", "und")
-    docs = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
     tagged = docs.map_batches(LangId, batch_format="pyarrow",
                               concurrency=(1, 4))
 
@@ -3327,7 +3326,7 @@ def q_doc_skyline(sf_dir: str):
     from ..stages.profile import skyline_2d
     from ..stages.textstats import QualityScorer
 
-    feats = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    feats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityScorer(), batch_format="pyarrow"
     ).select_columns(["doc_id", "token_count", "punct_count"])
     return skyline_2d(feats, "token_count", "punct_count")
@@ -3700,8 +3699,7 @@ def q_doc_tier_sample(sf_dir: str):
     from ..stages.sampling import stratified_sample
     from ..stages.tiering import quality_tiers
 
-    tiers = quality_tiers(_docs(sf_dir).select_columns(
-        ["doc_id", "text"]))
+    tiers = quality_tiers(_docs(sf_dir, ["doc_id", "text"]))
     rates = {0: 500, 1: 1000, 2: 2000, 3: 10000}
     return stratified_sample(tiers, id_col="doc_id", strata_col="tier",
                              rates_bp=rates)
@@ -3893,7 +3891,7 @@ def q_doc_quality_tiers_by_source(sf_dir: str):
     from ..stages.tiering import quality_tiers_by_source
 
     return quality_tiers_by_source(
-        _docs(sf_dir).select_columns(["doc_id", "source", "text"]))
+        _docs(sf_dir, ["doc_id", "source", "text"]))
 
 
 QUERIES: Dict[str, callable] = {
