@@ -742,26 +742,57 @@ def q_dedup_simhash(sf_dir: str):
     found = dd.simhash_dedup_pairs(corpus).select_columns(
         ["doc_a", "doc_b"]
     )
+    hashed = corpus.map_batches(
+        dd.add_text_hash, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_hash"])
 
-    # exact dup pairs: text-hash groupby → within-group pair explosion
-    def _group_pairs(g: pa.Table) -> pa.Table:
+    # COUNT-BASED ground truth (r3 verdict #7): no per-group pair
+    # explosion — a degenerate corpus with one giant identical-text
+    # group would make the old np.triu_indices side O(n²) while the
+    # operator under test stays bucketed. n_exact = Σ C(n,2) over
+    # text-hash group sizes; n_common = found pairs whose endpoints
+    # share a text hash (identical text ⟹ identical simhash ⟹ every
+    # exact pair is a candidate, so equality pins completeness).
+    from ..stages.shuffle import two_phase_aggregate
+
+    sizes = two_phase_aggregate(hashed, "text_hash",
+                                {"n": (None, "count")})
+
+    def _pairs_of(t: pa.Table) -> pa.Table:
         import numpy as np
-        ids = np.sort(np.asarray(g.column("doc_id").to_pylist(),
-                                 dtype=np.int64))
-        ia, ib = np.triu_indices(len(ids), k=1)
+        n = t.column("n").to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_a": pa.array(ids[ia], pa.int64()),
-            "doc_b": pa.array(ids[ib], pa.int64()),
+            "p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64()),
         })
 
-    exact = corpus.map_batches(
-        dd.add_text_hash, batch_format="pyarrow"
-    ).select_columns(["doc_id", "text_hash"]).groupby("text_hash").map_groups(
-        _group_pairs, batch_format="pyarrow"
-    )
-    n_exact, _, n_common = _overlap_counts(
-        exact, found, ("doc_a", "doc_b")
-    )
+    agg = sizes.map_batches(_pairs_of, batch_format="pyarrow").sum("p")
+    n_exact = int(agg) if agg is not None else 0
+
+    # attach both endpoints' text hashes to each found pair
+    # (co-partitioned — dedup.attach_pair_column, no driver pull)
+    att = dd.attach_pair_column(found, hashed, "text_hash")
+
+    def _same_hash(g: pa.Table) -> pa.Table:
+        import numpy as np
+        if g.num_rows < 2:
+            return pa.table({"m": pa.array([0], pa.int64())})
+        idx = pc.sort_indices(g, sort_keys=[
+            ("doc_a", "ascending"), ("doc_b", "ascending"),
+            ("side", "ascending")])
+        s = g.take(idx)
+        a = s.column("doc_a").to_numpy(zero_copy_only=False)
+        b = s.column("doc_b").to_numpy(zero_copy_only=False)
+        side = s.column("side").to_numpy(zero_copy_only=False)
+        h = s.column("text_hash").to_pylist()
+        both = np.flatnonzero(
+            (side[:-1] == 0) & (side[1:] == 1)
+            & (a[:-1] == a[1:]) & (b[:-1] == b[1:]))
+        m = sum(1 for i in both if h[i] == h[i + 1])
+        return pa.table({"m": pa.array([int(m)], pa.int64())})
+
+    agg2 = att.groupby("coarse").map_groups(
+        _same_hash, batch_format="pyarrow").sum("m")
+    n_common = int(agg2) if agg2 is not None else 0
     return _claim_row(
         n_exact_dup_pairs=int(n_exact),
         all_exact_dups_found=bool(n_common == n_exact),

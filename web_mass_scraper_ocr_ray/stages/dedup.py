@@ -575,11 +575,16 @@ def _pair_jaccard_counts(doc_a: np.ndarray, doc_b: np.ndarray,
     return inter, la + lb - inter
 
 
-def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
-                              n_coarse: int = N_COARSE_BUCKETS):
-    """Attach both texts to each candidate (doc_a, doc_b) pair and keep
-    pairs with exact Jaccard ≥ pct/100 — via two coarse-bucket groupby
-    shuffles instead of Ray's hash-join operator.
+def attach_pair_column(cands, vals, val_col: str = "text",
+                       id_col: str = "doc_id",
+                       val_type: pa.DataType | None = None,
+                       n_coarse: int = N_COARSE_BUCKETS):
+    """Attach a per-doc value to BOTH sides of candidate (doc_a, doc_b)
+    pairs — via two coarse-bucket groupby shuffles instead of Ray's
+    hash-join operator. Returns a Dataset with columns
+    ``(doc_a, doc_b, side, <val_col>, coarse)`` where ``coarse`` is the
+    pair's bucket: ``groupby("coarse")`` puts a pair's two side rows in
+    one group (sorted by (doc_a, doc_b, side) they are adjacent).
 
     The join operator pins ``num_partitions`` aggregator actors per
     join; at small candidate counts that is pure overhead (measured
@@ -588,17 +593,20 @@ def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
     deadlock against their own upstream. Shape:
 
       pairs → 2 rows each (key=doc_a side=0, key=doc_b side=1)
-      texts → 1 row each (key=doc_id, side=-1, text)
-      groupby(key % n_coarse): map text onto its pairs' rows (vector-
-        ized reindex per bucket — no per-group Python calls)
-      groupby(pair % n_coarse): sort (doc_a, doc_b, side), adjacent
-        rows are the two sides; shingle each UNIQUE doc once, then one
-        lexsort computes every pair's (inter, union) at once
+      vals  → 1 row each (key=id, side=-1, val)
+      groupby(key % n_coarse): map val onto its pairs' rows (vector-
+        ized searchsorted per bucket — no per-group Python calls)
 
-    Data moved: texts once + pair rows twice — strictly less than the
-    two hash joins (texts twice). Each bucket holds ~N/n_coarse rows,
+    Data moved: vals once + pair rows twice — strictly less than the
+    two hash joins (vals twice). Each bucket holds ~N/n_coarse rows,
     so worker memory stays bounded at cluster scale; raise ``n_coarse``
     with the corpus."""
+    if val_type is None:
+        sch = vals.schema()
+        t0 = dict(zip(sch.names, sch.types))[val_col]
+        val_type = (pa.large_string()
+                    if pa.types.is_string(t0) or pa.types.is_large_string(t0)
+                    else t0)
 
     def _explode_sides(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").cast(pa.int64()).combine_chunks()
@@ -609,18 +617,18 @@ def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
             "doc_a": pa.concat_arrays([a, a]),
             "doc_b": pa.concat_arrays([b, b]),
             "side": pa.array([0] * n + [1] * n, pa.int8()),
-            "text": pa.array([None] * (2 * n), pa.large_string()),
+            val_col: pa.nulls(2 * n, val_type),
         })
 
-    def _text_rows(t: pa.Table) -> pa.Table:
+    def _val_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
         zero = pa.nulls(n, pa.int64())
         return pa.table({
-            "key": t.column("doc_id").cast(pa.int64()),
+            "key": t.column(id_col).cast(pa.int64()),
             "doc_a": zero,
             "doc_b": zero,
             "side": pa.array(np.full(n, -1, np.int8())),
-            "text": t.column("text").cast(pa.large_string()),
+            val_col: t.column(val_col).cast(val_type),
         })
 
     def _with_coarse(col):
@@ -638,18 +646,18 @@ def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
     rows = cands.map_batches(
         _explode_sides, batch_format="pyarrow"
     ).union(
-        texts.map_batches(_text_rows, batch_format="pyarrow")
+        vals.map_batches(_val_rows, batch_format="pyarrow")
     ).map_batches(_with_coarse("key"), batch_format="pyarrow")
 
     _empty_attached = pa.table({
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
         "side": pa.array([], pa.int8()),
-        "text": pa.array([], pa.large_string()),
+        val_col: pa.array([], val_type),
     })
 
     def _attach(t: pa.Table) -> pa.Table:
-        # pyarrow-native: text bytes never cross an Arrow→pandas
+        # pyarrow-native: value bytes never cross an Arrow→pandas
         # boundary (r3 verdict #5); the lookup is a sorted searchsorted
         # on the bucket's source keys, the gather is an Arrow take.
         t = t.combine_chunks()
@@ -666,21 +674,33 @@ def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
         pos_c = np.minimum(pos, len(sorted_keys) - 1)
         valid = sorted_keys[pos_c] == dst_keys
         dst_keep = dst_idx[valid]
-        text_src = src_idx[order[pos_c[valid]]]
+        val_src = src_idx[order[pos_c[valid]]]
         return pa.table({
             "doc_a": t.column("doc_a").take(dst_keep),
             "doc_b": t.column("doc_b").take(dst_keep),
             "side": t.column("side").take(dst_keep),
-            "text": t.column("text").take(text_src),
+            val_col: t.column(val_col).take(val_src),
         })
 
-    attached = rows.groupby("coarse").map_groups(
+    return rows.groupby("coarse").map_groups(
         _attach, batch_format="pyarrow"
     ).map_batches(
         # re-key the shuffle by the PAIR so both sides land together
         _with_coarse("doc_a"),
         batch_format="pyarrow",
     )
+
+
+def _verify_pairs_copartition(cands, texts, pct: int, shingle_k: int,
+                              n_coarse: int = N_COARSE_BUCKETS):
+    """Attach both texts to each candidate (doc_a, doc_b) pair (see
+    :func:`attach_pair_column` for the co-partition shape) and keep
+    pairs with exact Jaccard ≥ pct/100: groupby(pair % n_coarse), sort
+    (doc_a, doc_b, side) so a pair's rows are adjacent, shingle each
+    UNIQUE doc once, then one lexsort computes every pair's
+    (inter, union) at once."""
+    attached = attach_pair_column(cands, texts, "text",
+                                  n_coarse=n_coarse)
 
     _empty_verified = pa.table({
         "doc_a": pa.array([], pa.int64()),
