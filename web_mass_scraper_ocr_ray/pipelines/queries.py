@@ -3816,7 +3816,7 @@ def q_embedding_quantize(sf_dir: str):
 
 def q_events_outliers(sf_dir: str):
     """Per-type 3-sigma outliers in PURE INTEGERS: an event is an
-    outlier iff (n·v − sum)² > 9·n·(n·sumsq − sum²) — the z² > 9 rule
+    outlier iff (n·v − sum)² > 9·(n·sumsq − sum²) — the z² > 9 rule
     cleared of every division, so the oracle reproduces it bit-exactly
     (the events_value_trend sufficient-statistics discipline).
 

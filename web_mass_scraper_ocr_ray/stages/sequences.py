@@ -62,7 +62,8 @@ def event_transitions(ev_ds, user_col: str = "user_id",
 
 
 def late_events(ev_ds, watermark_us: int, order_col: str = "event_id",
-                ts_col: str = "ts", n_ranges: int = 64):
+                ts_col: str = "ts", n_ranges: int = 64,
+                keep_cols: tuple = ("user_id",)):
     """Watermark-based late-data detection — the streaming primitive
     batch engines fake with a GLOBAL running max: an event is LATE
     when its timestamp falls more than ``watermark_us`` behind the
@@ -79,7 +80,9 @@ def late_events(ev_ds, watermark_us: int, order_col: str = "event_id",
     seeded by the carry. Rows shuffle ONCE (the bucket groupby);
     everything else is n_ranges-sized.
 
-    → late rows only: (event_id, user_id, ts, watermark_ts)."""
+    → late rows only: (order_col, *keep_cols, ts_col, watermark_ts);
+    ``keep_cols`` are the passthrough columns projected onto the late
+    rows (default matches the events table's user_id)."""
     from ray.data.aggregate import Max, Min
 
     mm = ev_ds.aggregate(Min(order_col), Max(order_col))
@@ -115,7 +118,7 @@ def late_events(ev_ds, watermark_us: int, order_col: str = "event_id",
                 pd.Series([c] * len(prev), index=prev.index), max)
         wm = prev - pd.Timedelta(microseconds=watermark_us)
         late = prev.notna() & (g[ts_col] < wm)
-        out = g[late][[order_col, "user_id", ts_col]].copy()
+        out = g[late][[order_col, *keep_cols, ts_col]].copy()
         out["watermark_ts"] = prev[late]
         return out
 

@@ -339,16 +339,19 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
 
 
 def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
+                            id_col: str = "doc_id",
                             n_buckets: int = N_BUCKETS):
     """Side-tagged prefix rows → distinct (needle_id, doc_id)
     candidates. Per tag run, each needle pairs with the docs whose bag
     size passes the containment length filter
-    ``n_doc >= ceil(tau * n_needle)`` — one searchsorted per run."""
+    ``n_doc >= ceil(tau * n_needle)`` — one searchsorted per run.
+    ``id_col`` names the prefix rows' id column explicitly (the same
+    name _explode_prefix emitted) rather than trusting column order."""
 
     def _tag_side(side):
         def _f(t: pa.Table) -> pa.Table:
             return pa.table({
-                "id": t.column(t.column_names[0]),
+                "id": t.column(id_col),
                 "tag": t.column("tag"),
                 "n": t.column("n"),
                 "side": pa.array(
@@ -526,7 +529,7 @@ def set_containment_join(needles_ds, corpus_ds, tau_bp: int = 8000,
     ).materialize()
     cands = _containment_candidates(
         _explode_prefix(ne_tables, id_col),
-        _explode_prefix(ce_tables, id_col), tau_bp)
+        _explode_prefix(ce_tables, id_col), tau_bp, id_col=id_col)
 
     joined = equi_join(cands, _bag_view(ne_tables, id_col, "_a"),
                        "needle_id", id_col, ["tags_a", "n_a"])

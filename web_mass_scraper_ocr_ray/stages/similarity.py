@@ -514,8 +514,13 @@ def quantize_embeddings(emb_ds, id_col: str = "vec_id",
     one divide in the SAME order on both sides → identical IEEE
     results, the sampling-op discipline).
 
-    Streaming map, no shuffle; all-zero vectors quantize to zeros with
-    scale_micro = 0 by contract."""
+    Streaming map, no shuffle. scale_micro = trunc(max|x| · 1e6), so
+    it truncates to 0 for ANY vector with max|x| < 1e-6 — not just
+    all-zero vectors — and dequantization (q8 · scale/127) collapses
+    such sub-micro vectors to zero. That loss is the documented
+    contract of the micro unit (real embedding norms sit orders of
+    magnitude above it); callers quantizing near-zero vectors must
+    rescale first or carry a finer unit."""
     import numpy as np
     import pyarrow.compute as pc
 

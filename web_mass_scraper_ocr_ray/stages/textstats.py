@@ -138,7 +138,18 @@ class LangId:
 
 
 def _rolling_hashes(data: bytes, window: int = 8) -> np.ndarray:
-    """Vectorized Rabin-Karp rolling hash over a byte string."""
+    """Vectorized Rabin-Karp rolling hash over a byte string.
+
+    Oracle contract (shared by every caller whose DuckDB mirror
+    reproduces these hashes — Fingerprinter, WinnowSelector,
+    winnow_pairs, novelty_table): inputs shorter than ``window`` are
+    NUL-padded to exactly one hash (the SQL mirrors, which unnest
+    ``range(1, length(text) - window + 2)``, emit NO row for them),
+    and the mirrors index by ``length(text)`` CHARACTERS while this
+    side hashes utf-8 BYTES. Parity therefore assumes an ASCII corpus
+    with docs ≥ ``window`` chars — true of the synthetic tables by
+    construction; non-ASCII or sub-window docs desync the oracle, not
+    the operator."""
     if len(data) < window:
         data = data + b"\x00" * (window - len(data))
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
