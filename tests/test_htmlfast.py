@@ -77,7 +77,49 @@ FIXTURES = [
     b'<STYLE>.g{DISPLAY:NONE}</STYLE><p CLASS="g">x</p>y',
     b'<style>.g{display:none}</style><div class="g"><img src="h.png"></div>'
     b'<img src="v.png">',
+    # r4 selector subset: compound / id / type / descendant chains
+    b'<style>div.c{display:none}</style><div class="c">x</div>'
+    b'<span class="c">y</span>',
+    b'<style>.a.b{display:none}</style><p class="a b">x</p><p class="b a">y'
+    b'</p><p class="a">z</p>',
+    b'<style>#gone{display:none}</style><p id="gone">x</p><p id="kept">y</p>',
+    b'<style>aside{display:none}</style><aside>x</aside><p>y</p>',
+    b'<style>.nav .item{display:none}</style>'
+    b'<div class="nav"><b><span class="item">x</span></b></div>'
+    b'<span class="item">y</span>',
+    b'<style>div.n p#z{display:none}</style>'
+    b'<div class="n"><p id="z">x</p></div><p id="z">y</p>',
+    b'<style>p:hover{display:none}</style><p>kept</p>',
+    b'<style>.a > .b{display:none}</style>'
+    b'<div class="a"><p class="b">kept</p></div>',
+    b'<style>[data-x]{display:none}</style><p data-x="1">kept</p>',
+    b'<style>* {display:none}</style><p>kept</p>',
+    b'<style>p:first-child,.z{display:none}</style>'
+    b'<p class="z">x</p><p>y</p>',
+    b'<style>.h{display:none}</style>'
+    b'<p class="a h b">x</p><p class="ah">y</p>',
+    # duplicate class/id attrs: first occurrence wins in both impls
+    b'<style>.h{display:none}</style><p class="h" class="v">x</p>y',
+    b'<style>#h{display:none}</style><p id="h" id="v">x</p>y',
+    # implicit-</p> close interacting with descendant matching
+    b'<style>p span{display:none}</style>'
+    b'<p>a<span>x</span><p>b<span>y</span>',
+    # hide-rule on a block: hidden blocks are not boundaries
+    b'<style>div.x{display:none}</style>a<div class="x">m</div>b',
 ]
+
+
+def test_css_resolver_equality():
+    html = (
+        b'<link rel="stylesheet" href="/a.css">'
+        b"<link rel='stylesheet' href='/b.css'><link rel=icon href=/c.css>"
+        b'<div class="banner">x</div><aside id="ad">y</aside><p>z</p>'
+    )
+    css = {"/a.css": ".banner{display:none}", "/b.css": "#ad{display:none}",
+           "/c.css": "p{display:none}"}  # /c.css is rel=icon: never loaded
+    r = extract_visible_text(html, css_resolver=css.get)
+    f = extract_visible_text_fast(html, css_resolver=css.get)
+    assert r.text == f.text == "z"
 
 
 def test_fixture_equality():

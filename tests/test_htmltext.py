@@ -105,10 +105,72 @@ class TestStyleBlockClasses:
         html = b'<style>.a,.b{display:none}</style><p class=a>x</p><p class=b>y</p>z'
         assert text_of(html) == "z"
 
-    def test_compound_selector_conservatively_ignored(self):
-        # div.c / .a .b / pseudo-classes never hide (would need a cascade)
-        html = b'<style>div.c{display:none}</style><div class="c">kept</div>'
-        assert text_of(html) == "kept"
+    def test_compound_selectors_hide(self):
+        # r4: tag.class / .a.b / #id / descendant chains are honored
+        assert text_of(
+            b'<style>div.c{display:none}</style>'
+            b'<div class="c">gone</div><span class="c">kept</span>'
+        ) == "kept"
+        assert text_of(
+            b'<style>.a.b{display:none}</style>'
+            b'<p class="a b">gone</p><p class="a">kept</p>'
+        ) == "kept"
+        assert text_of(
+            b'<style>#x{display:none}</style>'
+            b'<p id="x">gone</p><p id="y">kept</p>'
+        ) == "kept"
+        assert text_of(
+            b'<style>aside{display:none}</style>'
+            b'<aside>gone</aside><p>kept</p>'
+        ) == "kept"
+        assert text_of(
+            b'<style>.nav .item{display:none}</style>'
+            b'<div class="nav"><span class="item">gone</span></div>'
+            b'<span class="item">kept</span>'
+        ) == "kept"
+        # deep descendant: any ancestor, not just the parent
+        assert text_of(
+            b'<style>div.nav p.x{display:none}</style>'
+            b'<div class="nav"><section><p class="x">gone</p></section></div>'
+            b'<p class="x">kept</p>'
+        ) == "kept"
+
+    def test_unsupported_selector_conservatively_ignored(self):
+        # pseudo-classes / child combinators / attribute selectors never
+        # hide (would need a real cascade) — under-hiding only
+        assert text_of(
+            b'<style>p:hover{display:none}</style><p>kept</p>'
+        ) == "kept"
+        assert text_of(
+            b'<style>.a > .b{display:none}</style>'
+            b'<div class="a"><p class="b">kept</p></div>'
+        ) == "kept"
+        assert text_of(
+            b'<style>[hidden]{display:none}</style><p>kept</p>'
+        ) == "kept"
+        # one unsupported selector in a comma list doesn't kill the rest
+        assert text_of(
+            b'<style>p:first-child,.z{display:none}</style>'
+            b'<p class="z">gone</p><p>kept</p>'
+        ) == "kept"
+
+    def test_external_stylesheet_resolver(self):
+        from web_mass_scraper_ocr_ray.functions.htmltext import (
+            extract_visible_text,
+        )
+
+        html = (
+            b'<link rel="stylesheet" href="/site.css">'
+            b'<div class="cookie-banner">gone</div><p>kept</p>'
+        )
+        css = {"/site.css": ".cookie-banner{display:none}"}
+        # resolver supplied → external hide-rules honored
+        assert extract_visible_text(html, css_resolver=css.get).text == "kept"
+        # no resolver (default) → external sheet invisible, under-hides
+        assert extract_visible_text(html).text == "gone kept"
+        # unresolvable href contributes nothing
+        assert extract_visible_text(
+            html, css_resolver={}.get).text == "gone kept"
 
     def test_non_hiding_rule_ignored(self):
         html = b'<style>.red{color:red}</style><p class="red">kept</p>'

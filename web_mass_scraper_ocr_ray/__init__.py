@@ -15,7 +15,13 @@ Public API (reference analog: ``src/scraper_app/__init__.py:34-53``).
 
 from .config import PipelineConfig
 from .functions.htmlfast import extract_visible_text_fast
-from .functions.htmltext import ExtractResult, Span, extract_visible_text
+from .functions.htmltext import (
+    ExtractResult,
+    HiddenRules,
+    Span,
+    extract_visible_text,
+    hidden_rules_from_html,
+)
 from .functions.retry import retry_with_backoff
 from .functions.textclean import clean_text, create_text_metadata
 from .functions.urltools import (
@@ -40,7 +46,12 @@ from .pipelines.extract_pipeline import (
     session_summary,
 )
 from .ocr.pdf_layout import PdfLayoutEngine, StubPdfLayoutEngine, make_pdf_engine
-from .stages.extract import extract_batch, extract_batch_sliced, extract_row
+from .stages.extract import (
+    CssAwareExtract,
+    extract_batch,
+    extract_batch_sliced,
+    extract_row,
+)
 from .stages.ocr_stage import OCRStage, ocr_batch_fused
 from .stages.pdf_stage import PdfStage, pdf_batch_fused
 
@@ -55,6 +66,9 @@ __all__ = [
     "extract_batch",
     "extract_batch_sliced",
     "extract_row",
+    "CssAwareExtract",
+    "HiddenRules",
+    "hidden_rules_from_html",
     "OCRStage",
     "ocr_batch_fused",
     "PdfStage",

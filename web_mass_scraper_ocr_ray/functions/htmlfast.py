@@ -35,9 +35,9 @@ from .htmltext import (
     _TEXT_SKIP_TAGS,
     _VOID_TAGS,
     ExtractResult,
+    HiddenRules,
     Span,
-    _class_hit,
-    hidden_classes_from_html,
+    hidden_rules_from_html,
 )
 from .textclean import clean_text
 
@@ -99,17 +99,14 @@ def _iter_attrs(attrs: str):
         k = m.end()
 
 
-def _is_hidden_attrs(attrs: str,
-                     hidden_classes: frozenset = frozenset()) -> bool:
+def _is_hidden_attrs(attrs: str) -> bool:
     """hidden iff an attribute NAMED 'hidden' exists (any value — the
     HTML spec makes hidden a boolean attribute, so hidden="false" still
-    hides), an attribute NAMED 'style' contains display:none /
-    visibility:hidden, or a 'class' token is hidden by a same-document
-    <style> block. Matches htmltext._VisibleTextParser._is_hidden."""
-    if not attrs:
-        return False
-    if not _VIS_PRECHECK.search(attrs) and not (
-            hidden_classes and _CLASS_PRECHECK.search(attrs)):
+    hides) or an attribute NAMED 'style' contains display:none /
+    visibility:hidden. The no-rules fast path; stylesheet hide-rules go
+    through ``_vis_with_rules``. Matches
+    htmltext._VisibleTextParser._elem_visibility."""
+    if not attrs or not _VIS_PRECHECK.search(attrs):
         return False
     for name, value in _iter_attrs(attrs):
         if name == "hidden":
@@ -118,10 +115,34 @@ def _is_hidden_attrs(attrs: str,
             style = value.replace(" ", "").lower()
             if "display:none" in style or "visibility:hidden" in style:
                 return True
-        if (name == "class" and hidden_classes
-                and _class_hit(value, hidden_classes)):
-            return True
     return False
+
+
+def _vis_with_rules(tag: str, attrs: str, rules: HiddenRules,
+                    elem_info: list):
+    """(hidden, info) under active stylesheet hide-rules — parses
+    class/id for ancestor context (first occurrence wins, like the
+    reference parser). Only runs on documents that HAVE hide-rules."""
+    hidden = False
+    cls_val = None
+    eid = None
+    if attrs:
+        for name, value in _iter_attrs(attrs):
+            if name == "hidden":
+                hidden = True
+            elif name == "style" and value:
+                style = value.replace(" ", "").lower()
+                if "display:none" in style or "visibility:hidden" in style:
+                    hidden = True
+            elif name == "class" and cls_val is None:
+                cls_val = value
+            elif name == "id" and eid is None:
+                eid = value
+    classes = frozenset(cls_val.split()) if cls_val else frozenset()
+    info = (tag, classes, eid)
+    if not hidden:
+        hidden = rules.hides(tag, classes, eid, elem_info)
+    return hidden, info
 
 
 def _first_src(attrs: str) -> Optional[str]:
@@ -157,17 +178,19 @@ def _doc_ref(attrs: str, ref_attr: str) -> Optional[tuple]:
     return (ref, typ or "")
 
 
-def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
+def extract_visible_text_fast(html: Optional[bytes],
+                              css_resolver=None) -> ExtractResult:
     """Drop-in replacement for htmltext.extract_visible_text."""
     if not html:
         return ExtractResult(text="")
     if isinstance(html, memoryview):
         html = html.tobytes()
     s = html.decode("utf-8", errors="replace")
-    hidden_classes = hidden_classes_from_html(s)
+    rules = hidden_rules_from_html(s, css_resolver)
 
     stack: List[str] = []
     hidden_deltas: List[int] = []
+    elem_info: List[tuple] = []  # (tag, classes, id) — only when rules
     text_skip = 0
     buf: List[str] = []
     buf_path: Optional[str] = None
@@ -241,16 +264,23 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
                 pos = cm.end() if cm else n
                 continue
 
-            hidden = _is_hidden_attrs(attrs, hidden_classes)
             self_closing = bool(attrs) and attrs.rstrip().endswith("/")
 
             if tag == "p" and stack and stack[-1] == "p":
                 # HTML5 implicit </p> before a new <p>
                 stack.pop()
                 d_p = hidden_deltas.pop()
+                if rules:
+                    elem_info.pop()
                 if not text_skip:
                     flush()
                 text_skip -= d_p
+            # rules evaluation runs AFTER the implicit-</p> pop so the
+            # ancestor stack matches the reference parser's exactly
+            if rules:
+                hidden, info = _vis_with_rules(tag, attrs, rules, elem_info)
+            else:
+                hidden = _is_hidden_attrs(attrs)
             if tag in _BLOCK_TAGS and not text_skip and not hidden:
                 flush()
             if self_closing:
@@ -259,12 +289,16 @@ def extract_visible_text_fast(html: Optional[bytes]) -> ExtractResult:
             text_skip += d
             stack.append(tag)
             hidden_deltas.append(d)
+            if rules:
+                elem_info.append(info)
         else:
             if tag in _VOID_TAGS or tag not in stack:
                 continue
             while stack:
                 top = stack.pop()
                 d = hidden_deltas.pop()
+                if rules:
+                    elem_info.pop()
                 if top in _BLOCK_TAGS and not text_skip:
                     flush()
                 text_skip -= d

@@ -75,43 +75,241 @@ _BLOCK_TAGS = frozenset({
 # enough to keep the open-element stack sane on real-world markup).
 _P_CLOSERS = _BLOCK_TAGS - {"html", "body"}
 
-# ---- same-document <style> class visibility -------------------------------
-# A browser's inner_text also honors `<style>.x{display:none}</style>`
-# classes (reference scraper.py:210-215 renders with the full cascade).
-# This is the minimal no-browser approximation: collect class names from
-# SIMPLE single-class selectors (`.foo`) whose rule body contains
-# display:none / visibility:hidden, document-wide (a pre-scan, so style
-# blocks after the element still apply, like real CSS). Compound
-# selectors (`div.foo`, `.a .b`, pseudo-classes) are conservatively
-# IGNORED — an unmatched rule never hides content that a browser would
-# show. External stylesheets remain out of scope (SURVEY §7.4 fidelity
-# bound: no network, no cascade).
+# ---- stylesheet visibility (same-document <style> + resolved external) ----
+# A browser's inner_text honors the full CSS cascade (reference
+# scraper.py:208-215 renders with Playwright). This is the no-browser
+# approximation: collect HIDE rules (declaration block contains
+# display:none / visibility:hidden) from same-document ``<style>``
+# blocks — plus, when the caller supplies a ``css_resolver`` for
+# crawled stylesheet assets, from ``<link rel=stylesheet href=…>``
+# sheets — document-wide (a pre-scan, so style blocks after the element
+# still apply, like real CSS).
+#
+# Supported selector subset (r4, closing the r3 verdict fidelity gap):
+#   .c          single class                 (the original subset)
+#   tag / #id   type and id selectors
+#   tag.a.b#id  compound simple selectors on one element
+#   A B C       descendant combinator chains of the above
+# Unsupported syntax in a selector (pseudo-classes/elements, ``*``,
+# ``>``/``+``/``~`` combinators, attribute selectors, escapes) skips
+# THAT selector only — conservatively under-hiding: an unmatched rule
+# never hides content a browser would show, it can only leave visible
+# what a browser hides. visibility:hidden is treated as display:none
+# (children cannot re-show themselves) — documented approximation.
 import re as _re
 
 _STYLE_BLOCK_RE = _re.compile(r"<\s*style\b[^>]*>(.*?)</\s*style\s*>",
                               _re.I | _re.S)
 _CSS_COMMENT_RE = _re.compile(r"/\*.*?\*/", _re.S)
 _CSS_RULE_RE = _re.compile(r"([^{}]+)\{([^{}]*)\}", _re.S)
-_CLASS_SELECTOR_RE = _re.compile(r"\.([A-Za-z_][\w-]*)\Z")
+# one compound: optional type, then any mix of .class / #id tokens
+_COMPOUND_RE = _re.compile(
+    r"\A([A-Za-z][\w-]*)?((?:[.#][A-Za-z_-][\w-]*)*)\Z")
+_SIMPLE_TOKEN_RE = _re.compile(r"([.#])([A-Za-z_-][\w-]*)")
+# <link …> pre-scan for external stylesheets (resolver-gated)
+_LINK_TAG_RE = _re.compile(r"<\s*link\b([^>]*)>", _re.I | _re.S)
+_REL_ATTR_RE = _re.compile(
+    r"""\brel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"'=]+))""", _re.I)
+_HREF_ATTR_RE = _re.compile(
+    r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"'=]+))""", _re.I)
+
+
+def _parse_compound(part: str):
+    """'div.a.b#x' → (tag|None, frozenset classes, id|None); None if the
+    compound uses unsupported syntax."""
+    m = _COMPOUND_RE.match(part)
+    if not m or (not m.group(1) and not m.group(2)):
+        return None
+    tag = m.group(1).lower() if m.group(1) else None
+    classes = set()
+    eid = None
+    for kind, name in _SIMPLE_TOKEN_RE.findall(m.group(2) or ""):
+        if kind == ".":
+            classes.add(name)
+        elif eid is None:
+            eid = name
+        else:
+            return None  # two #ids can never match
+    return (tag, frozenset(classes), eid)
+
+
+def _compound_matches(comp, tag, classes, eid) -> bool:
+    ctag, ccls, cid = comp
+    if ctag is not None and ctag != tag:
+        return False
+    if cid is not None and cid != eid:
+        return False
+    return not ccls or ccls.issubset(classes)
+
+
+class HiddenRules:
+    """Compiled hide-rules: chains of compounds, last = subject.
+
+    Subjects are dispatched by id → class → tag so the per-element check
+    touches only plausibly-matching rules; an empty rule set is falsy and
+    costs the extractors nothing (their fast paths skip all class/id
+    attribute parsing when ``not rules``)."""
+
+    __slots__ = ("_by_id", "_by_class", "_by_tag", "simple_classes")
+
+    def __init__(self, chains) -> None:
+        self._by_id: dict = {}
+        self._by_class: dict = {}
+        self._by_tag: dict = {}
+        simple: set = set()
+        for chain in chains:
+            stag, scls, sid = chain[-1]
+            if sid is not None:
+                self._by_id.setdefault(sid, []).append(chain)
+            elif scls:
+                self._by_class.setdefault(next(iter(scls)), []).append(chain)
+            else:
+                self._by_tag.setdefault(stag, []).append(chain)
+            if len(chain) == 1 and stag is None and sid is None and len(scls) == 1:
+                simple.add(next(iter(scls)))
+        self.simple_classes = frozenset(simple)
+
+    def __bool__(self) -> bool:
+        return bool(self._by_id or self._by_class or self._by_tag)
+
+    def hides(self, tag, classes, eid, ancestors) -> bool:
+        """ancestors: (tag, classes, id) triples in root→parent order."""
+        for chain in self._candidates(tag, classes, eid):
+            if (_compound_matches(chain[-1], tag, classes, eid)
+                    and _ancestors_match(chain[:-1], ancestors)):
+                return True
+        return False
+
+    def _candidates(self, tag, classes, eid):
+        if eid is not None:
+            for chain in self._by_id.get(eid, ()):
+                yield chain
+        if classes and self._by_class:
+            for c in classes:
+                for chain in self._by_class.get(c, ()):
+                    yield chain
+        for chain in self._by_tag.get(tag, ()):
+            yield chain
+
+
+_EMPTY_RULES = HiddenRules(())
+
+
+def _ancestors_match(compounds, ancestors) -> bool:
+    """Descendant-combinator subsequence match (greedy leftmost)."""
+    ai = 0
+    n = len(ancestors)
+    for comp in compounds:
+        while ai < n and not _compound_matches(comp, *ancestors[ai]):
+            ai += 1
+        if ai == n:
+            return False
+        ai += 1
+    return True
+
+
+def _strip_at_rules(css: str) -> str:
+    """Remove ``@media``/``@supports``/… blocks (brace-balanced) and
+    statement at-rules. Conditional rules can't be evaluated without a
+    viewport; the reference browser renders a desktop viewport, where
+    ``max-width`` media rules don't apply — dropping ALL of them is the
+    conservative desktop approximation (never hides what a desktop
+    browser shows). Without this, the flat rule regex would misread
+    ``@media (…){.nav{display:none}}`` as an unconditional hide."""
+    if "@" not in css:
+        return css
+    out = []
+    i = 0
+    n = len(css)
+    while i < n:
+        ch = css[i]
+        if ch != "@":
+            out.append(ch)
+            i += 1
+            continue
+        # scan to the block start or statement end
+        j = i + 1
+        while j < n and css[j] not in "{;":
+            j += 1
+        if j >= n:
+            break
+        if css[j] == ";":  # statement at-rule (@import/@charset)
+            i = j + 1
+            continue
+        depth = 1
+        j += 1
+        while j < n and depth:
+            if css[j] == "{":
+                depth += 1
+            elif css[j] == "}":
+                depth -= 1
+            j += 1
+        i = j
+    return "".join(out)
+
+
+def _parse_css_hide_rules(css: str, chains: list) -> None:
+    css = _strip_at_rules(_CSS_COMMENT_RE.sub("", css))
+    for rm in _CSS_RULE_RE.finditer(css):
+        body = rm.group(2).replace(" ", "").replace("\t", "").lower()
+        if ("display:none" not in body
+                and "visibility:hidden" not in body):
+            continue
+        for selector in rm.group(1).split(","):
+            parts = selector.split()
+            if not parts:
+                continue
+            compounds = []
+            for part in parts:
+                comp = _parse_compound(part.strip())
+                if comp is None:
+                    compounds = None
+                    break
+                compounds.append(comp)
+            if compounds:
+                chains.append(tuple(compounds))
+
+
+def _attr_value(regex, attrs: str) -> Optional[str]:
+    m = regex.search(attrs)
+    if not m:
+        return None
+    return m.group(2) or m.group(3) or m.group(4) or ""
+
+
+def hidden_rules_from_html(s: str, css_resolver=None) -> HiddenRules:
+    """Hide-rules from same-document ``<style>`` blocks plus — when
+    ``css_resolver`` (href → css text, e.g. a broadcast dict ``.get``
+    over crawled stylesheet assets) is supplied — external
+    ``<link rel=stylesheet>`` sheets. No network is ever touched; an
+    unresolvable href contributes nothing (the documented fidelity
+    bound, COVERAGE.md §extract-fidelity)."""
+    chains: list = []
+    low = s if css_resolver is None else s.lower()
+    if "<style" in s or "<STYLE" in s or "<Style" in s:
+        for m in _STYLE_BLOCK_RE.finditer(s):
+            _parse_css_hide_rules(m.group(1), chains)
+    if css_resolver is not None and "<link" in low:
+        for m in _LINK_TAG_RE.finditer(s):
+            attrs = m.group(1)
+            rel = _attr_value(_REL_ATTR_RE, attrs)
+            if rel is None or "stylesheet" not in rel.lower().split():
+                continue
+            href = _attr_value(_HREF_ATTR_RE, attrs)
+            if not href:
+                continue
+            css = css_resolver(href)
+            if css:
+                _parse_css_hide_rules(css, chains)
+    if not chains:
+        return _EMPTY_RULES
+    return HiddenRules(chains)
 
 
 def hidden_classes_from_html(s: str) -> frozenset:
-    """Class names hidden by same-document ``<style>`` blocks."""
-    if "<style" not in s and "<STYLE" not in s and "<Style" not in s:
-        return frozenset()
-    classes: set = set()
-    for m in _STYLE_BLOCK_RE.finditer(s):
-        css = _CSS_COMMENT_RE.sub("", m.group(1))
-        for rm in _CSS_RULE_RE.finditer(css):
-            body = rm.group(2).replace(" ", "").replace("\t", "").lower()
-            if ("display:none" not in body
-                    and "visibility:hidden" not in body):
-                continue
-            for part in rm.group(1).split(","):
-                cm = _CLASS_SELECTOR_RE.match(part.strip())
-                if cm:
-                    classes.add(cm.group(1))
-    return frozenset(classes)
+    """Back-compat: class names hidden by SIMPLE ``.class`` selectors in
+    same-document ``<style>`` blocks (the pre-r4 subset)."""
+    return hidden_rules_from_html(s).simple_classes
 
 
 def _class_hit(value: Optional[str], hidden_classes: frozenset) -> bool:
@@ -140,9 +338,9 @@ class ExtractResult:
 class _VisibleTextParser(HTMLParser):
     """One-pass SAX walk accumulating (raw_segment, dom_path) pairs."""
 
-    def __init__(self, hidden_classes: frozenset = frozenset()) -> None:
+    def __init__(self, hidden_rules: HiddenRules = _EMPTY_RULES) -> None:
         super().__init__(convert_charrefs=True)
-        self._hidden_classes = hidden_classes
+        self._rules = hidden_rules
         self._stack: List[str] = []
         self._raw_skip = 0     # inside script/style/template/noscript
         self._text_skip = 0    # inside head/hidden/etc. (imgs still seen)
@@ -153,6 +351,9 @@ class _VisibleTextParser(HTMLParser):
         self.docs: List[Tuple[str, str]] = []  # (ref, type_attr)
         # parallel stack of (raw_skip_delta, text_skip_delta) per element
         self._skip_deltas: List[Tuple[int, int]] = []
+        # (tag, classes, id) per open element — maintained only when
+        # hide-rules exist (descendant-selector ancestor matching)
+        self._elem_info: List[tuple] = []
 
     # -- helpers -------------------------------------------------------
     def _path(self) -> str:
@@ -164,18 +365,32 @@ class _VisibleTextParser(HTMLParser):
             self._buf = []
             self._buf_path = None
 
-    def _is_hidden(self, attrs) -> bool:
+    def _elem_visibility(self, tag, attrs):
+        """→ (hidden, info). info=(tag, classes, id) when rules active
+        (pushed as ancestor context for descendant selectors), else
+        None. First occurrence wins for duplicate class/id attrs (HTML
+        spec: later duplicate attributes are ignored)."""
+        hidden = False
+        cls_val = None
+        eid = None
         for name, value in attrs:
             if name == "hidden":
-                return True
-            if name == "style" and value:
+                hidden = True
+            elif name == "style" and value:
                 style = value.replace(" ", "").lower()
                 if "display:none" in style or "visibility:hidden" in style:
-                    return True
-            if (name == "class" and self._hidden_classes
-                    and _class_hit(value, self._hidden_classes)):
-                return True
-        return False
+                    hidden = True
+            elif name == "class" and cls_val is None:
+                cls_val = value
+            elif name == "id" and eid is None:
+                eid = value
+        if not self._rules:
+            return hidden, None
+        classes = frozenset(cls_val.split()) if cls_val else frozenset()
+        info = (tag, classes, eid)
+        if not hidden:
+            hidden = self._rules.hides(tag, classes, eid, self._elem_info)
+        return hidden, info
 
     # -- HTMLParser hooks ---------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -213,7 +428,7 @@ class _VisibleTextParser(HTMLParser):
         if tag in _VOID_TAGS:
             return
 
-        hidden = self._is_hidden(attrs)
+        hidden, info = self._elem_visibility(tag, attrs)
         # A display:none element is removed from the render tree entirely
         # — it is NOT a block boundary ("a<div style=display:none>x</div>b"
         # renders "ab"), so only visible blocks flush.
@@ -226,6 +441,8 @@ class _VisibleTextParser(HTMLParser):
         self._text_skip += text_d
         self._stack.append(tag)
         self._skip_deltas.append((raw_d, text_d))
+        if self._rules:
+            self._elem_info.append(info)
 
     def handle_startendtag(self, tag, attrs):
         # <img/>, <br/> etc. — same as start for voids; for non-void
@@ -245,6 +462,8 @@ class _VisibleTextParser(HTMLParser):
         while self._stack:
             top = self._stack.pop()
             raw_d, text_d = self._skip_deltas.pop()
+            if self._rules:
+                self._elem_info.pop()
             if top in _BLOCK_TAGS and not (self._raw_skip or self._text_skip):
                 self._flush()
             self._raw_skip -= raw_d
@@ -264,20 +483,26 @@ class _VisibleTextParser(HTMLParser):
         self._flush()
 
 
-def extract_visible_text(html: Optional[bytes]) -> ExtractResult:
+def extract_visible_text(html: Optional[bytes],
+                         css_resolver=None) -> ExtractResult:
     """html bytes → (cleaned text, spans, image srcs).
 
     Guarantees ``result.text == clean_text(raw_inner_text)`` where
     raw_inner_text is the segment texts joined by newlines — i.e. the
     reference's ``clean_text(body.inner_text())`` contract
     (scraper.py:210-214), verified property-style in tests.
+
+    ``css_resolver`` (href → css text, or None) lets pipelines that
+    crawled stylesheet assets honor external hide-rules — see
+    ``hidden_rules_from_html``.
     """
     if not html:
         return ExtractResult(text="")
     if isinstance(html, memoryview):
         html = html.tobytes()
     text_str = html.decode("utf-8", errors="replace")
-    parser = _VisibleTextParser(hidden_classes_from_html(text_str))
+    parser = _VisibleTextParser(
+        hidden_rules_from_html(text_str, css_resolver))
     try:
         parser.feed(text_str)
         parser.close()

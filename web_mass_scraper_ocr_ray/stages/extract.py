@@ -138,6 +138,29 @@ def extract_row(url: str, html, extractor=extract_visible_text_fast) -> dict:
     }
 
 
+class CssAwareExtract:
+    """Actor-pool extract stage honoring crawled external stylesheets.
+
+    ``css_map`` is {stylesheet href → css text} — the small side,
+    broadcast once: pass ``ray.put(css_map)`` and each actor resolves
+    the ObjectRef ONCE in ``__init__`` (never per batch). Hide-rules
+    from resolved sheets then apply during extraction exactly like
+    same-document ``<style>`` rules (functions/htmltext.py
+    ``hidden_rules_from_html``) — the r3-verdict external-CSS fidelity
+    seam. Use with ``map_batches(CssAwareExtract,
+    fn_constructor_kwargs={"css_map": ref}, concurrency=N)``."""
+
+    def __init__(self, css_map=None):
+        if css_map is not None and not isinstance(css_map, dict):
+            import ray
+
+            css_map = ray.get(css_map)
+        self._resolver = (css_map or {}).get
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, css_resolver=self._resolver)
+
+
 def extract_batch_sliced(batch: pa.Table,
                          byte_budget: int = 8 * 1024 * 1024) -> pa.Table:
     """Skew/memory-bounded extract (§4.4): process the batch in slices
@@ -166,10 +189,12 @@ def extract_batch_sliced(batch: pa.Table,
     return pa.concat_tables(out_parts)
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, css_resolver=None) -> pa.Table:
     """pyarrow Table (url, warc_ts, html, ...) → extracted table.
 
     Drops ``html``; carries through every other input column untouched.
+    ``css_resolver`` (href → css text) enables external-stylesheet
+    hide-rules — see ``CssAwareExtract`` for the broadcast pattern.
     """
     # Carried-through CC-style columns (input_hint: text, lang) collide
     # with our output names — prefix them. Production pipelines prune
@@ -219,7 +244,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             error_types[i] = "InvalidURL"
             error_messages[i] = reason
         else:
-            result = extract_visible_text_fast(htmls[i])
+            result = extract_visible_text_fast(htmls[i], css_resolver)
             text = result.text
             hostnames[i] = normalize_hostname(url)
             texts[i] = text
