@@ -2906,4 +2906,62 @@ SELECT
        // sum(rev) AS BIGINT) AS promo_share_bp
 FROM r
 """,
+        # TPC-H Q3 shape: revenue in integer micro-dollars, full
+        # tie-break (revenue desc, date, orderkey) so LIMIT 10 is
+        # deterministic on both sides
+        "shipping_priority": """
+SELECT l_orderkey,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+       AS BIGINT) AS revenue_micro,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micro DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+        # TPC-H Q18 shape: HAVING on the per-order quantity rollup,
+        # joined back to orders + customer names; centi-unit integers
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_centi
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_centi > 25000
+)
+SELECT o_orderkey, c_name, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_centi,
+       sum_qty_centi
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        # corpus bigram LM scoring: all-integer (n, rare, Σcount);
+        # docs with < 2 tokens emit no bigrams on either side
+        "doc_bigram_rarity": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM d, unnest(range(1, len(toks))) AS u(i)
+),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY bigram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(c) AS BIGINT) AS sum_count
+FROM bg JOIN cnt USING (bigram)
+GROUP BY doc_id
+""",
     }

@@ -337,8 +337,34 @@ def _burn(seconds: float) -> int:
     return iters
 
 
+def run_stress() -> dict:
+    """10× stress sweep of the graph/setjoin/tiering families
+    (pipelines/stress.py) — r3 verdict #8. Slow (~tens of minutes);
+    results recorded in BASELINE.md."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from web_mass_scraper_ocr_ray.pipelines.stress import run_stress_sweep
+
+    k = _env_int("GRAFT_STRESS_K", 10)
+    ops = tuple(x for x in os.environ.get("GRAFT_STRESS_OPS", "").split(",")
+                if x)
+    out = run_stress_sweep(SF_DIR, CACHE_DIR, k=k, ops=ops)
+    out["num_cpus"] = NUM_CPUS
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(run_stress()))
     else:
         print(json.dumps(run_bench()))

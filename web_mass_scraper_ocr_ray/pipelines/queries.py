@@ -3925,6 +3925,146 @@ def q_doc_quality_tiers_by_source(sf_dir: str):
         _docs(sf_dir, ["doc_id", "source", "text"]))
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped shipping priority: top-10 unshipped revenue for
+    one market segment at a cutoff date. Shape: the segment custkey
+    set broadcasts once (customer is the small side; at dimension
+    scale swap for the co-partition equi_join per the
+    region_supplier_revenue note); lineitem streams through a
+    stateless revenue map + two-phase per-orderkey aggregate; ONE
+    co-partition join attaches order date/priority and doubles as the
+    semi-join filter; the final sort sees only the per-order rollup.
+    Revenue in integer micro-dollars (the region_supplier_revenue
+    convention) — bit-exact vs the oracle."""
+    import datetime as _dtm
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    cutoff = pa.scalar(_dtm.datetime(1998, 6, 1), pa.timestamp("us"))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = pa.array(
+        [k for k, s in zip(cust.column("c_custkey").to_pylist(),
+                           cust.column("c_mktsegment").to_pylist())
+         if s == "BUILDING"], pa.int64())
+    keys_ref = ray.put(keys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def _ofilter(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = pc.and_(pc.is_in(t.column("o_custkey"), value_set=ks),
+                    pc.less(t.column("o_orderdate"), cutoff))
+        return t.filter(m).drop_columns(["o_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(10000, pa.int64()), disc_bp))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": rev})
+
+    sums = two_phase_aggregate(
+        li.map_batches(_rev, batch_format="pyarrow"),
+        "l_orderkey", {"revenue_micro": ("rev", "sum")})
+    joined = equi_join(
+        sums, orders.map_batches(_ofilter, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"])
+    return joined.sort(
+        ["revenue_micro", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False]).limit(10)
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume orders: per-order quantity rollup
+    HAVING sum > threshold, joined back to orders + customer names.
+    Shape: two-phase aggregate on l_orderkey (high-cardinality key —
+    map-side combine, no keyed map_groups), the HAVING filter prunes
+    before the join, co-partition equi_join to orders, customer names
+    via one broadcast map (small side). Quantities/prices in integer
+    centi-units — bit-exact."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100.0)),
+                    pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "qty_centi": q})
+
+    sums = two_phase_aggregate(
+        li.map_batches(_centi, batch_format="pyarrow"),
+        "l_orderkey", {"sum_qty_centi": ("qty_centi", "sum")})
+
+    def _big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("sum_qty_centi"),
+                                   pa.scalar(25000, pa.int64())))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    joined = equi_join(
+        sums.map_batches(_big, batch_format="pyarrow"), orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    cmap_ref = ray.put(dict(zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_name").to_pylist())))
+
+    def _final(t: pa.Table) -> pa.Table:
+        import ray
+
+        cm = ray.get(cmap_ref)
+        names = [cm[k] for k in t.column("o_custkey").to_pylist()]
+        total_c = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "c_name": pa.array(names, pa.string()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_totalprice_centi": total_c,
+            "sum_qty_centi": t.column("sum_qty_centi"),
+        })
+
+    return joined.map_batches(_final, batch_format="pyarrow")
+
+
+def q_doc_bigram_rarity(sf_dir: str):
+    """LM-style corpus bigram scoring (textstats.bigram_rarity): train
+    the bigram count table and score every doc against it — the
+    perplexity-filter shape in exact integers."""
+    from ..stages.textstats import bigram_rarity
+
+    return bigram_rarity(_docs(sf_dir, ["doc_id", "text"]))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -4082,4 +4222,7 @@ QUERIES: Dict[str, callable] = {
     "events_mad_outliers": q_events_mad_outliers,
     "orders_priority_report": q_orders_priority_report,
     "promo_revenue_share": q_promo_revenue_share,
+    "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
+    "doc_bigram_rarity": q_doc_bigram_rarity,
 }

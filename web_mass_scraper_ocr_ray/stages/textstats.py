@@ -834,3 +834,74 @@ def bigram_topk(docs_ds, k: int = 20, text_col: str = "text"):
     ).sort(
         ["n", "bigram"], descending=[True, False]
     ).limit(k)
+
+
+def bigram_rarity(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """LM-style corpus bigram scoring — the CCNet/perplexity-filter
+    shape without a pretrained model: train the "LM" (corpus bigram
+    counts) and score every doc against it in one pipeline.
+
+    Per doc: ``n_bigrams`` (adjacent-token pairs), ``n_rare`` (bigrams
+    whose CORPUS count is 1 — unique to this doc: gibberish/noise
+    signal), ``sum_count`` (Σ corpus counts — fluency mass, the
+    integer stand-in for Σ log p). All-integer outputs so the DuckDB
+    oracle is bit-exact. Docs with < 2 tokens emit no bigrams and are
+    absent from the output (JOIN semantics, mirrored by the oracle).
+
+    Shape (two keyed exchanges, both irreducible — this IS a join
+    scorer):
+      1. explode (doc_id, bigram) — stateless, fuses with the read;
+         recomputed for each consumer rather than materialized (two
+         cheap scans beat parking one-row-per-token-instance in the
+         object store at 100 TB);
+      2. counts = two-phase aggregate on bigram (map-side combine:
+         shuffle volume is per-batch DISTINCT bigrams, not instances);
+      3. co-partition equi_join pairs×counts on bigram (large×large —
+         a count table at corpus scale outgrows any broadcast);
+      4. per-doc two-phase aggregate of (n, rare, Σcount).
+    """
+    import pyarrow.compute as pc_
+
+    from .joins import equi_join
+    from .shuffle import two_phase_aggregate
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = pc_.cast(t.column(text_col), pa.string()).to_pylist()
+        out_ids: List[int] = []
+        out_bg: List[str] = []
+        for d, txt in zip(ids, texts):
+            toks = txt.split()
+            if len(toks) < 2:
+                continue
+            out_ids.extend([d] * (len(toks) - 1))
+            out_bg.extend(
+                a + " " + b for a, b in zip(toks, toks[1:]))
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "bigram": pa.array(out_bg, pa.string()),
+        })
+
+    def pairs():
+        return docs_ds.map_batches(_explode, batch_format="pyarrow")
+
+    counts = two_phase_aggregate(pairs(), "bigram",
+                                 {"c": (None, "count")})
+    joined = equi_join(pairs(), counts, left_on="bigram",
+                       right_on="bigram", right_cols=["c"])
+
+    def _flags(t: pa.Table) -> pa.Table:
+        c = t.column("c")
+        return pa.table({
+            id_col: t.column(id_col),
+            "c": c,
+            "is_rare": pc_.cast(pc_.equal(c, pa.scalar(1, pa.int64())),
+                                pa.int64()),
+        })
+
+    return two_phase_aggregate(
+        joined.map_batches(_flags, batch_format="pyarrow"),
+        id_col,
+        {"n_bigrams": (None, "count"), "n_rare": ("is_rare", "sum"),
+         "sum_count": ("c", "sum")},
+    )
