@@ -310,6 +310,73 @@ FROM ext e JOIN customer c
   ON c.c_custkey = e.doc_id % (SELECT count(*) FROM customer)
                    + (SELECT min(c_custkey) FROM customer)
 """,
+        # Gopher rule bundle — every feature is an RE2 count shared
+        # verbatim with the Arrow kernel (parity-tested), every rule an
+        # integer comparison, so the mirror is bit-exact
+        "doc_gopher_rules": """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+    CAST(length(text) - len(regexp_extract_all(text, '\\s')) AS BIGINT)
+      AS token_chars,
+    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT)
+      AS n_alpha_tokens,
+    CAST((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS BIGINT) AS n_symbols,
+    CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT)
+      AS n_lines,
+    CAST(len(regexp_extract_all(chr(10) || text, '\\n[^\\S\\n]*[-*•]'))
+      AS BIGINT) AS n_bullet_lines,
+    CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS BIGINT)
+      AS n_ellipsis_lines,
+    CAST(regexp_matches(text, '\\band\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bbe\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bhave\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bof\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bthat\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bthe\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bto\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bwith\\b') AS BIGINT)
+      AS n_stop_present
+  FROM documents
+),
+r AS (
+  SELECT *,
+    (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+    (token_chars >= 3 * n_tokens AND token_chars <= 10 * n_tokens)
+      AS r_mean_word_len,
+    (10 * n_symbols <= n_tokens) AS r_symbol_ratio,
+    (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+    (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+    (10 * n_alpha_tokens >= 8 * n_tokens) AS r_alpha_words,
+    (n_stop_present >= 2) AS r_stop_words
+  FROM f
+)
+SELECT *, (r_word_count AND r_mean_word_len AND r_symbol_ratio
+  AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+  AND r_stop_words) AS keep
+FROM r
+""",
+        "doc_c4_filters": """
+SELECT doc_id,
+  CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT)
+    AS n_lines,
+  CAST(len(regexp_extract_all(text, '(?m)[.!?"]$')) AS BIGINT)
+    AS n_terminal_lines,
+  CAST(1 + length(text) - length(replace(text, chr(10), ''))
+    - len(regexp_extract_all(chr(10) || text,
+      '\\n[^\\S\\n]*(?:\\S+[^\\S\\n]+){4}\\S')) AS BIGINT)
+    AS n_short_lines,
+  CAST(len(regexp_extract_all(chr(10) || text,
+    '(?i)\\n.*\\bjavascript\\b')) AS BIGINT) AS n_js_lines,
+  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+  contains(text, '{') AS has_brace,
+  contains(text, 'lorem ipsum') AS has_lorem,
+  (NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum')
+   AND len(regexp_extract_all(text, '[.!?]')) >= 3) AS keep
+FROM documents
+""",
         "doc_langid": """
 WITH lang AS (
   SELECT doc_id,
@@ -364,6 +431,15 @@ SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
   CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
 GROUP BY label, pos
+""",
+        # real-DCT-kernel claim gate: hash structure asserted in the
+        # Ray pipeline (the SQL cannot compute a DCT); mirror carries
+        # n_images from the synthesis contract + claim constants
+        "image_phash_dct": """
+SELECT CAST(doc_id % 37 AS BIGINT) AS seed_id,
+  CAST(count(*) AS BIGINT) AS n_images,
+  TRUE AS intra_ok, TRUE AS inter_ok
+FROM documents GROUP BY 1
 """,
         # planted-duplicate image corpus: payload text of doc_id % 100
         "image_dedup_phash": """

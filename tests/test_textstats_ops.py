@@ -163,3 +163,107 @@ class TestInvertedIndex:
                 "text": ["x x x y"],
             })), max_postings=10).to_pandas().set_index("word")
         assert out2.loc["x", "df"] == 1
+
+
+class TestGopherRules:
+    def test_rule_semantics_per_document(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            gopher_rules_table)
+
+        good = " ".join(
+            "the data and pipeline have words of that size with care"
+            .split() * 6)  # 60 tokens, mean len in range, stopwords
+        too_short = "tiny doc with the and of stopwords here"
+        symbols = " ".join(["###word..."] * 60)
+        bullets = "\n".join(["- item the and"] * 10)
+        nonalpha = " ".join(["123 456 789 0 ---"] * 12) + " the and"
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [good, too_short, symbols, bullets, nonalpha],
+        })
+        out = gopher_rules_table(
+            rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "keep"])
+        assert not bool(out.loc[1, "r_word_count"])
+        assert not bool(out.loc[2, "r_symbol_ratio"])
+        assert int(out.loc[2, "n_symbols"]) == 240  # 180 hash marks + 60 ellipses
+        assert not bool(out.loc[3, "r_bullet_lines"])
+        assert int(out.loc[3, "n_bullet_lines"]) == 10
+        assert not bool(out.loc[4, "r_alpha_words"])
+        assert int(out.loc[0, "n_stop_present"]) >= 2
+        # every rule false → keep false
+        for d in (1, 2, 3, 4):
+            assert not bool(out.loc[d, "keep"])
+
+
+class TestC4Filters:
+    def test_triggers_and_line_counts(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            c4_filters_table)
+
+        clean = ("This is a fine sentence.\n"
+                 "Another good one follows here!\n"
+                 "And a third one, to pass the bar?")
+        code = "function f() { return 1; }\nOk. Fine. Sure."
+        lorem = "lorem ipsum dolor sit amet. One. Two. Three."
+        js = "Enable javascript to view.\nReal content here. More. End."
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [clean, code, lorem, js],
+        })
+        out = c4_filters_table(
+            rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "keep"]) and int(out.loc[0, "n_lines"]) == 3
+        assert int(out.loc[0, "n_terminal_lines"]) == 3
+        assert not bool(out.loc[1, "keep"]) and bool(out.loc[1, "has_brace"])
+        assert not bool(out.loc[2, "keep"]) and bool(out.loc[2, "has_lorem"])
+        assert int(out.loc[3, "n_js_lines"]) == 1
+        # short-line counter: 4-word line is short, 5-word is not
+        out2 = c4_filters_table(rd.from_arrow(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": ["one two three four\nalpha beta gamma delta five"],
+        }))).to_pandas()
+        assert int(out2["n_short_lines"].iloc[0]) == 1
+
+    def test_line_counts_survive_arrow_reanchor_quirk(self, ray_session):
+        """Arrow's count_substring_regex re-anchors ^ at scan restarts
+        (a 10-token line counts TWICE under a (?m)^…{4}\\S pattern,
+        DuckDB counts once). The kernels use the prepended-newline
+        form instead; this pins the adversarial inputs against the
+        DuckDB mirror semantics."""
+        import duckdb
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            c4_filters_table, gopher_rules_table)
+
+        texts = [
+            "a b c d e f g h i j",          # 10 words, one line
+            "-- double bullet - marks",     # bullet chars mid-line
+            "one two three four five\nsix seven eight nine ten more.",
+            "",                              # empty doc
+            "   \nword\n...",
+        ]
+        docs = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        })
+        c4 = c4_filters_table(
+            rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+        gr = gopher_rules_table(
+            rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+        con = duckdb.connect()
+        con.register("t", docs)
+        dshort = dict(con.execute(r"""
+            SELECT doc_id, 1 + length(text) - length(replace(text, chr(10), ''))
+              - len(regexp_extract_all(chr(10) || text,
+                '\n[^\S\n]*(?:\S+[^\S\n]+){4}\S')) FROM t""").fetchall())
+        dbul = dict(con.execute(r"""
+            SELECT doc_id, len(regexp_extract_all(chr(10) || text,
+                '\n[^\S\n]*[-*•]')) FROM t""").fetchall())
+        for d in range(len(texts)):
+            assert int(c4.loc[d, "n_short_lines"]) == dshort[d], d
+            assert int(gr.loc[d, "n_bullet_lines"]) == dbul[d], d
+        assert int(c4.loc[0, "n_short_lines"]) == 0   # 10-word line
+        assert int(gr.loc[1, "n_bullet_lines"]) == 1  # one bullet LINE

@@ -368,6 +368,19 @@ def q_doc_quality(sf_dir: str):
     return ts.quality_table(_docs(sf_dir))
 
 
+def q_doc_gopher_rules(sf_dir: str):
+    """Gopher quality-filter bundle (Rae et al. 2021) — integer
+    features + the seven rule booleans + keep, all recomputed by the
+    DuckDB mirror from the same RE2 patterns."""
+    return ts.gopher_rules_table(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_c4_filters(sf_dir: str):
+    """C4 cleaning signals (Raffel et al. 2020) — line statistics and
+    document drop triggers, SQL-mirrored exactly."""
+    return ts.c4_filters_table(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_langid(sf_dir: str):
     """Marker-based language ID with integer evidence columns — the
     whole decision (incl. lang_hits/lang_tokens) is recomputed by the
@@ -1016,6 +1029,97 @@ def q_image_dedup_phash(sf_dir: str):
         Count(alias_name="n_copies"),
         Min("media_id", alias_name="first_media_id"),
     )
+
+
+def q_image_phash_dct(sf_dir: str):
+    """REAL-kernel perceptual-hash gate (r3 verdict #3): deterministic
+    64×64 BMP 'photos' (37 base scenes × 3 brightness variants, one
+    per doc_id) are synthesized IN the tasks, hashed by the actor-pool
+    DCT pHash (functions/imaging.PHashKernel — real pixels, real
+    DCT-II, no stub), and the hash structure is claim-gated:
+
+    - ``intra_ok``: within each scene, the ≤3 distinct variant hashes
+      sit within Hamming radius 6 of each other (near-dups collapse);
+    - ``inter_ok``: the 37 base-scene hashes are pairwise ≥ 10 bits
+      apart (distinct photos stay separated) — computed over the
+      37-row representative set (bounded driver pull by construction).
+
+    The SQL mirror recomputes n_images from the same synthesis
+    contract and carries the claims as constants (the HLL/MG claim-
+    gate pattern). Per-group pair work is over DISTINCT hashes (≤3 per
+    scene), so the gate stays O(corpus) at any sf."""
+    import numpy as np
+    import ray.data as rd
+    from ..functions.imaging import encode_bmp, synth_image
+
+    N_SCENES, RADIUS_IN, MARGIN_OUT = 37, 6, 10
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seeds = ids % N_SCENES
+        bright = (ids // N_SCENES) % 3 * 8
+        cache = {}
+        payloads = []
+        for s, b in zip(seeds.tolist(), bright.tolist()):
+            p = cache.get((s, b))
+            if p is None:
+                p = cache[(s, b)] = encode_bmp(
+                    synth_image(s, brightness=b))
+            payloads.append(p)
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "seed_id": pa.array(seeds, pa.int64()),
+            "is_base": pa.array(bright == 0),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(payloads), pa.string()),
+        })
+
+    hashed = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_synth, batch_format="pyarrow")
+        .map_batches(
+            mm.PerceptualHasher, fn_constructor_kwargs={
+                "strict": True, "kernel": "dct"},
+            batch_format="pyarrow", batch_size=256, concurrency=2,
+        )
+        .select_columns(["seed_id", "is_base", "phash"])
+    )
+
+    def _ham_matrix(hexes) -> np.ndarray:
+        v = np.array([int(h, 16) for h in hexes], np.uint64)
+        x = v[:, None] ^ v[None, :]
+        return np.unpackbits(
+            x.view(np.uint8).reshape(len(v), len(v), 8), axis=2
+        ).sum(axis=2)
+
+    def _per_scene(df):
+        import pandas as pd
+
+        uniq = sorted(set(df["phash"]))
+        d = _ham_matrix(uniq)
+        return pd.DataFrame({
+            "seed_id": [int(df["seed_id"].iloc[0])],
+            "n_images": [len(df)],
+            "intra_ok": [bool(d.max() <= RADIUS_IN)],
+        })
+
+    per_scene = hashed.groupby("seed_id").map_groups(
+        _per_scene, batch_format="pandas")
+
+    # 37-row representative pull (bounded by the scene-count constant)
+    base = hashed.filter(lambda r: r["is_base"]).groupby(
+        "seed_id").map_groups(
+        lambda df: df.iloc[:1][["seed_id", "phash"]],
+        batch_format="pandas").take_all()
+    d = _ham_matrix([r["phash"] for r in base])
+    np.fill_diagonal(d, 64)
+    inter_ok = bool(d.min() >= MARGIN_OUT)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "inter_ok", pa.array([inter_ok] * t.num_rows))
+
+    return per_scene.map_batches(_attach, batch_format="pyarrow")
 
 
 def q_embedding_centroids(sf_dir: str):
@@ -4082,6 +4186,8 @@ QUERIES: Dict[str, callable] = {
     "company_join": q_company_join,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
+    "doc_gopher_rules": q_doc_gopher_rules,
+    "doc_c4_filters": q_doc_c4_filters,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "approx_distinct_urls": q_approx_distinct_urls,
@@ -4103,6 +4209,7 @@ QUERIES: Dict[str, callable] = {
     "semantic_dedup": q_semantic_dedup,
     "multimodal_decode": q_multimodal_decode,
     "image_dedup_phash": q_image_dedup_phash,
+    "image_phash_dct": q_image_phash_dct,
     "embedding_centroids": q_embedding_centroids,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,

@@ -2,11 +2,15 @@
 
 Per the build brief: image/audio/video are opaque ``binary`` columns
 with typed metadata; decode / feature-extract / resize / frame-sample
-are actor-pool ``map_batches`` stages. The image/audio codec libraries
-are NOT in this container, so the decode kernels are STUBS behind the
-same interface (deterministic fakes / NotImplementedError seams), while
-the Ray-side plumbing — schema, batch size, actor signature, output
-layout — is real and tested.
+are actor-pool ``map_batches`` stages. Compressed codec libraries
+(PIL/ffmpeg) are NOT in this container, so those decode kernels are
+STUBS behind the same interface (deterministic fakes /
+NotImplementedError seams) — but uncompressed BMP is a pure byte
+layout, so :mod:`..functions.imaging` provides a REAL numpy decode +
+DCT-pHash path that runs end-to-end in-sandbox
+(``PerceptualHasher(kernel="dct")``, ``MediaDecoder`` real BMP dims).
+The Ray-side plumbing — schema, batch size, actor signature, output
+layout — is identical for stub and real kernels.
 
 Schema convention::
 
@@ -67,10 +71,23 @@ class MediaDecoder:
         if kind not in ("image", "audio", "video", "document"):
             return meta
         meta["kind"] = kind
+        if kind == "image" and payload.startswith(b"BM"):
+            # REAL path: BMP headers are decodable without codec libs
+            try:
+                from ..functions.imaging import bmp_dims
+
+                w, h = bmp_dims(bytes(payload))
+                meta["width"], meta["height"] = w, h
+                meta["ok"] = True
+                return meta
+            except ValueError:
+                meta["ok"] = False
+                return meta
         if self.strict and not payload.startswith(b"STUB1:"):
             raise NotImplementedError(
                 "real media decode requires codec libraries not present "
-                "in this container (stub contract: payload starts STUB1:)"
+                "in this container (stub contract: payload starts STUB1: "
+                "or is an uncompressed BMP)"
             )
         if kind == "image":
             w, h = _stub_dims(payload)
@@ -124,22 +141,50 @@ class FrameSampler:
 
 
 class PerceptualHasher:
-    """Image perceptual-hash stage (stub kernel, real plumbing).
+    """Image perceptual-hash stage (two kernels, real plumbing).
 
-    Real deployment: PIL loaded once per actor in ``__init__``, DCT
-    pHash (or difference hash) per image in ``__call__``. The stub
-    derives a deterministic 64-bit hash (16 hex chars of the payload's
-    md5) so dedup semantics and the SQL oracle are exact; ``strict``
-    surfaces the seam like :class:`MediaDecoder`. Non-image rows get a
-    null phash (they pass through for downstream routing).
+    ``kernel="stub"`` derives a deterministic 64-bit hash (16 hex chars
+    of the payload's md5) so dedup semantics and the SQL oracle are
+    exact without any codec. ``kernel="dct"`` is the REAL classic DCT
+    pHash (functions/imaging.PHashKernel: area-resize 32×32 → DCT-II →
+    8×8 low-frequency block → median threshold) over BMP payloads —
+    runs on real pixels in-sandbox; a PIL deployment only swaps
+    ``imaging.decode_image``. The DCT basis + resize weights are
+    precomputed once per ACTOR here in ``__init__`` (the stateful-stage
+    rule), not per batch. ``strict`` surfaces the seam like
+    :class:`MediaDecoder`. Non-image / undecodable rows get a null
+    phash (they pass through for downstream routing).
 
     Identical images share a phash → exact-dup groups via one groupby;
     NEAR-dup extends by banding the 64 bits 4×16 and reusing the
     simhash candidate machinery (stages/dedup.py) — same shuffle shape.
     """
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, kernel: str = "stub"):
         self.strict = strict
+        self.kernel = kernel
+        if kernel == "dct":
+            from ..functions.imaging import PHashKernel
+
+            self._ph = PHashKernel()
+        elif kernel != "stub":
+            raise ValueError(f"unknown phash kernel {kernel!r}")
+
+    def _hash_one(self, p: bytes) -> Optional[str]:
+        if self.kernel == "dct":
+            try:
+                return self._ph.hash_payload(p)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-BMP image payload: real decode of compressed "
+                        "formats requires PIL (swap imaging.decode_image)")
+                return None
+        if self.strict and not p.startswith(b"STUB1:"):
+            raise NotImplementedError(
+                "real image decode requires PIL — use kernel='dct' for "
+                "BMP payloads or inject a PIL-backed decode_image")
+        return hashlib.md5(p).hexdigest()[:16]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -149,11 +194,7 @@ class PerceptualHasher:
             if not (m or "").startswith("image/") or p is None:
                 out.append(None)
                 continue
-            if self.strict and not bytes(p).startswith(b"STUB1:"):
-                raise NotImplementedError(
-                    "real image decode requires PIL — inject a "
-                    "PIL-backed hasher in deployment")
-            out.append(hashlib.md5(bytes(p)).hexdigest()[:16])
+            out.append(self._hash_one(bytes(p)))
         return batch.append_column("phash", pa.array(out, pa.string()))
 
 
