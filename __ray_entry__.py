@@ -3003,6 +3003,62 @@ LIMIT 10
 """,
         # TPC-H Q18 shape: HAVING on the per-order quantity rollup,
         # joined back to orders + customer names; centi-unit integers
+        "returned_item_revenue": """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+      AS BIGINT) AS revenue_micro
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+  revenue_micro
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_micro DESC, c_custkey
+LIMIT 20
+""",
+        "disjunctive_part_revenue": """
+SELECT
+  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (10000 - CAST(round(l_discount * 10000) AS BIGINT))), 0)
+    AS BIGINT) AS revenue_micro,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "idle_rich_customers": """
+WITH cents AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         CAST(c_nationkey AS BIGINT) AS c_nationkey
+  FROM customer
+),
+cut AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+  CAST(count(*) AS BIGINT) AS n_custs,
+  CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM cents, cut
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
         "large_orders": """
 WITH big AS (
   SELECT l_orderkey,

@@ -4160,6 +4160,230 @@ def q_large_orders(sf_dir: str):
     return joined.map_batches(_final, batch_format="pyarrow")
 
 
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: revenue lost to 'R'
+    returns in one quarter, per customer, top 20. Shape: lineitem
+    filters + maps statelessly to integer micro-dollar revenue, ONE
+    two-phase rollup to order granularity, one co-partition join to
+    the quarter's orders (doubles as the window semi-filter), a second
+    two-phase rollup to customer granularity, then the customer/nation
+    dimension attach is a broadcast map (both are the small side —
+    dimensions stay O(customers), facts never reshuffle for them).
+    The final sort sees only the per-customer rollup."""
+    import datetime as _dtm
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    lo = pa.scalar(_dtm.datetime(1998, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dtm.datetime(1998, 4, 1), pa.timestamp("us"))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(10000, pa.int64()), disc_bp))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": rev})
+
+    per_order = two_phase_aggregate(
+        li.map_batches(_rev, batch_format="pyarrow"),
+        "l_orderkey", {"revenue_micro": ("rev", "sum")})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _owin(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.less(t.column("o_orderdate"), hi))
+        return t.filter(m).drop_columns(["o_orderdate"])
+
+    joined = equi_join(
+        per_order, orders.map_batches(_owin, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_custkey"])
+    per_cust = two_phase_aggregate(
+        joined.select_columns(["o_custkey", "revenue_micro"]),
+        "o_custkey", {"revenue_micro": ("revenue_micro", "sum")})
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_name").to_pylist()))
+    cmap_ref = ray.put({
+        k: (nm, round(b * 100), nmap[nk])
+        for k, nm, b, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_acctbal").to_pylist(),
+            cust.column("c_nationkey").to_pylist())})
+
+    def _dims(t: pa.Table) -> pa.Table:
+        cm = ray.get(cmap_ref)
+        rows = [cm[k] for k in t.column("o_custkey").to_pylist()]
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "c_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_name": pa.array([r[2] for r in rows], pa.string()),
+            "acctbal_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "revenue_micro": t.column("revenue_micro"),
+        })
+
+    return per_cust.map_batches(_dims, batch_format="pyarrow").sort(
+        ["revenue_micro", "c_custkey"], descending=[True, False]
+    ).limit(20)
+
+
+def q_disjunctive_part_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate join: revenue over three
+    OR'd (brand, size-range, quantity-range) groups. Shape: part is
+    the small side — its (brand, size) columns broadcast ONCE as
+    sorted arrays; each lineitem batch resolves partkey via
+    searchsorted and evaluates all three predicate groups vectorized;
+    one 1-row global sum. No shuffle at all — the disjunction is a
+    stateless row predicate once the dimension is in the object
+    store."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    order = pc.sort_indices(part.column("p_partkey"))
+    pk = pc.take(part.column("p_partkey"), order).to_numpy()
+    brand = np.asarray(pc.take(part.column("p_brand"), order).to_pylist())
+    size = pc.take(part.column("p_size"), order).to_numpy()
+    dim_ref = ray.put((pk, brand, size.astype(np.int64)))
+
+    GROUPS = (("Brand#12", 1, 5, 1.0, 11.0),
+              ("Brand#23", 1, 10, 10.0, 20.0),
+              ("Brand#34", 1, 15, 20.0, 30.0))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pks, brands, sizes = ray.get(dim_ref)
+        lp = t.column("l_partkey").to_numpy()
+        idx = np.searchsorted(pks, lp)
+        qty = t.column("l_quantity").to_numpy()
+        b = brands[idx]
+        s = sizes[idx]
+        m = np.zeros(len(lp), bool)
+        for gb, slo, shi, qlo, qhi in GROUPS:
+            m |= ((b == gb) & (s >= slo) & (s <= shi)
+                  & (qty >= qlo) & (qty <= qhi))
+        price_c = np.rint(
+            t.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc_bp = np.rint(
+            t.column("l_discount").to_numpy() * 10000.0).astype(np.int64)
+        rev = int((price_c[m] * (10000 - disc_bp[m])).sum())
+        return pa.table({"revenue_micro": pa.array([rev], pa.int64()),
+                         "n_matched": pa.array([int(m.sum())], pa.int64())})
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_micro": pa.array(
+                [pc.sum(t.column("revenue_micro")).as_py() or 0],
+                pa.int64()),
+            "n_matched": pa.array(
+                [pc.sum(t.column("n_matched")).as_py() or 0], pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        _reduce, batch_format="pyarrow")
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H-Q22-shaped: customers with above-average account balance
+    (among positive balances) and no RECENT orders (none since
+    1999-01-01 — the all-time NOT EXISTS is empty on this corpus),
+    rolled up per nation. Shape: the scalar subquery broadcasts as
+    the integer pair
+    (sum_cents, n) — the comparison is the division-free cross-
+    multiplication ``bal_cents·n > sum_cents`` so the cutoff is exact,
+    never a float epsilon; the NOT EXISTS is the hash-partitioned
+    anti_join rung (o_custkey stays distributed); the final rollup is
+    one small keyed aggregate over nations."""
+    import datetime as _dtm
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import anti_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(
+            t.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "bal_cents": bal,
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+        })
+
+    cents = cust.map_batches(_cents, batch_format="pyarrow")
+
+    # scalar subquery: avg over positive balances as an exact rational
+    def _avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("bal_cents"), 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos.column("bal_cents")).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64()),
+        })
+
+    parts = cents.map_batches(
+        _avg_partial, batch_format="pyarrow").take_all()
+    s_tot = sum(r["s"] for r in parts)
+    n_tot = sum(r["n"] for r in parts)
+
+    rich = cents.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("bal_cents"),
+                        pa.scalar(n_tot, pa.int64())),
+            pa.scalar(s_tot, pa.int64()))),
+        batch_format="pyarrow")
+
+    okeys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+    recent = pa.scalar(_dtm.datetime(1999, 1, 1), pa.timestamp("us"))
+
+    def _okey(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), recent))
+        return pa.table({"c_custkey": t.column("o_custkey")})
+
+    no_orders = anti_join(
+        rich, okeys.map_batches(_okey, batch_format="pyarrow"),
+        on="c_custkey")
+    return no_orders.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_custs"),
+        Sum("bal_cents", alias_name="total_bal_cents"))
+
+
 def q_doc_bigram_rarity(sf_dir: str):
     """LM-style corpus bigram scoring (textstats.bigram_rarity): train
     the bigram count table and score every doc against it — the
@@ -4331,5 +4555,8 @@ QUERIES: Dict[str, callable] = {
     "promo_revenue_share": q_promo_revenue_share,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
+    "returned_item_revenue": q_returned_item_revenue,
+    "disjunctive_part_revenue": q_disjunctive_part_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
     "doc_bigram_rarity": q_doc_bigram_rarity,
 }
