@@ -377,6 +377,94 @@ SELECT doc_id,
    AND len(regexp_extract_all(text, '[.!?]')) >= 3) AS keep
 FROM documents
 """,
+        # C4 line-level transform: list_filter with the same RE2 rules
+        "doc_c4_clean": """
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+f AS (
+  SELECT doc_id, len(ls) AS total,
+    list_filter(ls, x ->
+      regexp_matches(x, '[.!?"]$')
+      AND regexp_matches(x, '^[^\\S\\n]*(?:\\S+[^\\S\\n]+){4}\\S')
+      AND NOT contains(x, '{') AND NOT contains(x, 'lorem ipsum')
+      AND NOT regexp_matches(x, '(?i)\\bjavascript\\b')) AS kept
+  FROM s
+)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(total - len(kept) AS BIGINT) AS n_dropped
+FROM f
+""",
+        # corpus-prep funnel: stage counts mirror the fused rule pass
+        # over the derived (enriched) corpus — CASE order: planted-dup
+        # stripe wins over the lorem trigger, as in the Ray kernel
+        "training_corpus_funnel": """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 2 THEN
+      repeat('the of and that be to with have. ', 8)
+        || 'Variant ' || CAST((doc_id // 4) % 8 AS VARCHAR)
+        || ' ends the passage now! Sure? Fine.'
+    WHEN doc_id % 5 = 0 THEN
+      text || ' The corpus of words and the tail that we have to keep'
+           || ' with care. It ends here! Done?' || ' lorem ipsum'
+    ELSE
+      text || ' The corpus of words and the tail that we have to keep'
+           || ' with care. It ends here! Done?'
+    END AS text
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, length(text) AS nb,
+    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    length(text) - len(regexp_extract_all(text, '\\s')) AS token_chars,
+    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+    1 + length(text) - length(replace(text, chr(10), '')) AS n_lines,
+    len(regexp_extract_all(chr(10) || text, '\\n[^\\S\\n]*[-*•]'))
+      AS n_bullet,
+    len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS n_ell,
+    CAST(regexp_matches(text, '\\band\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bbe\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bhave\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bof\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bthat\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bthe\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bto\\b') AS BIGINT)
+      + CAST(regexp_matches(text, '\\bwith\\b') AS BIGINT) AS n_stop
+  FROM d
+),
+k AS (
+  SELECT doc_id, text, nb,
+    (n_tokens BETWEEN 50 AND 100000
+     AND token_chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+     AND 10 * n_sym <= n_tokens
+     AND 10 * n_bullet <= 9 * n_lines
+     AND 10 * n_ell <= 3 * n_lines
+     AND 10 * n_alpha >= 8 * n_tokens
+     AND n_stop >= 2) AS keep_g,
+    (NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum')
+     AND len(regexp_extract_all(text, '[.!?]')) >= 3) AS keep_c
+  FROM g
+)
+SELECT 'all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_bytes FROM k
+UNION ALL
+SELECT 'gopher', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(nb), 0) AS BIGINT) FROM k WHERE keep_g
+UNION ALL
+SELECT 'gopher_c4', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(nb), 0) AS BIGINT) FROM k WHERE keep_g AND keep_c
+UNION ALL
+SELECT 'dedup', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(nb), 0) AS BIGINT) FROM (
+    SELECT min(nb) AS nb FROM k WHERE keep_g AND keep_c
+    GROUP BY md5(text)
+  )
+""",
         "doc_langid": """
 WITH lang AS (
   SELECT doc_id,

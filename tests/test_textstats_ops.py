@@ -267,3 +267,32 @@ class TestC4Filters:
             assert int(gr.loc[d, "n_bullet_lines"]) == dbul[d], d
         assert int(c4.loc[0, "n_short_lines"]) == 0   # 10-word line
         assert int(gr.loc[1, "n_bullet_lines"]) == 1  # one bullet LINE
+
+
+class TestC4Clean:
+    def test_line_transform_semantics(self, ray_session):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import c4_clean_table
+
+        text = ("A good long sentence with enough words here.\n"
+                "too short.\n"
+                "No terminal punctuation in this longer line at all\n"
+                "This line mentions javascript which is banned here.\n"
+                "Braces are { banned } in this long line too.\n"
+                "Another proper sentence long enough to survive!")
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [text, "x"],
+        })
+        out = c4_clean_table(
+            rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+        kept = out.loc[0, "clean_text"].split("\n")
+        assert kept == [
+            "A good long sentence with enough words here.",
+            "Another proper sentence long enough to survive!"]
+        assert int(out.loc[0, "n_kept"]) == 2
+        assert int(out.loc[0, "n_dropped"]) == 4
+        # fully-dropped doc → empty string, counters still exact
+        assert out.loc[1, "clean_text"] == ""
+        assert int(out.loc[1, "n_kept"]) == 0
+        assert int(out.loc[1, "n_dropped"]) == 1

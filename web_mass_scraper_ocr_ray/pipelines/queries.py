@@ -381,6 +381,121 @@ def q_doc_c4_filters(sf_dir: str):
     return ts.c4_filters_table(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_doc_c4_clean(sf_dir: str):
+    """C4 line-level cleaning as a text TRANSFORM — surviving lines
+    re-joined per document; byte-exact vs the DuckDB list_filter
+    mirror."""
+    return ts.c4_clean_table(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_training_corpus_funnel(sf_dir: str):
+    """The corpus-prep composition headline: documents → Gopher rule
+    bundle → C4 doc triggers → exact dedup, reported as a 4-row funnel
+    (stage, n_docs, n_bytes). Shape: ONE pass computes both rule
+    bundles fused (gopher_features + c4_features on the same batch —
+    no second scan, no join-by-doc_id) and emits 1-row integer
+    partials per batch; survivors ship only (md5, n_chars) — 48-byte
+    rows, never text — into one two-phase hash rollup whose 1-row
+    count/sum is the dedup stage. Driver pulls are three 1-row
+    aggregates; every stage count is mirrored by the SQL funnel.
+
+    The raw synthetic corpus is stop-word-free word salad (every doc
+    fails the Gopher stop-word rule and the C4 sentence rule), so the
+    funnel runs over a DERIVED corpus — a deterministic per-doc_id
+    enrichment (prose tail; planted lorem-ipsum trigger every 5th doc;
+    8 planted exact-duplicate passages on the doc_id%4==2 stripe) that
+    the SQL mirror reproduces with one CASE — making all four stages
+    discriminating."""
+    import numpy as np
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import add_text_hash
+    from ..stages.textstats import c4_features, gopher_features
+
+    TAIL = (" The corpus of words and the tail that we have to keep"
+            " with care. It ends here! Done?")
+    DUP = ["the of and that be to with have. " * 8
+           + f"Variant {k} ends the passage now! Sure? Fine."
+           for k in range(8)]
+    dup_np = np.array(DUP, object)
+
+    def _derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        base = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            pa.scalar(TAIL), pa.scalar(""))
+        lorem = pc.binary_join_element_wise(
+            base, pa.scalar(" lorem ipsum"), pa.scalar(""))
+        enriched = pc.if_else(pa.array(ids % 5 == 0), lorem, base)
+        text2 = pc.if_else(
+            pa.array(ids % 4 == 2),
+            pa.array(dup_np[(ids // 4) % 8], pa.string()), enriched)
+        return pa.table({"doc_id": t.column("doc_id"), "text": text2})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _derive, batch_format="pyarrow")
+
+    def _partials(t: pa.Table) -> pa.Table:
+        keep_g = np.asarray(gopher_features(t).column("keep"))
+        keep_c = np.asarray(c4_features(t).column("keep"))
+        both = keep_g & keep_c
+        nb = np.asarray(pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64()))
+        return pa.table({
+            "n_all": pa.array([t.num_rows], pa.int64()),
+            "b_all": pa.array([int(nb.sum())], pa.int64()),
+            "n_g": pa.array([int(keep_g.sum())], pa.int64()),
+            "b_g": pa.array([int(nb[keep_g].sum())], pa.int64()),
+            "n_gc": pa.array([int(both.sum())], pa.int64()),
+            "b_gc": pa.array([int(nb[both].sum())], pa.int64()),
+        })
+
+    sums = {k: 0 for k in ("n_all", "b_all", "n_g", "b_g", "n_gc",
+                           "b_gc")}
+    for row in docs.map_batches(
+            _partials, batch_format="pyarrow").take_all():
+        for k in sums:
+            sums[k] += row[k]
+
+    def _survivor_hashes(t: pa.Table) -> pa.Table:
+        keep = pc.and_(gopher_features(t).column("keep"),
+                       c4_features(t).column("keep"))
+        kept = t.filter(keep)
+        h = add_text_hash(kept)
+        return pa.table({
+            "text_hash": h.column("text_hash"),
+            "n_chars": pc.cast(pc.utf8_length(kept.column("text")),
+                               pa.int64()),
+        })
+
+    per_hash = docs.map_batches(
+        _survivor_hashes, batch_format="pyarrow"
+    ).groupby("text_hash").aggregate(
+        Min("n_chars", alias_name="n_chars"))
+
+    def _dedup_rollup(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "b": pa.array([pc.sum(t.column("n_chars")).as_py() or 0],
+                          pa.int64()),
+        })
+
+    n_d = b_d = 0
+    for row in per_hash.map_batches(
+            _dedup_rollup, batch_format="pyarrow").take_all():
+        n_d += row["n"]
+        b_d += row["b"]
+
+    return pa.table({
+        "stage": pa.array(["all", "gopher", "gopher_c4", "dedup"],
+                          pa.string()),
+        "n_docs": pa.array(
+            [sums["n_all"], sums["n_g"], sums["n_gc"], n_d], pa.int64()),
+        "n_bytes": pa.array(
+            [sums["b_all"], sums["b_g"], sums["b_gc"], b_d], pa.int64()),
+    })
+
+
 def q_doc_langid(sf_dir: str):
     """Marker-based language ID with integer evidence columns — the
     whole decision (incl. lang_hits/lang_tokens) is recomputed by the
@@ -4412,6 +4527,8 @@ QUERIES: Dict[str, callable] = {
     "doc_quality": q_doc_quality,
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_c4_filters": q_doc_c4_filters,
+    "doc_c4_clean": q_doc_c4_clean,
+    "training_corpus_funnel": q_training_corpus_funnel,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "approx_distinct_urls": q_approx_distinct_urls,

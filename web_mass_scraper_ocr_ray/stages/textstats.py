@@ -364,70 +364,77 @@ def gopher_rules_table(docs_ds, text_col: str = "text",
     the DuckDB oracle reproduces the table bit-exactly. Zero shuffle;
     one pass over the text bytes; all RE2 kernels (shared semantics
     with DuckDB's regexp functions, parity-tested)."""
+    return docs_ds.map_batches(
+        lambda t: gopher_features(t, text_col, min_words, max_words),
+        batch_format="pyarrow")
+
+
+def gopher_features(t: pa.Table, text_col: str = "text",
+                    min_words: int = 50,
+                    max_words: int = 100_000) -> pa.Table:
+    """Batch kernel behind :func:`gopher_rules_table` (module-level so
+    fused pipelines — the corpus funnel — can call it in one pass)."""
     import pyarrow.compute as pc_
 
-    def _kernel(t: pa.Table) -> pa.Table:
-        text = t.column(text_col)
-        i64 = lambda a: pc_.cast(a, pa.int64())  # noqa: E731
-        n_tok = i64(pc_.count_substring_regex(text, r"\S+"))
-        n_alpha_tok = i64(
-            pc_.count_substring_regex(text, r"\S*[A-Za-z]\S*"))
-        # token chars = non-whitespace chars (Σ token lengths)
-        token_chars = pc_.subtract(
-            i64(pc_.utf8_length(text)),
-            i64(pc_.count_substring_regex(text, r"\s")))
-        n_hash = i64(pc_.count_substring(text, "#"))
-        n_ellipsis = i64(pc_.count_substring(text, "..."))
-        n_lines = pc_.add(i64(pc_.count_substring(text, "\n")),
-                          pa.scalar(1, pa.int64()))
-        # line-start anchored counts use the prepended-\n form instead
-        # of (?m)^: Arrow's count_substring_regex re-anchors ^ at each
-        # scan restart (probed: "a b c d e f g h i j" counts 2 vs
-        # DuckDB 1 for a 5-token ^-pattern), so ^ is banned from
-        # mirrored COUNT kernels; \n-led patterns scan identically in
-        # both engines and cover line 1 via the prepend.
-        shifted = pc_.binary_join_element_wise(
-            pa.scalar("\n"), text, pa.scalar(""))
-        n_bullet = i64(pc_.count_substring_regex(
-            shifted, r"\n[^\S\n]*[-*•]"))
-        n_ell_end = i64(pc_.count_substring_regex(text, r"(?m)\.\.\.$"))
-        n_stop = None
-        for w in _GOPHER_STOPWORDS:
-            hit = i64(pc_.match_substring_regex(text, rf"\b{w}\b"))
-            n_stop = hit if n_stop is None else pc_.add(n_stop, hit)
-        sym = pc_.add(n_hash, n_ellipsis)
-        mul = lambda a, k: pc_.multiply(a, pa.scalar(k, pa.int64()))  # noqa
-        rules = {
-            "r_word_count": pc_.and_(
-                pc_.greater_equal(n_tok, pa.scalar(min_words, pa.int64())),
-                pc_.less_equal(n_tok, pa.scalar(max_words, pa.int64()))),
-            "r_mean_word_len": pc_.and_(
-                pc_.greater_equal(token_chars, mul(n_tok, 3)),
-                pc_.less_equal(token_chars, mul(n_tok, 10))),
-            "r_symbol_ratio": pc_.less_equal(mul(sym, 10), n_tok),
-            "r_bullet_lines": pc_.less_equal(mul(n_bullet, 10),
-                                             mul(n_lines, 9)),
-            "r_ellipsis_lines": pc_.less_equal(mul(n_ell_end, 10),
-                                               mul(n_lines, 3)),
-            "r_alpha_words": pc_.greater_equal(mul(n_alpha_tok, 10),
-                                               mul(n_tok, 8)),
-            "r_stop_words": pc_.greater_equal(
-                n_stop, pa.scalar(2, pa.int64())),
-        }
-        keep = None
-        for v in rules.values():
-            keep = v if keep is None else pc_.and_(keep, v)
-        cols = {
-            "doc_id": t.column("doc_id"),
-            "n_tokens": n_tok, "token_chars": token_chars,
-            "n_alpha_tokens": n_alpha_tok, "n_symbols": sym,
-            "n_lines": n_lines, "n_bullet_lines": n_bullet,
-            "n_ellipsis_lines": n_ell_end, "n_stop_present": n_stop,
-            **rules, "keep": keep,
-        }
-        return pa.table(cols)
-
-    return docs_ds.map_batches(_kernel, batch_format="pyarrow")
+    text = t.column(text_col)
+    i64 = lambda a: pc_.cast(a, pa.int64())  # noqa: E731
+    n_tok = i64(pc_.count_substring_regex(text, r"\S+"))
+    n_alpha_tok = i64(
+        pc_.count_substring_regex(text, r"\S*[A-Za-z]\S*"))
+    # token chars = non-whitespace chars (Σ token lengths)
+    token_chars = pc_.subtract(
+        i64(pc_.utf8_length(text)),
+        i64(pc_.count_substring_regex(text, r"\s")))
+    n_hash = i64(pc_.count_substring(text, "#"))
+    n_ellipsis = i64(pc_.count_substring(text, "..."))
+    n_lines = pc_.add(i64(pc_.count_substring(text, "\n")),
+                      pa.scalar(1, pa.int64()))
+    # line-start anchored counts use the prepended-\n form instead
+    # of (?m)^: Arrow's count_substring_regex re-anchors ^ at each
+    # scan restart (probed: "a b c d e f g h i j" counts 2 vs
+    # DuckDB 1 for a 5-token ^-pattern), so ^ is banned from
+    # mirrored COUNT kernels; \n-led patterns scan identically in
+    # both engines and cover line 1 via the prepend.
+    shifted = pc_.binary_join_element_wise(
+        pa.scalar("\n"), text, pa.scalar(""))
+    n_bullet = i64(pc_.count_substring_regex(
+        shifted, r"\n[^\S\n]*[-*•]"))
+    n_ell_end = i64(pc_.count_substring_regex(text, r"(?m)\.\.\.$"))
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        hit = i64(pc_.match_substring_regex(text, rf"\b{w}\b"))
+        n_stop = hit if n_stop is None else pc_.add(n_stop, hit)
+    sym = pc_.add(n_hash, n_ellipsis)
+    mul = lambda a, k: pc_.multiply(a, pa.scalar(k, pa.int64()))  # noqa
+    rules = {
+        "r_word_count": pc_.and_(
+            pc_.greater_equal(n_tok, pa.scalar(min_words, pa.int64())),
+            pc_.less_equal(n_tok, pa.scalar(max_words, pa.int64()))),
+        "r_mean_word_len": pc_.and_(
+            pc_.greater_equal(token_chars, mul(n_tok, 3)),
+            pc_.less_equal(token_chars, mul(n_tok, 10))),
+        "r_symbol_ratio": pc_.less_equal(mul(sym, 10), n_tok),
+        "r_bullet_lines": pc_.less_equal(mul(n_bullet, 10),
+                                         mul(n_lines, 9)),
+        "r_ellipsis_lines": pc_.less_equal(mul(n_ell_end, 10),
+                                           mul(n_lines, 3)),
+        "r_alpha_words": pc_.greater_equal(mul(n_alpha_tok, 10),
+                                           mul(n_tok, 8)),
+        "r_stop_words": pc_.greater_equal(
+            n_stop, pa.scalar(2, pa.int64())),
+    }
+    keep = None
+    for v in rules.values():
+        keep = v if keep is None else pc_.and_(keep, v)
+    cols = {
+        "doc_id": t.column("doc_id"),
+        "n_tokens": n_tok, "token_chars": token_chars,
+        "n_alpha_tokens": n_alpha_tok, "n_symbols": sym,
+        "n_lines": n_lines, "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ell_end, "n_stop_present": n_stop,
+        **rules, "keep": keep,
+    }
+    return pa.table(cols)
 
 
 def c4_filters_table(docs_ds, text_col: str = "text"):
@@ -447,42 +454,100 @@ def c4_filters_table(docs_ds, text_col: str = "text"):
     counts with one more map_batches; the signals table is what the
     mixture planner consumes. Integer/boolean output only — the
     DuckDB mirror is exact (RE2 both sides)."""
+    return docs_ds.map_batches(
+        lambda t: c4_features(t, text_col), batch_format="pyarrow")
+
+
+def c4_features(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch kernel behind :func:`c4_filters_table` (module-level for
+    fused single-pass composition)."""
+    import pyarrow.compute as pc_
+
+    text = t.column(text_col)
+    i64 = lambda a: pc_.cast(a, pa.int64())  # noqa: E731
+    n_lines = pc_.add(i64(pc_.count_substring(text, "\n")),
+                      pa.scalar(1, pa.int64()))
+    n_term = i64(pc_.count_substring_regex(text, r'(?m)[.!?"]$'))
+    # a line with <5 words = n_lines − lines with ≥5 words. The
+    # ≥5 pattern (4 token+ws runs then a 5th token char) can never
+    # match empty — patterns that CAN match empty count one extra
+    # end-of-string match in Arrow but not in DuckDB (probed), so
+    # empty-matchable patterns are banned from mirrored kernels.
+    # Prepended-\n form for the same reason as gopher's bullet
+    # count: Arrow re-anchors ^ at scan restarts, DuckDB does not.
+    # [^\S\n] = intra-line whitespace — a bare \s would cross the
+    # newline and fuse adjacent lines into one match.
+    shifted = pc_.binary_join_element_wise(
+        pa.scalar("\n"), text, pa.scalar(""))
+    n_long = i64(pc_.count_substring_regex(
+        shifted, r"\n[^\S\n]*(?:\S+[^\S\n]+){4}\S"))
+    n_short = pc_.subtract(n_lines, n_long)
+    has_brace = pc_.match_substring(text, "{")
+    has_lorem = pc_.match_substring(text, "lorem ipsum")
+    n_js = i64(pc_.count_substring_regex(
+        shifted, r"(?i)\n.*\bjavascript\b"))
+    n_sent = i64(pc_.count_substring_regex(text, r"[.!?]"))
+    keep = pc_.and_(
+        pc_.and_(pc_.invert(has_brace), pc_.invert(has_lorem)),
+        pc_.greater_equal(n_sent, pa.scalar(3, pa.int64())))
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_lines": n_lines, "n_terminal_lines": n_term,
+        "n_short_lines": n_short, "n_js_lines": n_js,
+        "n_sentences": n_sent, "has_brace": has_brace,
+        "has_lorem": has_lorem, "keep": keep,
+    })
+
+
+def c4_clean_table(docs_ds, text_col: str = "text"):
+    """C4 LINE-LEVEL cleaning as a text TRANSFORM (Raffel et al. 2020
+    §2.2): keep only lines that end in terminal punctuation, have ≥ 5
+    words, and contain none of the drop markers ("{", "lorem ipsum",
+    the word "javascript"); emit the document with the surviving lines
+    re-joined by newline plus (n_kept, n_dropped) counters.
+
+    Fully vectorized: ONE split per batch (Arrow list array), all
+    line predicates evaluated on the flattened line column, surviving
+    lines re-listed by recomputed offsets (np.bincount over parent
+    indices) and re-joined with ``pc.binary_join`` — no Python over
+    rows or lines. Zero shuffle. The DuckDB mirror is the same rule
+    over ``string_split`` + ``list_filter`` + ``array_to_string``
+    (RE2 both sides)."""
     import pyarrow.compute as pc_
 
     def _kernel(t: pa.Table) -> pa.Table:
         text = t.column(text_col)
-        i64 = lambda a: pc_.cast(a, pa.int64())  # noqa: E731
-        n_lines = pc_.add(i64(pc_.count_substring(text, "\n")),
-                          pa.scalar(1, pa.int64()))
-        n_term = i64(pc_.count_substring_regex(text, r'(?m)[.!?"]$'))
-        # a line with <5 words = n_lines − lines with ≥5 words. The
-        # ≥5 pattern (4 token+ws runs then a 5th token char) can never
-        # match empty — patterns that CAN match empty count one extra
-        # end-of-string match in Arrow but not in DuckDB (probed), so
-        # empty-matchable patterns are banned from mirrored kernels.
-        # Prepended-\n form for the same reason as gopher's bullet
-        # count: Arrow re-anchors ^ at scan restarts, DuckDB does not.
-        # [^\S\n] = intra-line whitespace — a bare \s would cross the
-        # newline and fuse adjacent lines into one match.
-        shifted = pc_.binary_join_element_wise(
-            pa.scalar("\n"), text, pa.scalar(""))
-        n_long = i64(pc_.count_substring_regex(
-            shifted, r"\n[^\S\n]*(?:\S+[^\S\n]+){4}\S"))
-        n_short = pc_.subtract(n_lines, n_long)
-        has_brace = pc_.match_substring(text, "{")
-        has_lorem = pc_.match_substring(text, "lorem ipsum")
-        n_js = i64(pc_.count_substring_regex(
-            shifted, r"(?i)\n.*\bjavascript\b"))
-        n_sent = i64(pc_.count_substring_regex(text, r"[.!?]"))
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc_.split_pattern(text, "\n")
+        flat = pc_.list_flatten(lines)
+        parent = np.asarray(pc_.list_parent_indices(lines),
+                            dtype=np.int64)
         keep = pc_.and_(
-            pc_.and_(pc_.invert(has_brace), pc_.invert(has_lorem)),
-            pc_.greater_equal(n_sent, pa.scalar(3, pa.int64())))
+            pc_.and_(
+                pc_.match_substring_regex(flat, r'[.!?"]$'),
+                pc_.match_substring_regex(
+                    flat, r"^[^\S\n]*(?:\S+[^\S\n]+){4}\S")),
+            pc_.invert(pc_.or_(
+                pc_.or_(pc_.match_substring(flat, "{"),
+                        pc_.match_substring(flat, "lorem ipsum")),
+                pc_.match_substring_regex(flat, r"(?i)\bjavascript\b"))))
+        keep_np = np.asarray(keep)
+        n_rows = t.num_rows
+        kept_per_doc = np.bincount(parent[keep_np], minlength=n_rows)
+        total_per_doc = np.bincount(parent, minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_lines = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(keep))
+        clean = pc_.binary_join(kept_lines, "\n")
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "n_lines": n_lines, "n_terminal_lines": n_term,
-            "n_short_lines": n_short, "n_js_lines": n_js,
-            "n_sentences": n_sent, "has_brace": has_brace,
-            "has_lorem": has_lorem, "keep": keep,
+            "clean_text": clean,
+            "n_kept": pa.array(kept_per_doc.astype(np.int64), pa.int64()),
+            "n_dropped": pa.array(
+                (total_per_doc - kept_per_doc).astype(np.int64),
+                pa.int64()),
         })
 
     return docs_ds.map_batches(_kernel, batch_format="pyarrow")
