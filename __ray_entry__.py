@@ -465,6 +465,34 @@ SELECT 'dedup', CAST(count(*) AS BIGINT),
     GROUP BY md5(text)
   )
 """,
+        # DSIR: same md5-bucket hash and integer floor-log2 weights
+        "doc_dsir": """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b,
+    lang
+  FROM tok
+),
+cnt AS (
+  SELECT b,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(count(*) AS BIGINT) AS cr
+  FROM tb GROUP BY b
+),
+w AS (
+  SELECT b, CAST(floor(log2(ct + 1)) AS BIGINT)
+          - CAST(floor(log2(cr + 1)) AS BIGINT) AS wv
+  FROM cnt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(wv) AS BIGINT) AS dsir_score
+FROM tb JOIN w USING (b) GROUP BY doc_id
+""",
         "doc_langid": """
 WITH lang AS (
   SELECT doc_id,

@@ -296,3 +296,46 @@ class TestC4Clean:
         assert out.loc[1, "clean_text"] == ""
         assert int(out.loc[1, "n_kept"]) == 0
         assert int(out.loc[1, "n_dropped"]) == 1
+
+
+class TestDsirImportance:
+    def test_weights_and_scores_tiny_corpus(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            dsir_importance)
+
+        B = 64
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["alpha alpha beta", "alpha gamma", "beta beta beta",
+                     "   "],
+            "lang": ["en", "en", "fr", "en"],
+        })
+        out = dsir_importance(
+            rd.from_arrow(docs), n_buckets=B
+        ).to_pandas().set_index("doc_id")
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+        toks = {"alpha": 3, "beta": 4, "gamma": 1}           # raw counts
+        tgt = {"alpha": 3, "beta": 1, "gamma": 1}            # lang=en
+        ct = {}; cr = {}
+        for w, n in toks.items():
+            cr[bucket(w)] = cr.get(bucket(w), 0) + n
+        for w, n in tgt.items():
+            ct[bucket(w)] = ct.get(bucket(w), 0) + n
+
+        def wv(w):
+            b = bucket(w)
+            return (int(np.floor(np.log2(ct.get(b, 0) + 1)))
+                    - int(np.floor(np.log2(cr[b] + 1))))
+
+        assert int(out.loc[0, "dsir_score"]) == 2 * wv("alpha") + wv("beta")
+        assert int(out.loc[2, "dsir_score"]) == 3 * wv("beta")
+        assert int(out.loc[0, "n_tokens"]) == 3
+        # whitespace-only doc emits no row (SQL GROUP BY parity)
+        assert 3 not in out.index

@@ -496,6 +496,14 @@ def q_training_corpus_funnel(sf_dir: str):
     })
 
 
+def q_doc_dsir(sf_dir: str):
+    """DSIR-shaped importance score (target = lang 'en'): fixed-size
+    hashed-bucket statistics, integer ⌊log2⌋ ratio weights, zero-
+    shuffle scoring pass. SQL mirror rebuilds the same buckets from
+    md5 hex and the same weights from floor(log2(c+1))."""
+    return ts.dsir_importance(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def q_doc_langid(sf_dir: str):
     """Marker-based language ID with integer evidence columns — the
     whole decision (incl. lang_hits/lang_tokens) is recomputed by the
@@ -4528,6 +4536,7 @@ QUERIES: Dict[str, callable] = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_c4_filters": q_doc_c4_filters,
     "doc_c4_clean": q_doc_c4_clean,
+    "doc_dsir": q_doc_dsir,
     "training_corpus_funnel": q_training_corpus_funnel,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,

@@ -218,5 +218,10 @@ def run_stress_sweep(sf_dir: str, cache_dir: str, k: int = 10,
             res = res.materialize()
             rows[name] = res.count()
         timings[name] = round(time.monotonic() - t0, 2)
+        # per-op progress on stderr so a killed sweep keeps its partials
+        import sys
+
+        print(f"[stress] {name}: {timings[name]}s rows={rows.get(name)}",
+              file=sys.stderr, flush=True)
     return {"metric": "stress_sweep", "k": k, "docs": n_docs,
             "ops": timings, "rows": rows, "sf": sf_dir}

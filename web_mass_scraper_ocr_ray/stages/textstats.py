@@ -553,6 +553,110 @@ def c4_clean_table(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(_kernel, batch_format="pyarrow")
 
 
+def dsir_importance(docs_ds, target_col: str = "lang",
+                    target_value: str = "en", n_buckets: int = 4096,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR-shaped data-selection importance score (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling'):
+    hashed token features, target-vs-raw bucket statistics, per-doc
+    importance = Σ over tokens of the bucket log-ratio.
+
+    Integer adaptation (the repo's oracle rule — no floats cross the
+    engine/SQL boundary): the per-bucket weight is
+    ``⌊log2(c_target+1)⌋ − ⌊log2(c_raw+1)⌋`` and the doc score the
+    integer sum of its tokens' weights. ⌊log2⌋ is exact in both
+    engines for counts < 2⁴⁹ (beyond any real bucket count).
+
+    Scale shape (the DSIR selling point, kept): the bucket table is
+    FIXED-SIZE — 2 × ``n_buckets`` int64 — independent of corpus size,
+    so phase 1 is per-batch bincount partials into one ≤n_buckets-key
+    groupby, the weight vector broadcasts once via ``ray.put``
+    (32 KiB at the default), and phase 2 is a zero-shuffle stateless
+    map. Token → bucket = first 8 md5 hex chars mod n_buckets (the
+    SQL-reproducible hash convention).
+
+    Docs with zero tokens emit no row (the SQL mirror's GROUP BY
+    drops them too)."""
+    import hashlib
+
+    import pyarrow.compute as pc_
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _tokenize(t: pa.Table):
+        """→ (bucket_per_token int64 array, parent row indices).
+
+        md5 runs over the per-batch DICTIONARY (unique tokens), not
+        token instances — the hash cost is O(batch vocab), and the
+        instance-level bucket vector is one numpy take."""
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc_.split_pattern_regex(
+            pc_.cast(text, pa.string()), pattern=r"\s+")
+        flat = pc_.list_flatten(toks)
+        # split_pattern_regex emits '' for leading/trailing whitespace;
+        # \S+ semantics = drop empties (parent indices kept aligned)
+        nonempty = pc_.greater(pc_.utf8_length(flat), 0)
+        parent = np.asarray(pc_.list_parent_indices(toks),
+                            dtype=np.int64)[np.asarray(nonempty)]
+        d = flat.filter(nonempty).dictionary_encode()
+        vocab_b = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+             for w in d.dictionary.to_pylist()),
+            dtype=np.int64, count=len(d.dictionary))
+        codes = np.asarray(d.indices, dtype=np.int64)
+        return vocab_b[codes] if len(codes) else codes, parent
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        b, parent = _tokenize(t)
+        is_t = np.asarray(
+            pc_.equal(t.column(target_col), target_value))[parent]
+        ct = np.bincount(b[is_t], minlength=n_buckets)
+        cr = np.bincount(b, minlength=n_buckets)
+        nz = (cr > 0).nonzero()[0]
+        return pa.table({
+            "b": pa.array(nz, pa.int64()),
+            "ct": pa.array(ct[nz].astype(np.int64), pa.int64()),
+            "cr": pa.array(cr[nz].astype(np.int64), pa.int64()),
+        })
+
+    cnt = docs_ds.map_batches(
+        _count_partial, batch_format="pyarrow"
+    ).groupby("b").aggregate(Sum("ct", alias_name="ct"),
+                             Sum("cr", alias_name="cr")).take_all()
+
+    def _ilog2(x: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(x), np.int64)
+        nz = x > 0
+        out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(
+            np.int64)
+        return out
+
+    w = np.zeros(n_buckets, np.int64)
+    bs = np.array([r["b"] for r in cnt], np.int64)
+    ct = np.array([r["ct"] for r in cnt], np.int64)
+    cr = np.array([r["cr"] for r in cnt], np.int64)
+    w[bs] = _ilog2(ct + 1) - _ilog2(cr + 1)
+    w_ref = ray.put(w)
+
+    def _score(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        b, parent = _tokenize(t)
+        n_rows = t.num_rows
+        n_tok = np.bincount(parent, minlength=n_rows)
+        score = np.zeros(n_rows, np.int64)
+        np.add.at(score, parent, wv[b])
+        has = n_tok > 0
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(has)),
+            "n_tokens": pa.array(n_tok[has].astype(np.int64), pa.int64()),
+            "dsir_score": pa.array(score[has], pa.int64()),
+        })
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
 # ---- corpus vocabulary statistics ----------------------------------------
 
 def vocab_topk(docs_ds, k: int = 20, text_col: str = "text"):
