@@ -3212,4 +3212,110 @@ SELECT doc_id,
 FROM bg JOIN cnt USING (bigram)
 GROUP BY doc_id
 """,
+        # Q13 shape: left join via count difference — the zero-order
+        # row appears only when some customer has no orders
+        "customer_order_distribution": """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        # Q15 shape: argmax over per-supplier quarterly revenue
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+              AS BIGINT) AS total_revenue_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_micro
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_micro = (SELECT max(total_revenue_micro) FROM rev)
+""",
+        # Q17 shape: correlated per-part AVG decorrelated; the 0.2·avg
+        # rule is the division-free 5·qty·n < sum in centi-units
+        "small_qty_revenue": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_centi,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_centi
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+mom AS (
+  SELECT l_partkey, CAST(sum(qty_centi) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(coalesce(sum(price_centi), 0) AS BIGINT)
+         AS total_revenue_centi,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN mom USING (l_partkey)
+WHERE 5 * qty_centi * n < s
+""",
+        # Q12 shape: CASE counts over the orders join, grouped by a
+        # lineitem attribute (no shipmode column in this corpus —
+        # l_returnflag is the 3-value stand-in)
+        "priority_shipmix": """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+        # Q7 shape: bilateral nation volume by ship year
+        "nation_trade_volume": """
+WITH sn AS (
+  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS supp_nation
+  FROM supplier
+),
+cn AS (
+  SELECT o_orderkey, CAST(c_nationkey AS BIGINT) AS cust_nation
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT supp_nation, cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_micro
+FROM lineitem
+JOIN sn ON l_suppkey = s_suppkey
+JOIN cn ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((supp_nation = 12 AND cust_nation = 11)
+       OR (supp_nation = 11 AND cust_nation = 12))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+        # BPE first-merge pair counts: adjacent char pairs within
+        # whitespace-delimited tokens (ASCII corpus contract — char
+        # pairing ≡ byte pairing), top 50, (a, b) ascending tiebreak
+        # == pair-code ascending on the engine side
+        "bpe_pair_counts": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> length(x) >= 2)) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b
+  FROM toks, unnest(range(1, length(tok))) AS u(i)
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b
+LIMIT 50
+""",
     }

@@ -113,7 +113,7 @@ class TestActorPoolDctPath:
         rows = []
         for s in (1, 2):
             for b in (0, 10):
-                rows.append((s * 10 + b, encode_bmp(
+                rows.append((s * 100 + b, encode_bmp(
                     synth_image(s, brightness=b)), "image/bmp"))
         rows.append((99, b"not-an-image", "text/plain"))
         return pa.table({
@@ -136,7 +136,7 @@ class TestActorPoolDctPath:
             for b in (0, 10):
                 expect = k.hash_payload(encode_bmp(
                     synth_image(s, brightness=b)))
-                assert out.loc[s * 10 + b, "phash"] == expect
+                assert out.loc[s * 100 + b, "phash"] == expect
 
     def test_strict_dct_rejects_compressed_formats(self, ray_session):
         hasher = mm.PerceptualHasher(strict=True, kernel="dct")

@@ -4516,6 +4516,379 @@ def q_doc_bigram_rarity(sf_dir: str):
     return bigram_rarity(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers a plain inner join would drop. Shape: two stacked
+    two-phase aggregates (orders → per-custkey count → per-count
+    custdist), so the only keyed exchange carries (custkey, partial
+    count) pairs — the distribution itself is bounded by the max
+    orders/customer, never by the customer count. The zero row is a
+    COUNT difference (total customers − customers with ≥1 order),
+    two streaming scalar counts — no customer×orders join at all."""
+    import ray.data as rd
+
+    from ..stages.shuffle import two_phase_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    per_cust = two_phase_aggregate(
+        orders, "o_custkey", {"c_count": (None, "count")})
+    dist = two_phase_aggregate(
+        per_cust, "c_count", {"custdist": (None, "count")})
+    # bounded pull: rows = distinct order-count values (≤ max k)
+    rows = dist.take_all()
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    n_with = sum(r["custdist"] for r in rows)
+    if n_cust > n_with:
+        rows.append({"c_count": 0, "custdist": n_cust - n_with})
+    rows.sort(key=lambda r: (-r["custdist"], -r["c_count"]))
+    return pa.table({
+        "c_count": pa.array([r["c_count"] for r in rows], pa.int64()),
+        "custdist": pa.array([r["custdist"] for r in rows], pa.int64()),
+    })
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: per-supplier revenue over one
+    quarter, returning the argmax row(s). Shape: two-phase aggregate
+    on l_suppkey (map-side combine — the only keyed exchange), global
+    max as a streaming scalar aggregate over the SMALL grouped table,
+    equality filter, then supplier names via one broadcast map.
+    Revenue in integer micro-dollars (region_supplier_revenue
+    convention) so the max/equality is exact, never a float tie."""
+    import datetime as _dtm
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.shuffle import two_phase_aggregate
+
+    lo = pa.scalar(_dtm.datetime(1998, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dtm.datetime(1998, 4, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        t = t.filter(m)
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(10000, pa.int64()), disc_bp))
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "rev": rev})
+
+    # materialize the GROUPED table (rows = suppliers, a bounded
+    # dimension) so the max scan + equality filter don't re-run the
+    # fact-scale lineitem read twice
+    sums = two_phase_aggregate(
+        li.map_batches(_rev, batch_format="pyarrow"),
+        "l_suppkey", {"total_revenue_micro": ("rev", "sum")}).materialize()
+    best = sums.max("total_revenue_micro")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    smap_ref = ray.put(dict(zip(sup.column("s_suppkey").to_pylist(),
+                                sup.column("s_name").to_pylist())))
+
+    def _final(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = t.filter(pc.equal(t.column("total_revenue_micro"),
+                              pa.scalar(best, pa.int64())))
+        sm = _ray.get(smap_ref)
+        names = [sm[k] for k in t.column("l_suppkey").to_pylist()]
+        return pa.table({
+            "s_suppkey": t.column("l_suppkey"),
+            "s_name": pa.array(names, pa.string()),
+            "total_revenue_micro": t.column("total_revenue_micro"),
+        })
+
+    return sums.map_batches(_final, batch_format="pyarrow")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity revenue: total revenue of
+    lineitems whose quantity is below 20% of the per-part average,
+    over one brand's parts. Shape: the brand partkey set broadcasts
+    once (part is the small side); per-part quantity moments (sum, n)
+    come from a two-phase aggregate; the correlated AVG decorrelates
+    into ONE co-partition equi_join back to the filtered lineitems;
+    the 0.2·avg comparison is the division-free cross-multiplication
+    ``5·qty·n < sum`` in integer centi-units — exact, no float
+    epsilon. Final answer is a streaming 2-int global aggregate.
+    ``branded`` is deliberately NOT materialized: it feeds two lazy
+    consumers (moments + join), so the pruned 3-column brand slice is
+    scanned twice rather than pinned fact-scale in the object store —
+    the cheaper trade at 100 TB."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part.column("p_brand"), "Brand#3")) \
+               .column("p_partkey")
+    keys_ref = ray.put(pc.cast(keys, pa.int64()))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _brand(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ks = _ray.get(keys_ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=ks))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty_centi": pc.cast(pc.round(pc.multiply(
+                t.column("l_quantity"), 100.0)), pa.int64()),
+            "price_centi": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64()),
+        })
+
+    branded = li.map_batches(_brand, batch_format="pyarrow")
+    moments = two_phase_aggregate(
+        branded, "l_partkey",
+        {"s": ("qty_centi", "sum"), "n": (None, "count")})
+    joined = equi_join(branded, moments,
+                       left_on="l_partkey", right_on="l_partkey",
+                       right_cols=["s", "n"])
+
+    def _small_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pa.scalar(5, pa.int64()),
+                        pc.multiply(t.column("qty_centi"),
+                                    t.column("n"))),
+            t.column("s"))
+        t = t.filter(keep)
+        return pa.table({
+            "total_revenue_centi": pa.array(
+                [pc.sum(t.column("price_centi")).as_py() or 0],
+                pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = joined.map_batches(
+        _small_partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "total_revenue_centi": pa.array(
+            [sum(r["total_revenue_centi"] for r in parts)], pa.int64()),
+        "n_items": pa.array([sum(r["n_items"] for r in parts)],
+                            pa.int64()),
+    })
+
+
+def q_priority_shipmix(sf_dir: str):
+    """TPC-H-Q12-shaped priority mix: per return-flag CASE counts of
+    urgent/high vs other order priorities for lineitems shipped in
+    1997. Shape: lineitem prunes to 2 columns at the scan + date
+    filter, ONE co-partition equi_join attaches o_orderpriority
+    (orders and lineitem are both fact-scale — no broadcast), then
+    the CASE counts fold as map-side integer partials into a 3-row
+    final aggregate; the join is the only all-to-all."""
+    import datetime as _dtm
+
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    lo = pa.scalar(_dtm.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dtm.datetime(1998, 1, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        return t.filter(m).select(["l_orderkey", "l_returnflag"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = equi_join(
+        li.map_batches(_window, batch_format="pyarrow"), orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderpriority"])
+
+    def _case(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(t.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        ones = pc.cast(hi_m, pa.int64())
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "high_line_count": ones,
+            "low_line_count": pc.subtract(pa.scalar(1, pa.int64()),
+                                          ones),
+        })
+
+    return two_phase_aggregate(
+        joined.map_batches(_case, batch_format="pyarrow"),
+        "l_returnflag",
+        {"high_line_count": ("high_line_count", "sum"),
+         "low_line_count": ("low_line_count", "sum")})
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped bilateral trade volume: revenue shipped between
+    nations 12 and 11 (either direction) by ship year. Shape: supplier→
+    nation is a broadcast map (suppliers are the bounded dimension);
+    customer nation rides ONE co-partition equi_join orders×customer
+    on custkey (both fact-scale); lineitem attaches both via a second
+    co-partition join on orderkey. The nation-pair filter runs BEFORE
+    the final two-phase rollup so only matching rows reach it.
+    Revenue in integer micro-dollars."""
+    import datetime as _dtm
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put(dict(zip(
+        sup.column("s_suppkey").to_pylist(),
+        pc.cast(sup.column("s_nationkey"), pa.int64()).to_pylist())))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ocust = equi_join(orders, cust, left_on="o_custkey",
+                      right_on="c_custkey", right_cols=["c_nationkey"])
+
+    def _cnation(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "cust_nation": pc.cast(t.column("c_nationkey"), pa.int64()),
+        })
+
+    lo = pa.scalar(_dtm.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dtm.datetime(1998, 1, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def _liprep(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        t = t.filter(m)
+        sm = _ray.get(smap_ref)
+        sn = pa.array([sm[k] for k in t.column("l_suppkey").to_pylist()],
+                      pa.int64())
+        t = t.append_column("supp_nation", sn)
+        keep = pc.is_in(sn, value_set=pa.array([12, 11], pa.int64()))
+        t = t.filter(keep)
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "supp_nation": t.column("supp_nation"),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()),
+            "rev": pc.multiply(price_c, pc.subtract(
+                pa.scalar(10000, pa.int64()), disc_bp)),
+        })
+
+    both = equi_join(
+        li.map_batches(_liprep, batch_format="pyarrow"),
+        ocust.map_batches(_cnation, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["cust_nation"])
+
+    def _pair(t: pa.Table) -> pa.Table:
+        a = t.column("supp_nation")
+        b = t.column("cust_nation")
+        one = pa.scalar(12, pa.int64())
+        two = pa.scalar(11, pa.int64())
+        keep = pc.or_(
+            pc.and_(pc.equal(a, one), pc.equal(b, two)),
+            pc.and_(pc.equal(a, two), pc.equal(b, one)))
+        return t.filter(keep).select(
+            ["supp_nation", "cust_nation", "l_year", "rev"])
+
+    return two_phase_aggregate(
+        both.map_batches(_pair, batch_format="pyarrow"),
+        ("supp_nation", "cust_nation", "l_year"),
+        {"revenue_micro": ("rev", "sum")})
+
+
+_WS_BYTES = (9, 10, 11, 12, 13, 32)
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE-tokenizer first merge step: corpus-wide counts of adjacent
+    byte pairs WITHIN whitespace-delimited tokens, top 50 — the inner
+    loop of byte-pair-encoding vocabulary training (Sennrich et al.
+    2016), run as one streaming pass. Shape: each batch's texts join
+    into one byte buffer (space-separated, so doc boundaries can't
+    pair), a numpy mask keeps positions where BOTH bytes are
+    non-whitespace (adjacency inside a token ≡ adjacency between two
+    non-ws bytes), and a bincount over the 16-bit pair code produces
+    the partial — zero Python per-token work. Pair codes fold through
+    a two-phase aggregate (≤ 2¹⁶ keys), decode to chars at the end.
+
+    Corpus contract: ASCII text (the documents synthesis guarantee;
+    multi-byte UTF-8 would need char-level pairing on both sides)."""
+    import numpy as np
+
+    from ..stages.shuffle import two_phase_aggregate
+
+    docs = _docs(sf_dir, ["text"])
+    ws = np.zeros(256, dtype=bool)
+    for b in _WS_BYTES:
+        ws[b] = True
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        texts = pc.cast(t.column("text"), pa.string()).to_pylist()
+        blob = " ".join(texts).encode()
+        a = np.frombuffer(blob, np.uint8)
+        if a.size < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        left, right = a[:-1], a[1:]
+        m = ~(ws[left] | ws[right])
+        codes = (left[m].astype(np.int64) << 8) | right[m]
+        counts = np.bincount(codes, minlength=1 << 16)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"code": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(counts[nz], pa.int64())})
+
+    folded = two_phase_aggregate(
+        docs.map_batches(_pairs, batch_format="pyarrow"),
+        "code", {"cnt": ("cnt", "sum")})
+
+    def _decode(t: pa.Table) -> pa.Table:
+        codes = t.column("code").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([chr(c >> 8) for c in codes], pa.string()),
+            "b": pa.array([chr(c & 0xFF) for c in codes], pa.string()),
+            "cnt": t.column("cnt"),
+        })
+
+    return folded.sort(["cnt", "code"], descending=[True, False]) \
+                 .limit(50).map_batches(_decode, batch_format="pyarrow") \
+                 .select_columns(["a", "b", "cnt"])
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -4685,4 +5058,10 @@ QUERIES: Dict[str, callable] = {
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "doc_bigram_rarity": q_doc_bigram_rarity,
+    "customer_order_distribution": q_customer_order_distribution,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "priority_shipmix": q_priority_shipmix,
+    "nation_trade_volume": q_nation_trade_volume,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
