@@ -3318,4 +3318,61 @@ FROM pairs GROUP BY a, b
 ORDER BY cnt DESC, a, b
 LIMIT 50
 """,
+        # vocab coverage point: greedy most-frequent-first coverage is
+        # a pure function of the count-of-counts histogram; integer
+        # cross-multiplication + integer-ceil partial class
+        "vocab_coverage": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM vc GROUP BY c),
+tot AS (SELECT CAST(sum(c * m) AS BIGINT) AS total,
+               CAST(sum(m) AS BIGINT) AS dst
+        FROM hist),
+run AS (
+  SELECT c, m,
+         CAST(sum(c * m) OVER (ORDER BY c DESC) AS BIGINT) AS cum,
+         CAST(sum(m) OVER (ORDER BY c DESC) AS BIGINT) AS kcum
+  FROM hist
+),
+pick AS (
+  SELECT r.c, r.cum - r.c * r.m AS prev_cum, r.kcum - r.m AS prev_k,
+         t.total, t.dst
+  FROM run r, tot t
+  WHERE 10000 * r.cum >= 9000 * t.total
+  ORDER BY r.c DESC LIMIT 1
+)
+SELECT CAST(total AS BIGINT) AS total_tokens,
+       CAST(dst AS BIGINT) AS distinct_tokens,
+       CAST(prev_k + ((9000 * total - 10000 * prev_cum) + 10000 * c - 1)
+                       // (10000 * c) AS BIGINT) AS k_cov,
+       CAST(prev_cum + (((9000 * total - 10000 * prev_cum)
+                          + 10000 * c - 1) // (10000 * c)) * c
+            AS BIGINT) AS cov_tokens
+FROM pick
+""",
+        # per-source trigram diversity: docs with < 3 tokens emit no
+        # trigrams (range() empty); integer-bp ratio
+        "source_trigram_diversity": r"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tg AS (
+  SELECT source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+  FROM d, unnest(range(1, len(toks) - 1)) AS u(i)
+)
+SELECT source,
+       CAST(count(DISTINCT tri) AS BIGINT) AS distinct_trigrams,
+       CAST(count(*) AS BIGINT) AS total_trigrams,
+       CAST((10000 * count(DISTINCT tri)) // count(*) AS BIGINT)
+         AS diversity_bp
+FROM tg GROUP BY source
+""",
     }

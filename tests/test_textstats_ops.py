@@ -339,3 +339,70 @@ class TestDsirImportance:
         assert int(out.loc[0, "n_tokens"]) == 3
         # whitespace-only doc emits no row (SQL GROUP BY parity)
         assert 3 not in out.index
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabCoverage:
+    def _run(self, texts, cov_bp=9000):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.textstats import vocab_coverage
+
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+        return vocab_coverage(ds, cov_bp=cov_bp).to_pandas()
+
+    def test_partial_class_ceil(self):
+        # counts: a×6, b×2, c×2  → total 10, distinct 3
+        # 90% target = 9 occurrences: take a (6), then ceil(3/2)=2 of
+        # the count-2 class → k=3, covered 6+2·2=10
+        out = self._run(["a a a a a a b b c c"])
+        assert out.loc[0, "total_tokens"] == 10
+        assert out.loc[0, "distinct_tokens"] == 3
+        assert out.loc[0, "k_cov"] == 3
+        assert out.loc[0, "cov_tokens"] == 10
+
+    def test_whole_class_boundary(self):
+        # a×9, b×1: 90% met exactly by the first class → k=1, cov=9
+        out = self._run(["a a a a a a a a a b"])
+        assert out.loc[0, "k_cov"] == 1
+        assert out.loc[0, "cov_tokens"] == 9
+
+    def test_empty_corpus_emits_no_row(self):
+        out = self._run(["   ", ""])
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrigramDiversity:
+    def _run(self, rows):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            trigram_diversity,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }))
+        return trigram_diversity(ds).to_pandas().set_index("source")
+
+    def test_windows_never_cross_documents(self):
+        # two docs in one source: "a b c" + "c a b" → trigrams
+        # {"a b c", "c a b"} — NOT "b c c" / "c c a" across the seam
+        out = self._run([("s1", "a b c"), ("s1", "c a b")])
+        assert out.loc["s1", "total_trigrams"] == 2
+        assert out.loc["s1", "distinct_trigrams"] == 2
+        assert out.loc["s1", "diversity_bp"] == 10000
+
+    def test_repetition_lowers_bp(self):
+        # 4 tokens "x x x x" → 2 trigrams, 1 distinct → 5000 bp
+        out = self._run([("s1", "x x x x")])
+        assert out.loc["s1", "total_trigrams"] == 2
+        assert out.loc["s1", "distinct_trigrams"] == 1
+        assert out.loc["s1", "diversity_bp"] == 5000
+
+    def test_short_docs_contribute_nothing(self):
+        out = self._run([("s1", "a b"), ("s2", "a b c")])
+        assert "s1" not in out.index
+        assert out.loc["s2", "total_trigrams"] == 1

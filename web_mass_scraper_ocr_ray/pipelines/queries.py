@@ -4831,6 +4831,20 @@ def q_nation_trade_volume(sf_dir: str):
         {"revenue_micro": ("rev", "sum")})
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-vocab planning: smallest most-frequent-first vocab
+    covering ≥90% of token occurrences (textstats.vocab_coverage) —
+    count-of-counts histogram, never a whole-vocab sort."""
+    return ts.vocab_coverage(_docs(sf_dir, ["text"]), cov_bp=9000)
+
+
+def q_source_trigram_diversity(sf_dir: str):
+    """Per-source trigram diversity (distinct-n/total-n repetition
+    metric, textstats.trigram_diversity): vectorized shifted-slice
+    trigram explode + one keyed exchange."""
+    return ts.trigram_diversity(_docs(sf_dir, ["source", "text"]))
+
+
 _WS_BYTES = (9, 10, 11, 12, 13, 32)
 
 
@@ -5064,4 +5078,6 @@ QUERIES: Dict[str, callable] = {
     "priority_shipmix": q_priority_shipmix,
     "nation_trade_volume": q_nation_trade_volume,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "vocab_coverage": q_vocab_coverage,
+    "source_trigram_diversity": q_source_trigram_diversity,
 }

@@ -1221,3 +1221,146 @@ def bigram_rarity(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         {"n_bigrams": (None, "count"), "n_rare": ("is_rare", "sum"),
          "sum_count": ("c", "sum")},
     )
+
+
+def vocab_coverage(docs_ds, cov_bp: int = 9000, text_col: str = "text"):
+    """Vocabulary coverage point: the smallest number of distinct
+    tokens (taken most-frequent-first) that covers ≥ ``cov_bp``/10000
+    of all token occurrences — the "how big must the tokenizer vocab
+    be" planning number (Zipf-mass coverage).
+
+    Shape: the full (token, count) table never reaches the driver and
+    is never sorted. Two stacked two-phase aggregates reduce it to the
+    COUNT-OF-COUNTS histogram (c → number of tokens occurring exactly
+    c times), whose size is bounded by the number of distinct
+    occurrence counts (O(√total) by sum bound) — and greedy
+    most-frequent-first coverage is a pure function of that histogram:
+    take whole count-classes in descending c, then the integer ceil
+    division for the partial class. All arithmetic in exact integers
+    (``10000·cum ≥ cov_bp·total`` cross-multiplication), bit-identical
+    to the SQL window-sum mirror.
+
+    → 1 row: total_tokens, distinct_tokens, k_cov (vocab size needed),
+    cov_tokens (occurrences actually covered at k_cov)."""
+    import pyarrow.compute as pc_
+
+    from .shuffle import two_phase_aggregate
+
+    def _tok_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        res = pa.table({"tok": flat}).group_by(["tok"]).aggregate(
+            [([], "count_all")])
+        return res.rename_columns(["tok", "c"])
+
+    counts = two_phase_aggregate(
+        docs_ds.map_batches(_tok_partial, batch_format="pyarrow"),
+        "tok", {"c": ("c", "sum")})
+    hist = two_phase_aggregate(counts, "c", {"m": (None, "count")})
+    # bounded pull: one row per distinct occurrence count
+    rows = sorted(hist.take_all(), key=lambda r: -r["c"])
+    total = sum(r["c"] * r["m"] for r in rows)
+    distinct = sum(r["m"] for r in rows)
+    if total == 0:
+        return pa.table({"total_tokens": pa.array([], pa.int64()),
+                         "distinct_tokens": pa.array([], pa.int64()),
+                         "k_cov": pa.array([], pa.int64()),
+                         "cov_tokens": pa.array([], pa.int64())})
+    cum = k = 0
+    for r in rows:
+        c, m = r["c"], r["m"]
+        if 10000 * (cum + c * m) >= cov_bp * total:
+            need = cov_bp * total - 10000 * cum
+            t_n = (need + 10000 * c - 1) // (10000 * c)
+            k += t_n
+            cum += t_n * c
+            break
+        cum += c * m
+        k += m
+    return pa.table({
+        "total_tokens": pa.array([total], pa.int64()),
+        "distinct_tokens": pa.array([distinct], pa.int64()),
+        "k_cov": pa.array([k], pa.int64()),
+        "cov_tokens": pa.array([cum], pa.int64()),
+    })
+
+
+def trigram_diversity(docs_ds, key_col: str = "source",
+                      text_col: str = "text"):
+    """Per-group n-gram diversity (distinct-n over total-n, the
+    Self-BLEU-adjacent repetition metric for corpus slices): token
+    trigrams per ``key_col`` group → total, distinct, and
+    ``diversity_bp = 10000·distinct // total``.
+
+    Shape: trigram construction is fully vectorized (three shifted
+    slices of the flattened token array joined element-wise; a parent-
+    index equality mask kills window positions that cross documents),
+    then ONE keyed exchange on (key, trigram) with map-side combining
+    and a per-key rollup of (distinct=count, total=Σc). Docs with < 3
+    tokens contribute nothing (mirrored by the oracle's range())."""
+    import pyarrow.compute as pc_
+
+    from .shuffle import two_phase_aggregate
+
+    def _tri(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.cast(text, pa.string()), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        parent = np.asarray(pc.list_parent_indices(toks),
+                            dtype=np.int64)[np.asarray(nonempty)]
+        flat = flat.filter(nonempty)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 3:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "tri": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        a = flat.slice(0, n - 2)
+        b = flat.slice(1, n - 2)
+        c = flat.slice(2, n - 2)
+        tri = pc.binary_join_element_wise(a, b, c, " ")
+        same_doc = pa.array(parent[: n - 2] == parent[2:])
+        tri = tri.filter(same_doc)
+        keys = pc.cast(t.column(key_col), pa.string()).take(
+            pa.array(parent[: n - 2][np.asarray(same_doc)]))
+        # in-batch combine: shuffle distinct (key, tri), not instances
+        res = pa.table({key_col: keys, "tri": tri}).group_by(
+            [key_col, "tri"]).aggregate([([], "count_all")])
+        return res.rename_columns([key_col, "tri", "n"])
+
+    per_tri = two_phase_aggregate(
+        docs_ds.map_batches(_tri, batch_format="pyarrow"),
+        (key_col, "tri"), {"n": ("n", "sum")})
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t.column(key_col),
+            "total_trigrams": t.column("n"),
+        })
+
+    out = two_phase_aggregate(
+        per_tri.map_batches(_ones, batch_format="pyarrow"),
+        key_col,
+        {"distinct_trigrams": (None, "count"),
+         "total_trigrams": ("total_trigrams", "sum")})
+
+    def _bp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.multiply(t.column("distinct_trigrams"),
+                        pa.scalar(10000, pa.int64()))
+        return t.append_column(
+            "diversity_bp",
+            pc.cast(pc.divide(d, t.column("total_trigrams")), pa.int64()))
+
+    return out.map_batches(_bp, batch_format="pyarrow")
