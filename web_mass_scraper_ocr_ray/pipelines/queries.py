@@ -4831,6 +4831,92 @@ def q_nation_trade_volume(sf_dir: str):
         {"revenue_micro": ("rev", "sum")})
 
 
+def q_audio_features(sf_dir: str):
+    """REAL-kernel audio feature gate (functions/audio.py, the WAV
+    analogue of q_image_phash_dct): deterministic PCM-16 WAV clips
+    (25 base tones × 3 exact integer amplitude variants, one per
+    doc_id; seed 0 is silence) are synthesized IN the tasks, decoded
+    and featurized by the actor-pool AudioFeaturizer on REAL samples,
+    and the feature structure is claim-gated with EXACT integers:
+
+    - ``zc_ok``: zero crossings are invariant across a tone's
+      amplitude variants (sign pattern preserved by integer scaling);
+    - ``energy_ok``: energy is exactly amp² × the base energy
+      (Σ(kx)² = k²Σx²), including the silence seed (0 = k²·0);
+    - ``mono_ok`` (global): per-seed zero-crossing counts strictly
+      increase with the tone frequency — silence < 137 Hz < 174 Hz…
+
+    The SQL mirror recomputes n_clips from the synthesis contract and
+    carries the claims as constants (the claim-gate pattern). Wrong
+    codec byte order, a dropped sample, or a broken feature kernel
+    flips a claim."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.audio import encode_wav, synth_tone
+
+    N_SEEDS = 25
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seeds = ids % N_SEEDS
+        amps = (ids // N_SEEDS) % 3 + 1
+        cache = {}
+        payloads = []
+        for s, k in zip(seeds.tolist(), amps.tolist()):
+            p = cache.get((s, k))
+            if p is None:
+                base = synth_tone(s).astype(np.int32)
+                p = cache[(s, k)] = encode_wav(
+                    (base * k).astype(np.int16))
+            payloads.append(p)
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "seed_id": pa.array(seeds, pa.int64()),
+            "amp": pa.array(amps, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(payloads), pa.string()),
+        })
+
+    feats = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_synth, batch_format="pyarrow")
+        .map_batches(
+            mm.AudioFeaturizer, fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow", batch_size=256, concurrency=2,
+        )
+        .select_columns(["seed_id", "amp", "zero_crossings", "energy"])
+    )
+
+    def _per_seed(df):
+        import pandas as pd
+
+        base = df["energy"] // (df["amp"] * df["amp"])
+        exact = bool((df["energy"] % (df["amp"] * df["amp"]) == 0).all()
+                     and base.nunique() == 1)
+        return pd.DataFrame({
+            "seed_id": [int(df["seed_id"].iloc[0])],
+            "n_clips": [len(df)],
+            "zc": [int(df["zero_crossings"].iloc[0])],
+            "zc_ok": [df["zero_crossings"].nunique() == 1],
+            "energy_ok": [exact],
+        })
+
+    per_seed = feats.groupby("seed_id").map_groups(
+        _per_seed, batch_format="pandas")
+    # bounded pull: one row per seed (constant 25)
+    rows = sorted(per_seed.take_all(), key=lambda r: r["seed_id"])
+    zcs = [r["zc"] for r in rows]
+    mono_ok = all(a < b for a, b in zip(zcs, zcs[1:]))
+    return pa.table({
+        "seed_id": pa.array([r["seed_id"] for r in rows], pa.int64()),
+        "n_clips": pa.array([r["n_clips"] for r in rows], pa.int64()),
+        "zc_ok": pa.array([bool(r["zc_ok"]) for r in rows]),
+        "energy_ok": pa.array([bool(r["energy_ok"]) for r in rows]),
+        "mono_ok": pa.array([mono_ok] * len(rows)),
+    })
+
+
 def q_vocab_coverage(sf_dir: str):
     """Tokenizer-vocab planning: smallest most-frequent-first vocab
     covering ≥90% of token occurrences (textstats.vocab_coverage) —
@@ -5080,4 +5166,5 @@ QUERIES: Dict[str, callable] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_coverage": q_vocab_coverage,
     "source_trigram_diversity": q_source_trigram_diversity,
+    "audio_features": q_audio_features,
 }

@@ -239,3 +239,50 @@ def decode_media(media_ds, concurrency=None, batch_size: int = 256,
     return decoded.map_batches(
         FrameSampler, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+class AudioFeaturizer:
+    """REAL audio feature stage (functions/audio.py): decode RIFF/WAVE
+    PCM-16 mono and emit exact-integer waveform features (n_samples,
+    sample_rate, duration_ms, energy, zero_crossings, peak_abs,
+    n_active_frames). Runs on real samples in-sandbox; a soundfile
+    deployment swaps only ``audio.decode_wav``. Mirrors
+    :class:`PerceptualHasher`'s seam contract: non-audio rows pass
+    through with null features; undecodable audio is null unless
+    ``strict``, where the NotImplementedError seam surfaces."""
+
+    _COLS = ("n_samples", "sample_rate", "duration_ms", "energy",
+             "zero_crossings", "peak_abs", "n_active_frames")
+
+    def __init__(self, strict: bool = False):
+        from ..functions.audio import wav_features
+
+        self._features = wav_features
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        rows = []
+        for p, m in zip(payloads, mimes):
+            if not (m or "").startswith("audio/") or p is None:
+                rows.append(None)
+                continue
+            try:
+                rows.append(self._features(bytes(p)))
+            except NotImplementedError:
+                if self.strict:
+                    raise
+                rows.append(None)
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio payload: real decode of compressed "
+                        "formats requires soundfile (swap audio.decode_wav)")
+                rows.append(None)
+        out = batch
+        for c in self._COLS:
+            out = out.append_column(
+                c, pa.array([r[c] if r else None for r in rows],
+                            pa.int64()))
+        return out
