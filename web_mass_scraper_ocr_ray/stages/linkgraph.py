@@ -533,14 +533,20 @@ def host_triangles(edges_ds, src_col: str = "src_host",
     driver adjacency:
       1. canonicalize (u = min endpoint, v = max; self-loops dropped)
          + distinct — one grouped pass;
-      2. wedges: groupby(u).map_groups emits every neighbor pair
-         (w1 < w2) of each MIN endpoint — a triangle (a<b<c) is
-         generated exactly once, as the wedge (b,c) centered at a;
+      2. wedges: HASH-BUCKETED groups (256 buckets of min-endpoints,
+         the rank_per_group shape — a per-vertex keyed groupby dies on
+         millions of tiny groups, the repo's measured §10.4 rule; the
+         r4 10× stress sweep caught this stage at 19× cost) emit every
+         neighbor pair (w1 < w2) of each MIN endpoint — a triangle
+         (a<b<c) is generated exactly once, as the wedge (b,c)
+         centered at a. Pair generation is vectorized: one in-bucket
+         sort, run-length detection, and per-degree-class
+         ``triu_indices`` index arithmetic — no Python pair loop;
       3. semi-join the wedge's closing pair against the edge set
          (stages/joins.semi_join — co-partition membership);
       4. each surviving triangle credits its three hosts, one grouped
          count.
-    Group 2's memory is the hot MIN-vertex's forward degree squared;
+    Stage 2's memory is the hot MIN-vertex's forward degree squared;
     the standard refinement at web scale is degree-ordering (orient
     each edge toward the higher-degree endpoint before grouping),
     which bounds wedge counts by arboricity — same plumbing, one
@@ -560,31 +566,62 @@ def host_triangles(edges_ds, src_col: str = "src_host",
              .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
              .select_columns(["u", "v"]))
 
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import _bucket_of
+
+        return t.append_column("_b", _bucket_of(t.column("u"), 256))
+
+    _EMPTY_WEDGES = pa.table({
+        "center": pa.array([], pa.string()),
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "pair_key": pa.array([], pa.string()),
+    })
+
     def _wedges(g: pa.Table) -> pa.Table:
-        centers, w1, w2, keys = [], [], [], []
-        # a bucket group may hold several centers; split by u
-        import collections
-        by_u = collections.defaultdict(list)
-        for u, v in zip(g.column("u").to_pylist(),
-                        g.column("v").to_pylist()):
-            by_u[u].append(v)
-        for u, nbrs in by_u.items():
-            nbrs = sorted(set(nbrs))
-            for i in range(len(nbrs)):
-                for j in range(i + 1, len(nbrs)):
-                    centers.append(u)
-                    w1.append(nbrs[i])
-                    w2.append(nbrs[j])
-                    keys.append(nbrs[i] + "|" + nbrs[j])
+        import numpy as np
+
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("u", "ascending"), ("v", "ascending")]))
+        u = g.column("u").combine_chunks()
+        v = g.column("v").combine_chunks()
+        n = len(u)
+        if n < 2:
+            return _EMPTY_WEDGES
+        # adjacency runs of each min-endpoint u
+        new = np.ones(n, bool)
+        new[1:] = np.asarray(
+            pc.not_equal(u.slice(1), u.slice(0, n - 1)))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        ci, iv, jv = [], [], []
+        # one triu_indices per DISTINCT forward degree, broadcast over
+        # all runs of that degree — Python cost is O(#degree classes)
+        for d in np.unique(lens):
+            if d < 2:
+                continue
+            runs = starts[lens == d]
+            a, b = np.triu_indices(int(d), 1)
+            iv.append((runs[:, None] + a[None, :]).ravel())
+            jv.append((runs[:, None] + b[None, :]).ravel())
+            ci.append(np.repeat(runs, a.size))
+        if not ci:
+            return _EMPTY_WEDGES
+        ci = pa.array(np.concatenate(ci), pa.int64())
+        iv = pa.array(np.concatenate(iv), pa.int64())
+        jv = pa.array(np.concatenate(jv), pa.int64())
+        w1 = v.take(iv)
+        w2 = v.take(jv)
         return pa.table({
-            "center": pa.array(centers, pa.string()),
-            "w1": pa.array(w1, pa.string()),
-            "w2": pa.array(w2, pa.string()),
-            "pair_key": pa.array(keys, pa.string()),
+            "center": u.take(ci),
+            "w1": w1,
+            "w2": w2,
+            "pair_key": pc.binary_join_element_wise(w1, w2, "|"),
         })
 
-    wedges = canon.groupby("u").map_groups(_wedges,
-                                           batch_format="pyarrow")
+    wedges = (canon.map_batches(_add_bucket, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(_wedges, batch_format="pyarrow"))
 
     def _edge_keys(t: pa.Table) -> pa.Table:
         return pa.table({"pair_key": pc.binary_join_element_wise(
