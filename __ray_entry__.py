@@ -2928,10 +2928,14 @@ w AS (
   FROM h
 ),
 sel AS (SELECT DISTINCT doc_id, mh FROM w
-        WHERE wn = 16 OR (pos = tot AND tot < 16))
+        WHERE wn = 16 OR (pos = tot AND tot < 16)),
+-- MOSS noise threshold mirror: fingerprints held by > 512 docs are
+-- excluded before pair generation (winnow_pairs max_postings)
+keep AS (SELECT mh FROM sel GROUP BY mh HAVING count(*) <= 512)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+JOIN keep ON a.mh = keep.mh
 GROUP BY 1, 2 HAVING count(*) >= 8
 """,
         # watermark late arrivals: arrival order = bijective modular

@@ -191,6 +191,23 @@ class TestWinnowPairs:
         got = winnow_pairs(docs, min_shared=1).take_all()
         assert [(r["doc_a"], r["doc_b"]) for r in got] == [(4, 9)]
 
+    def test_noise_threshold_drops_corpus_common_fingerprints(self):
+        # MOSS noise cap (max_postings): a text shared by MORE than
+        # max_postings docs contributes no pairs at all — one
+        # corpus-common fingerprint must not emit C(n, 2) rows
+        from web_mass_scraper_ocr_ray.stages.tiering import winnow_pairs
+
+        t = "abcdefghijklmnopqrstuvwxyz0123456789 " * 4
+        docs = rd.from_items(
+            [{"doc_id": i, "text": t} for i in range(5)])
+        capped = winnow_pairs(docs, min_shared=1,
+                              max_postings=4).take_all()
+        assert capped == []
+        # at-cap postings still pair (boundary inclusive)
+        kept = winnow_pairs(docs, min_shared=1,
+                            max_postings=5).take_all()
+        assert len(kept) == 10  # C(5, 2)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNovelty:

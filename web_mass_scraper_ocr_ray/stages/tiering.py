@@ -197,19 +197,31 @@ def winnow_table(docs_ds, hash_window: int = 8, sel_window: int = 16,
 
 def winnow_pairs(docs_ds, min_shared: int = 2, hash_window: int = 8,
                  sel_window: int = 16, n_buckets: int = 64,
-                 concurrency=(1, 4)):
+                 concurrency=(1, 4), max_postings: int = 512):
     """MOSS-style overlap detection: document pairs sharing ≥
     ``min_shared`` winnowing fingerprints → (doc_a, doc_b, n_shared).
     The winnowing guarantee makes this a RECALL-complete detector for
-    shared substrings of length ≥ hash_window + sel_window − 1.
+    shared substrings of length ≥ hash_window + sel_window − 1 —
+    EXCEPT substrings whose fingerprints are corpus-common (below).
+
+    ``max_postings`` is MOSS's noise threshold (Schleimer et al. §4 —
+    MOSS itself excludes over-common fingerprints as boilerplate):
+    fingerprints held by more than ``max_postings`` documents are
+    dropped BEFORE pair generation, bounding any one fingerprint's
+    pair fan-out at C(cap, 2). Without it a single corpus-common
+    8-byte window (a boilerplate n-gram held by 10⁵ docs) emits
+    C(10⁵, 2) ≈ 5·10⁹ pair rows — the r4 10× stress sweep ran the
+    uncapped form out of DISK via object-store spill. The drop is
+    exact and mirrored by the SQL oracle's HAVING; the bucket group
+    holds every posting of each fingerprint (bucket = hash(fp)), so
+    the cap is a run-length check — zero extra shuffle.
 
     Shape: the selected-fingerprint table (≈ n_chars/sel_window rows
     per doc, 16 bytes each) takes one groupby(fp) pair explosion and
     one bucketed count — the shared-count aggregation uses the
     hash-bucket + in-group lexsort shape (a keyed groupby over
     millions of 1-3-row pair groups measured 40× slower in
-    stages/setjoin). Exact join semantics: no pair cap — degenerate
-    hot fingerprints log a warning like setjoin's RUN_WARN."""
+    stages/setjoin)."""
     import logging
 
     import pyarrow.compute as pc
@@ -251,14 +263,15 @@ def winnow_pairs(docs_ds, min_shared: int = 2, hash_window: int = 8,
         d = g.column("doc_id").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
         lens = np.diff(np.r_[starts, len(f)])
-        big = lens[lens > 10_000]
+        big = lens[lens > max_postings]
         if len(big):
             logger.warning(
-                "winnow_pairs: %d fingerprint runs exceed 10k members "
-                "(largest %d)", len(big), int(big.max()))
+                "winnow_pairs: dropping %d corpus-common fingerprints "
+                "(> %d postings, largest %d) — the MOSS noise threshold",
+                len(big), max_postings, int(big.max()))
         a_parts, b_parts = [], []
         for s, ln in zip(starts, lens):
-            if ln < 2:
+            if ln < 2 or ln > max_postings:
                 continue
             sub = d[s:s + ln]
             iu, ju = np.triu_indices(ln, k=1)
