@@ -3387,4 +3387,36 @@ SELECT CAST(doc_id % 25 AS BIGINT) AS seed_id,
   TRUE AS zc_ok, TRUE AS energy_ok, TRUE AS mono_ok
 FROM documents GROUP BY 1
 """,
+        # Q8 shape: nation-12 share of region-0-bound revenue by year
+        "nation_market_share": """
+WITH sn AS (
+  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS supp_nation
+  FROM supplier
+),
+ok AS (
+  SELECT o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey = 0)
+),
+li AS (
+  SELECT l_orderkey,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS rev,
+         supp_nation
+  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT l_year,
+  CAST(sum(CASE WHEN supp_nation = 12 THEN rev ELSE 0 END) AS BIGINT)
+    AS nation_revenue_micro,
+  CAST(sum(rev) AS BIGINT) AS total_revenue_micro,
+  CAST((10000 * sum(CASE WHEN supp_nation = 12 THEN rev ELSE 0 END))
+         // sum(rev) AS BIGINT) AS share_bp
+FROM li
+WHERE l_orderkey IN (SELECT o_orderkey FROM ok)
+GROUP BY l_year
+""",
     }

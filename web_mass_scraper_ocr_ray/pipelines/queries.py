@@ -4831,6 +4831,104 @@ def q_nation_trade_volume(sf_dir: str):
         {"revenue_micro": ("rev", "sum")})
 
 
+def q_nation_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: of all revenue shipped to
+    customers in region 0, the share supplied by nation 12, per ship
+    year — reported as exact integer (numerator, denominator,
+    share_bp). Shape: reuses the Q7 machinery — region-0 custkeys
+    resolve through ONE orders×customer co-partition join plus a
+    25-row nation→region broadcast; supplier→nation broadcasts;
+    lineitem streams through per-batch CASE partials so the final
+    aggregate sees (year, 2 ints) only. The share division happens
+    once per year row, after all sums are exact."""
+    import datetime as _dtm
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import equi_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    region0 = {
+        int(k) for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_regionkey").to_pylist())
+        if int(r) == 0}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put(dict(zip(
+        sup.column("s_suppkey").to_pylist(),
+        pc.cast(sup.column("s_nationkey"), pa.int64()).to_pylist())))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ocust = equi_join(orders, cust, left_on="o_custkey",
+                      right_on="c_custkey", right_cols=["c_nationkey"])
+    r0 = pa.array(sorted(region0), pa.int64())
+
+    def _keep_region(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t.column("c_nationkey"), pa.int64())
+        return pa.table({"l_orderkey": t.column("o_orderkey")}).filter(
+            pc.is_in(nk, value_set=r0))
+
+    lo = pa.scalar(_dtm.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dtm.datetime(1998, 1, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def _liprep(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        t = t.filter(m)
+        sm = _ray.get(smap_ref)
+        sn = pa.array([sm[k] for k in t.column("l_suppkey").to_pylist()],
+                      pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 10000.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(10000, pa.int64()), disc_bp))
+        is12 = pc.cast(pc.equal(sn, pa.scalar(12, pa.int64())), pa.int64())
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()),
+            "rev": rev,
+            "rev_nation": pc.multiply(rev, is12),
+        })
+
+    from ..stages.joins import semi_join
+
+    joined = semi_join(
+        li.map_batches(_liprep, batch_format="pyarrow"),
+        ocust.map_batches(_keep_region, batch_format="pyarrow"),
+        on="l_orderkey")
+
+    sums = two_phase_aggregate(
+        joined, "l_year",
+        {"nation_revenue_micro": ("rev_nation", "sum"),
+         "total_revenue_micro": ("rev", "sum")})
+
+    def _share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "share_bp",
+            pc.cast(pc.divide(
+                pc.multiply(t.column("nation_revenue_micro"),
+                            pa.scalar(10000, pa.int64())),
+                t.column("total_revenue_micro")), pa.int64()))
+
+    return sums.map_batches(_share, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """REAL-kernel audio feature gate (functions/audio.py, the WAV
     analogue of q_image_phash_dct): deterministic PCM-16 WAV clips
@@ -5167,4 +5265,5 @@ QUERIES: Dict[str, callable] = {
     "vocab_coverage": q_vocab_coverage,
     "source_trigram_diversity": q_source_trigram_diversity,
     "audio_features": q_audio_features,
+    "nation_market_share": q_nation_market_share,
 }
