@@ -243,6 +243,29 @@ def run_bench() -> dict:
         "events_mad_outliers",
         "orders_priority_report",
         "promo_revenue_share",
+        # round-4 additions
+        "doc_gopher_rules",
+        "doc_c4_filters",
+        "doc_c4_clean",
+        "doc_dsir",
+        "training_corpus_funnel",
+        "doc_bigram_rarity",
+        "image_phash_dct",
+        "audio_features",
+        "shipping_priority",
+        "large_orders",
+        "returned_item_revenue",
+        "disjunctive_part_revenue",
+        "idle_rich_customers",
+        "customer_order_distribution",
+        "top_supplier",
+        "small_qty_revenue",
+        "priority_shipmix",
+        "nation_trade_volume",
+        "nation_market_share",
+        "bpe_pair_counts",
+        "vocab_coverage",
+        "source_trigram_diversity",
     )
     for name in query_names:
         t0 = time.monotonic()
