@@ -3419,4 +3419,30 @@ FROM li
 WHERE l_orderkey IN (SELECT o_orderkey FROM ok)
 GROUP BY l_year
 """,
+        # distributed SCAN: global running sum in unique-key order
+        "orders_running_total": """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_centi,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (ORDER BY o_orderkey) AS BIGINT) AS running_centi
+FROM orders
+""",
+        # shuffle-planning diagnostic: hottest keys + key census
+        "events_key_skew": """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n_events) AS BIGINT) AS total_rows,
+         CAST(max(n_events) AS BIGINT) AS max_count
+  FROM c
+)
+SELECT user_id, n_events, n_keys, total_rows, max_count,
+       CAST((10000 * n_events) // total_rows AS BIGINT) AS share_bp
+FROM c, tot
+ORDER BY n_events DESC, user_id
+LIMIT 10
+""",
     }

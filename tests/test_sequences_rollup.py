@@ -1,6 +1,7 @@
 """Event transitions (stages/sequences.py) and ROLLUP aggregate
 (stages/shuffle.rollup_aggregate)."""
 
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -156,3 +157,47 @@ class TestLateEvents:
         # watermark for id 40 = hour 139 (max of ids 0..39)
         wm = {r["event_id"]: r["watermark_ts"] for r in got}[40]
         assert wm == pd.Timestamp("2026-01-01") + pd.Timedelta(hours=139)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRunningSum:
+    def test_cross_bucket_carry(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sequences import (
+            global_running_sum,
+        )
+
+        # keys span a wide range so rows land in different linear
+        # buckets; the carry must thread the per-bucket sums through
+        n = 40
+        keys = [i * 1000 for i in range(n)]
+        vals = [(i * 7) % 13 + 1 for i in range(n)]
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        })).repartition(5)
+        out = global_running_sum(ds, order_col="k", val_col="v",
+                                 n_ranges=8, out_col="run") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        expect = 0
+        for i in range(n):
+            expect += vals[i]
+            assert int(out.loc[i, "run"]) == expect
+        assert len(out) == n
+
+    def test_single_bucket_degenerate(self):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sequences import (
+            global_running_sum,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array([5, 6, 7], pa.int64()),
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }))
+        out = global_running_sum(ds, order_col="k", val_col="v",
+                                 n_ranges=64, out_col="run") \
+            .to_pandas().sort_values("k")
+        assert out["run"].tolist() == [10, 30, 60]

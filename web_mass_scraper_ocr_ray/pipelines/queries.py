@@ -4831,6 +4831,92 @@ def q_nation_trade_volume(sf_dir: str):
         {"revenue_micro": ("rev", "sum")})
 
 
+def q_orders_running_total(sf_dir: str):
+    """Global running revenue total over orders in o_orderkey order —
+    the distributed SCAN primitive (sequences.global_running_sum:
+    range-partitioned buckets + driver-folded carries + in-bucket
+    cumsum; rows shuffle once, never a global sort). Values in
+    integer centi-dollars."""
+    import ray.data as rd
+
+    from ..stages.sequences import global_running_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def _centi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "price_centi": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64()),
+        })
+
+    return global_running_sum(
+        orders.map_batches(_centi, batch_format="pyarrow"),
+        order_col="o_orderkey", val_col="price_centi",
+        out_col="running_centi")
+
+
+def q_events_key_skew(sf_dir: str):
+    """Key-skew diagnostic for shuffle planning: the 10 hottest
+    user_id keys with per-key share plus the global key census
+    (n_keys, total_rows, max_count) — the operator an engineer runs
+    BEFORE choosing a salt factor for a keyed exchange. Shape: one
+    two-phase count aggregate; the census folds from 3-int partials;
+    the top-10 uses the per-block-top-k exact sliver (each key appears
+    once after the groupby), so neither the key table nor the rows
+    are ever pulled."""
+    import ray.data as rd
+
+    from ..stages.shuffle import two_phase_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    counts = two_phase_aggregate(
+        ev, "user_id", {"n_events": (None, "count")})
+
+    def _census_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n_events")
+        return pa.table({
+            "k": pa.array([t.num_rows], pa.int64()),
+            "r": pa.array([pc.sum(n).as_py() or 0], pa.int64()),
+            "m": pa.array([pc.max(n).as_py() or 0], pa.int64()),
+        })
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_events", "descending"),
+                          ("user_id", "ascending")])
+        return t.take(idx[:10])
+
+    counts = counts.materialize()  # one row per key; reused twice
+    parts = counts.map_batches(
+        _census_partial, batch_format="pyarrow").take_all()
+    n_keys = sum(p["k"] for p in parts)
+    total_rows = sum(p["r"] for p in parts)
+    max_count = max((p["m"] for p in parts), default=0)
+
+    top = counts.map_batches(_block_top, batch_format="pyarrow").sort(
+        ["n_events", "user_id"], descending=[True, False]).limit(10)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        share = pc.cast(pc.divide(
+            pc.multiply(t.column("n_events"),
+                        pa.scalar(10000, pa.int64())),
+            pa.scalar(total_rows, pa.int64())), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_events": t.column("n_events"),
+            "n_keys": pa.array([n_keys] * n, pa.int64()),
+            "total_rows": pa.array([total_rows] * n, pa.int64()),
+            "max_count": pa.array([max_count] * n, pa.int64()),
+            "share_bp": share,
+        })
+
+    return top.map_batches(_attach, batch_format="pyarrow")
+
+
 def q_nation_market_share(sf_dir: str):
     """TPC-H-Q8-shaped market share: of all revenue shipped to
     customers in region 0, the share supplied by nation 12, per ship
@@ -5266,4 +5352,6 @@ QUERIES: Dict[str, callable] = {
     "source_trigram_diversity": q_source_trigram_diversity,
     "audio_features": q_audio_features,
     "nation_market_share": q_nation_market_share,
+    "orders_running_total": q_orders_running_total,
+    "events_key_skew": q_events_key_skew,
 }

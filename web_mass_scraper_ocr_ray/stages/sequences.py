@@ -124,3 +124,53 @@ def late_events(ev_ds, watermark_us: int, order_col: str = "event_id",
 
     return bucketed.groupby("_b").map_groups(_scan,
                                              batch_format="pandas")
+
+
+def global_running_sum(ds, order_col: str, val_col: str,
+                       n_ranges: int = 64, out_col: str = "running"):
+    """Global running total of ``val_col`` in ``order_col`` order —
+    the classic distributed SCAN primitive (SUM() OVER (ORDER BY …)),
+    generalizing :func:`late_events`' prefix-max machinery to SUM.
+
+    No global sort: (1) min/max of ``order_col`` define n_ranges
+    LINEAR buckets; (2) stateless bucket assignment; (3) per-bucket
+    sums — an n_ranges-row table the driver folds into per-bucket
+    CARRY offsets (sum of all strictly earlier buckets); (4) in-bucket
+    sort + cumsum seeded by the carry. Rows shuffle ONCE. Requires
+    ``order_col`` values to be unique for a well-defined prefix (the
+    oracle's window frame) — use a unique key or break ties upstream.
+
+    → (order_col, val_col, ``out_col``), one row per input row."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(mm[f"min({order_col})"])
+    hi = int(mm[f"max({order_col})"])
+    span = max(hi - lo + 1, 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        b = np.clip((o - lo) * n_ranges // span, 0, n_ranges - 1)
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    bucketed = ds.select_columns([order_col, val_col]).map_batches(
+        _bucket, batch_format="pyarrow").materialize()
+
+    per_bucket = bucketed.groupby("_b").aggregate(
+        Sum(val_col, alias_name="s")).to_pandas().sort_values("_b")
+    carry = {}
+    running = 0
+    for _, row in per_bucket.iterrows():
+        carry[int(row["_b"])] = running  # sum of STRICTLY earlier buckets
+        running += int(row["s"])
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col)
+        b = int(g["_b"].iloc[0])
+        out = g[[order_col, val_col]].copy()
+        out[out_col] = g[val_col].cumsum() + carry.get(b, 0)
+        return out
+
+    return bucketed.groupby("_b").map_groups(_scan,
+                                             batch_format="pandas")
