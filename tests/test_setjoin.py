@@ -106,3 +106,136 @@ class TestSetSimilarityJoin:
         res = _run(texts, 8000)
         assert res == {(1, 2): (4, 5, 8000)}
         assert _run(texts, 8001) == {}
+
+
+def _pf_corpus(k: int = 12, n_filler: int = 7):
+    """Corpus engineered so the LENGTH filter admits C(k,2) candidate
+    pairs that PPJoin's POSITIONAL filter must prune entirely: k docs
+    of 10 tokens each share one mid-frequency token ("mid", df=k, the
+    3rd-rarest in every doc → last prefix position) plus n_filler
+    corpus-common fillers (df=k, beyond the prefix... made common by
+    appearing in every doc). True overlap per pair = 1+n_filler = 8 of
+    n=10 → J = 8/12 < 0.8, so truth at tau=0.8 is empty — but only the
+    positional bound (1 + min(7, 7) = 8 < ceil(0.8·20/1.8) = 9) can
+    see that at candidate time."""
+    fillers = " ".join(f"fill{j}" for j in range(n_filler))
+    return {i: f"uniqA{i} uniqB{i} mid {fillers}" for i in range(k)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPositionalFilter:
+    def _candidates(self, texts: dict, tau_bp: int):
+        """Run the internal candidate stage (post length + positional
+        filters, pre verify) and return the distinct pair count."""
+        from web_mass_scraper_ocr_ray.stages.setjoin import (
+            _attach_df,
+            _candidate_pairs,
+            _df_rank_ref,
+            _doc_tables,
+            _explode_prefix,
+        )
+        from web_mass_scraper_ocr_ray.stages.shuffle import (
+            two_phase_aggregate,
+        )
+
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in sorted(texts.items())])
+        ele = bag_elements(ds).materialize()
+        freq = two_phase_aggregate(ele, "tag", {"df": (None, "count")})
+        rank = _df_rank_ref(freq)
+        tables = _doc_tables(
+            _attach_df(ele, rank), "doc_id",
+            lambda n: n - (tau_bp * n + 9999) // 10000 + 1)
+        return _candidate_pairs(
+            _explode_prefix(tables, "doc_id"), "doc_id", tau_bp).count()
+
+    def test_prunes_length_filter_survivors(self):
+        # every pair passes the length filter (equal sizes) and shares
+        # a prefix element, but no pair can reach the overlap bound at
+        # its shared element's positions → zero candidates reach verify
+        texts = _pf_corpus(k=12)
+        assert _truth_pairs(texts, 8000) == {}
+        assert self._candidates(texts, 8000) == 0
+
+    def test_exactness_with_qualifying_pairs_present(self):
+        # same trap corpus plus genuine near-dups: the filter must keep
+        # every qualifying pair (minimal-shared-element argument) while
+        # still pruning the trap pairs
+        texts = _pf_corpus(k=12)
+        texts[100] = "alpha beta gamma delta epsilon zeta eta theta"
+        texts[101] = "alpha beta gamma delta epsilon zeta eta iota"
+        texts[102] = "alpha beta gamma delta epsilon zeta eta theta"
+        truth = _truth_pairs(texts, 7000)
+        assert (100, 102) in truth and (100, 101) in truth
+        assert _run(texts, 7000) == truth
+
+    def test_candidate_count_drops(self):
+        # the trap corpus at a tau where SOME trap pairs qualify: the
+        # candidate count must stay >= |truth| (superset) and < C(k,2)
+        # + clique pairs is not required — just exactness
+        texts = _pf_corpus(k=12)
+        for tau in (9000, 8000, 6000, 5000):
+            assert _run(texts, tau) == _truth_pairs(texts, tau), tau
+
+
+def _containment_truth(needles: dict, corpus: dict, tau_bp: int):
+    out = {}
+    nb = {i: Counter(t.split()) for i, t in needles.items()}
+    cb = {i: Counter(t.split()) for i, t in corpus.items()}
+    for i, a in nb.items():
+        na = sum(a.values())
+        if na == 0:
+            continue
+        for j, b in cb.items():
+            inter = sum((a & b).values())
+            cbp = (10000 * inter) // na
+            if cbp >= tau_bp:
+                out[(i, j)] = (inter, na, cbp)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSetContainmentJoin:
+    def _run_c(self, needles: dict, corpus: dict, tau_bp: int):
+        from web_mass_scraper_ocr_ray.stages.setjoin import (
+            set_containment_join,
+        )
+
+        ne = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in sorted(needles.items())])
+        co = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in sorted(corpus.items())])
+        rows = set_containment_join(ne, co, tau_bp=tau_bp).take_all()
+        return {(r["needle_id"], r["doc_id"]):
+                (r["inter"], r["n_needle"], r["containment_bp"])
+                for r in rows}
+
+    def test_exact_vs_bruteforce(self):
+        needles = {1: "a b c", 2: "x y z w", 3: "a a b"}
+        corpus = {
+            10: "a b c d e f g h",          # contains needle 1 fully
+            11: "x y z q r s",              # 3/4 of needle 2
+            12: "a b p q r",                # 2/3 of needle 3 (bag!)
+            13: "nothing shared here at all",
+        }
+        for tau in (10000, 8000, 7500, 6600, 5000):
+            assert (self._run_c(needles, corpus, tau)
+                    == _containment_truth(needles, corpus, tau)), tau
+
+    def test_positional_filter_keeps_full_containment(self):
+        # needle fully inside a much larger doc — containment 1.0 must
+        # survive the positional filter even when the shared elements
+        # sit deep in the doc's order
+        needles = {1: "q1 q2 q3 q4"}
+        corpus = {10: "q1 q2 q3 q4 " + " ".join(
+            f"pad{j}" for j in range(60))}
+        res = self._run_c(needles, corpus, 10000)
+        assert res == {(1, 10): (4, 4, 10000)}
+
+    def test_bag_containment_multiplicity(self):
+        # needle needs TWO copies of 'a'; doc with one copy caps at 1/2
+        needles = {1: "a a"}
+        corpus = {10: "a b c", 11: "a a b"}
+        truth = _containment_truth(needles, corpus, 8000)
+        assert truth == {(1, 11): (2, 2, 10000)}
+        assert self._run_c(needles, corpus, 8000) == truth

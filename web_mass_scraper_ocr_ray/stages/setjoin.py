@@ -40,14 +40,30 @@ Distributed shape (all exchanges move ids/hashes, never text):
      first cut paid separate `_prefixes` and `_bags` shuffles,
   5. candidate pairs per prefix-element run with the AllPairs LENGTH
      filter applied BEFORE pair generation — per run one
-     searchsorted, pairs via np.repeat; multi-element duplicates
-     dedup through `_distinct_pairs` (hash-bucket shuffle + in-group
-     lexsort — Ray's sort-based groupby over millions of 1-3-row
-     groups measured 40× slower),
+     searchsorted, pairs via np.repeat — and PPJoin's POSITIONAL
+     filter applied to the generated index arrays (vectorized, see
+     `_candidate_pairs`); multi-element duplicates dedup through
+     `_distinct_pairs` (hash-bucket shuffle + in-group lexsort —
+     Ray's sort-based groupby over millions of 1-3-row groups
+     measured 40× slower),
   6. exact verify: per-doc tagged sets attach to pairs through two
      `equi_join`s; intersections for the WHOLE batch come from one
      lexsort over the flattened (row, tag) pairs (`_inter_counts` —
      no Python per pair).
+
+The POSITIONAL filter (PPJoin, Xiao et al. §3.2) prunes candidates
+the length filter admits: a pair generated at a shared prefix element
+sitting at ranks (p_a, p_b) of the two docs' globally-ordered element
+lists can overlap by at most ``1 + min(n_a − p_a − 1, n_b − p_b − 1)``
+— one for the match plus everything AFTER it on the shorter remaining
+side. Applying it independently per generation event (instead of
+PPJoin's sequential accumulator) is still EXACT: at the globally
+MINIMAL shared prefix element no common element precedes the match in
+either doc (any such element would itself be in both prefixes — both
+docs are cut to their FIRST prefix_len elements of the same total
+order — contradicting minimality), so the bound there dominates the
+true overlap and every qualifying pair survives at least that event;
+`_distinct_pairs` dedups the rest.
 
 Unlike the banded-LSH candidates in `stages/dedup`, there is no pair
 cap here: the result is a JOIN (every qualifying pair must appear),
@@ -55,8 +71,7 @@ not a connectivity graph, so truncation would silently lose output
 rows. Degenerate runs are instead logged: a run larger than
 ``RUN_WARN`` means the corpus needs a higher tau or a hot-element
 blocklist (a stopword-like tag shared by everything carries no
-similarity signal — PPJoin's positional filter is the literature's
-refinement if this ever dominates).
+similarity signal).
 """
 
 from __future__ import annotations
@@ -260,7 +275,11 @@ def _doc_tables(ranked_ele, id_col: str, prefix_len,
 
 
 def _explode_prefix(doc_tables, id_col: str):
-    """doc tables → stateless prefix rows ``(doc_id, tag, n)``."""
+    """doc tables → stateless prefix rows ``(doc_id, tag, n, pos)``.
+    ``pos`` is the element's rank in the doc's FULL (df, tag)-ordered
+    element list — identical to its index in the prefix list, since
+    the prefix IS the first prefix_len elements of that order — the
+    input to PPJoin's positional filter downstream."""
 
     def _ex(t: pa.Table) -> pa.Table:
         pt = t.column("ptags").combine_chunks()
@@ -268,10 +287,14 @@ def _explode_prefix(doc_tables, id_col: str):
             zero_copy_only=False).astype(np.int64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         n = t.column("n").to_numpy(zero_copy_only=False)
+        total = int(counts.sum())
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(counts) - counts, counts))
         return pa.table({
             id_col: pa.array(np.repeat(ids, counts), pa.int64()),
             "tag": pt.flatten(),
             "n": pa.array(np.repeat(n, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
         })
 
     return doc_tables.map_batches(_ex, batch_format="pyarrow")
@@ -283,7 +306,12 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
     hash(tag) buckets; within a run sorted by (n, id) the AllPairs
     length filter admits, for each member j, only partners i<j with
     ``n_i * 10000 >= tau_bp * n_j`` — one searchsorted per run, pair
-    indices via np.repeat (no Python loop over pairs)."""
+    indices via np.repeat (no Python loop over pairs). PPJoin's
+    positional filter then prunes the generated index arrays in one
+    vectorized pass: keep iff ``1 + min(n_i − pos_i − 1,
+    n_j − pos_j − 1) ≥ ceil(tau·(n_i + n_j)/(1 + tau))`` (exact — see
+    module docstring; the minimal shared prefix element of any
+    qualifying pair always passes)."""
 
     def _bucket(t: pa.Table) -> pa.Table:
         tags = t.column("tag").to_numpy(zero_copy_only=False)
@@ -292,11 +320,12 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
     def _pairs(g: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = g.select(["tag", id_col, "n"]).to_pandas()
+        df = g.select(["tag", id_col, "n", "pos"]).to_pandas()
         df = df.sort_values(["tag", "n", id_col], kind="stable")
         tags = df["tag"].to_numpy()
         ids = df[id_col].to_numpy()
         ns = df["n"].to_numpy()
+        poss = df["pos"].to_numpy()
         starts = np.flatnonzero(np.r_[True, tags[1:] != tags[:-1]])
         lens = np.diff(np.r_[starts, len(tags)])
         big = lens[lens > RUN_WARN]
@@ -311,6 +340,7 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
                 continue
             sub_n = ns[s:s + ln]
             sub_id = ids[s:s + ln]
+            sub_pos = poss[s:s + ln]
             # for each j, admit i in [lo_j, j): n_i >= ceil(tau*n_j)
             need = (tau_bp * sub_n + 9999) // 10000
             lo = np.searchsorted(sub_n, need, side="left")
@@ -321,6 +351,16 @@ def _candidate_pairs(prefix_ds, id_col: str, tau_bp: int,
             jj = np.repeat(j, cnt)
             ii = np.concatenate(
                 [np.arange(l, x) for l, x, c in zip(lo, j, cnt) if c])
+            # positional filter: overlap ubound at this shared element
+            n_i, n_j = sub_n[ii], sub_n[jj]
+            ubound = 1 + np.minimum(n_i - sub_pos[ii] - 1,
+                                    n_j - sub_pos[jj] - 1)
+            alpha = ((tau_bp * (n_i + n_j) + (10000 + tau_bp) - 1)
+                     // (10000 + tau_bp))
+            keep = ubound >= alpha
+            if not keep.any():
+                continue
+            ii, jj = ii[keep], jj[keep]
             pa_ids, pb_ids = sub_id[ii], sub_id[jj]
             swap = pa_ids > pb_ids
             pa_ids, pb_ids = (np.where(swap, pb_ids, pa_ids),
@@ -344,9 +384,14 @@ def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
     """Side-tagged prefix rows → distinct (needle_id, doc_id)
     candidates. Per tag run, each needle pairs with the docs whose bag
     size passes the containment length filter
-    ``n_doc >= ceil(tau * n_needle)`` — one searchsorted per run.
-    ``id_col`` names the prefix rows' id column explicitly (the same
-    name _explode_prefix emitted) rather than trusting column order."""
+    ``n_doc >= ceil(tau * n_needle)`` — one searchsorted per run —
+    then PPJoin's positional filter prunes the generated pairs:
+    ``1 + min(n_ne − pos_ne − 1, n_doc − pos_doc − 1) ≥
+    ceil(tau·n_ne)`` (exact by the same minimal-shared-element
+    argument as the self-join; both sides' prefixes are cuts of the
+    SAME global element order). ``id_col`` names the prefix rows' id
+    column explicitly (the same name _explode_prefix emitted) rather
+    than trusting column order."""
 
     def _tag_side(side):
         def _f(t: pa.Table) -> pa.Table:
@@ -354,6 +399,7 @@ def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
                 "id": t.column(id_col),
                 "tag": t.column("tag"),
                 "n": t.column("n"),
+                "pos": t.column("pos"),
                 "side": pa.array(
                     np.full(t.num_rows, side, np.int8)),
             })
@@ -375,6 +421,7 @@ def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
         sides = g.column("side").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
         ns = g.column("n").to_numpy(zero_copy_only=False)
+        poss = g.column("pos").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, tags[1:] != tags[:-1]])
         lens = np.diff(np.r_[starts, len(tags)])
         a_out, b_out = [], []
@@ -385,17 +432,28 @@ def _containment_candidates(ne_prefix, ce_prefix, tau_bp: int,
                 continue
             ne_n = ns[s:s + n_ne]
             ne_id = ids[s:s + n_ne]
+            ne_pos = poss[s:s + n_ne]
             doc_n = ns[s + n_ne:s + ln]
             doc_id = ids[s + n_ne:s + ln]
+            doc_pos = poss[s + n_ne:s + ln]
             need = (tau_bp * ne_n + 9999) // 10000
             lo = np.searchsorted(doc_n, need, side="left")
             cnt = len(doc_n) - lo
             ok = cnt > 0
             if not ok.any():
                 continue
-            a_out.append(np.repeat(ne_id[ok], cnt[ok]))
-            b_out.append(np.concatenate(
-                [doc_id[l:] for l, k in zip(lo, ok) if k]))
+            ne_idx = np.repeat(np.flatnonzero(ok), cnt[ok])
+            doc_idx = np.concatenate(
+                [np.arange(l, len(doc_n)) for l, k in zip(lo, ok) if k])
+            # positional filter: overlap ubound vs ceil(tau * n_ne)
+            ubound = 1 + np.minimum(
+                ne_n[ne_idx] - ne_pos[ne_idx] - 1,
+                doc_n[doc_idx] - doc_pos[doc_idx] - 1)
+            keep = ubound >= need[ne_idx]
+            if not keep.any():
+                continue
+            a_out.append(ne_id[ne_idx[keep]])
+            b_out.append(doc_id[doc_idx[keep]])
         a = np.concatenate(a_out) if a_out else np.zeros(0, np.int64)
         b = np.concatenate(b_out) if b_out else np.zeros(0, np.int64)
         return pa.table({"needle_id": pa.array(a, pa.int64()),
