@@ -133,6 +133,32 @@ hl AS (
 # 5 unrolled PageRank iterations (stages/linkgraph.pagerank_hosts
 # recurrence, integer arithmetic): r'(h) = 0.15·scale +
 # Σ (85·r(s) // 100) · n // out(s).
+# HITS step CTEs: <x>r = raw weighted sum over the joined endpoint,
+# <x> = max-normalized to 10^6 by integer division (greatest(…,1)
+# guards an all-zero column) — the exact recurrence of
+# linkgraph.hits_hosts, unrolled for iters=2.
+def _hits_step(out: str, prev: str, join_on: str, group_by: str) -> str:
+    return f""",
+{out}r AS (
+  SELECT e.{group_by} AS host, sum(e.n * p.s) AS raw
+  FROM edges e JOIN {prev} p ON p.host = e.{join_on}
+  GROUP BY 1
+),
+{out} AS (
+  SELECT host, CAST(raw // greatest(
+    (SELECT (max(raw) + 999999) // 1000000 FROM {out}r), 1)
+    AS BIGINT) AS s
+  FROM {out}r
+)"""
+
+
+_HITS_ITER_CTES = (
+    _hits_step("a1", "h0", "src_host", "dst_host")
+    + _hits_step("h1", "a1", "dst_host", "src_host")
+    + _hits_step("a2", "h1", "src_host", "dst_host")
+    + _hits_step("h2", "a2", "dst_host", "src_host")
+)
+
 _PR_ITER_CTES = "".join(
     f""",
 pr{k} AS (
@@ -1899,6 +1925,29 @@ pr0 AS (
   SELECT host, CAST(1000000000000 AS BIGINT) AS rank_score FROM nodes
 ){_PR_ITER_CTES}
 SELECT host, rank_score FROM pr5
+""",
+        # Max-normalized integer HITS, 2 unrolled rounds — the exact
+        # recurrence of stages/linkgraph.hits_hosts (hub seeds 10^6,
+        # raw = Σ n·score over the joined endpoint, normalize by
+        # ceil(max/10^6) integer division).
+        "host_hits": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, count(*) AS n
+  FROM hl GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges)
+),
+h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS s FROM nodes)
+{_HITS_ITER_CTES}
+SELECT n.host,
+       CAST(coalesce(h2.s, 0) AS BIGINT) AS hub_score,
+       CAST(coalesce(a2.s, 0) AS BIGINT) AS authority_score
+FROM nodes n LEFT JOIN h2 USING (host) LEFT JOIN a2 USING (host)
 """,
         # with_dups corpus: every 10th page re-crawled an hour later;
         # keep the newest snapshot per url (warc_ts arithmetic mirrors

@@ -349,3 +349,43 @@ class TestCocitation:
                               max_indegree=2).to_pandas()
         assert [(r.host_a, r.host_b, r.n_common)
                 for r in out.itertuples()] == [("a", "b", 2)]
+
+
+class TestHitsPaths:
+    def test_broadcast_equals_copartition(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            synth_link_pages_dataset,
+        )
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = lg.host_edges(
+            lg.outlinks(synth_link_pages_dataset(SF))).materialize()
+        bc = lg.hits_hosts(edges, iters=2).to_pandas()
+        cp = lg.hits_hosts(
+            edges, iters=2, broadcast_max_nodes=0).to_pandas()
+        a = bc.sort_values("host").reset_index(drop=True)
+        b = cp.sort_values("host").reset_index(drop=True)
+        assert (a.host == b.host).all()
+        assert (a.hub_score == b.hub_score).all()
+        assert (a.authority_score == b.authority_score).all()
+
+    def test_hand_graph_scores(self, ray_session):
+        # h -> a1, h -> a2, x -> a1. Hand-traced integer recurrence
+        # (scale 1e6, d = ceil(max/scale)):
+        #   a1raw: a1=2e6, a2=1e6      -> d=2 -> a1=1e6,    a2=5e5
+        #   h1raw: h=1.5e6, x=1e6      -> d=2 -> h=75e4,    x=5e5
+        #   a2raw: a1=1.25e6, a2=75e4  -> d=2 -> a1=625000, a2=375000
+        #   h2raw: h=1e6, x=625000     -> d=1 -> h=1e6,     x=625000
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = rd.from_arrow(pa.table({
+            "src_host": ["h", "h", "x"],
+            "dst_host": ["a1", "a2", "a1"],
+            "n": [1, 1, 1],
+        }))
+        out = lg.hits_hosts(edges, iters=2).to_pandas()
+        auth = dict(zip(out.host, out.authority_score))
+        hub = dict(zip(out.host, out.hub_score))
+        assert auth == {"a1": 625000, "a2": 375000, "h": 0, "x": 0}
+        assert hub == {"h": 1_000_000, "x": 625000, "a1": 0, "a2": 0}

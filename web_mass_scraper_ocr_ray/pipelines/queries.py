@@ -2844,6 +2844,20 @@ def q_pagerank_hosts(sf_dir: str):
     )
 
 
+def q_host_hits(sf_dir: str):
+    """Max-normalized integer HITS (2 rounds) over the host graph —
+    hub and authority scores in [0, 10⁶], the second eigenvector
+    family next to PageRank; bit-exact vs the unrolled DuckDB oracle
+    (stages/linkgraph.hits_hosts: integer max-normalization instead
+    of L2 keeps the recurrence int64-exact and float-free)."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.hits_hosts(
+        lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir)))
+    )
+
+
 _PAGES_EPOCH_US = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 in µs
 
 
@@ -5275,6 +5289,7 @@ QUERIES: Dict[str, callable] = {
     "outlinks_enum": q_outlinks_enum,
     "host_link_graph": q_host_link_graph,
     "pagerank_hosts": q_pagerank_hosts,
+    "host_hits": q_host_hits,
     "pages_latest_snapshot": q_pages_latest_snapshot,
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,

@@ -702,3 +702,149 @@ def host_cocitation(edges_ds, min_common: int = 3,
             t.column("n_common"),
             pa.scalar(min_common, pa.int64()))),
         batch_format="pyarrow")
+
+
+HITS_SCALE = 10**6
+
+
+def hits_hosts(edges_ds, iters: int = 2, scale: int = HITS_SCALE,
+               n_buckets: int = 16,
+               broadcast_max_nodes: int = PR_BROADCAST_MAX_NODES):
+    """Max-normalized integer HITS (Kleinberg) over the weighted host
+    graph → ``(host, hub_score, authority_score)`` rows, scores in
+    [0, scale] (the per-step max lands in (scale/2, scale] — ceil
+    division can undershoot scale by up to 2×, but relative ORDER,
+    the ranking product, is preserved exactly at every step).
+
+    Each of ``iters`` rounds runs the two mutual-reinforcement
+    updates with edge weights n::
+
+        a_raw(v) = Σ_{u→v} n(u,v) · h(u);   a = a_raw // d(a_raw)
+        h_raw(u) = Σ_{u→v} n(u,v) · a(v);   h = h_raw // d(h_raw)
+
+    where ``d(x) = (max(x) + scale − 1) // scale`` is the integer
+    max-normalizer — dividing BEFORE any further multiplication keeps
+    every intermediate below Σn·scale, so the whole recurrence is
+    int64-exact while Σ edge weights < 9·10¹² (any real host graph);
+    the classic L2 normalization would force floats and break
+    bit-parity with the SQL oracle. The per-step max is ONE bounded
+    scalar to the driver.
+
+    Two scale-adaptive paths, identical recurrence (the pagerank
+    pattern): **broadcast** (≤ ``broadcast_max_nodes`` hosts) keeps
+    the score vectors in driver numpy and runs one map + grouped sum
+    over the distributed edge set per step; **co-partition** (above
+    the cap) moves scores through equi-joins and grouped sums with
+    nothing on the driver but the max scalars."""
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.materialize()
+    nodes = _nodes(edges).materialize()
+    if nodes.count() <= broadcast_max_nodes:
+        return _hits_broadcast(edges, nodes, iters, scale)
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t.column("host"),
+            "s": pa.array(np.full(t.num_rows, scale, np.int64)),
+        })
+
+    hub = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+    auth = None
+
+    def _mul(src_col, dst_col):
+        def _m(t: pa.Table) -> pa.Table:
+            n = t.column("n").combine_chunks().to_numpy().astype(np.int64)
+            s = t.column("s").combine_chunks().to_numpy().astype(np.int64)
+            return pa.table({dst_col: t.column(dst_col),
+                             "c": pa.array(n * s, pa.int64())})
+        return _m
+
+    def _step(scores, join_col, out_col):
+        raw = (
+            equi_join(edges, scores, join_col, "host", ["s"],
+                      n_buckets=n_buckets)
+            .map_batches(_mul(join_col, out_col), batch_format="pyarrow")
+            .groupby(out_col).aggregate(Sum("c", alias_name="raw"))
+        ).materialize()
+        mx = raw.max("raw")
+        d = (int(mx) + scale - 1) // scale if mx is not None else 1
+        d = max(d, 1)
+
+        def _norm(t: pa.Table) -> pa.Table:
+            r = t.column("raw").combine_chunks().to_numpy().astype(np.int64)
+            return pa.table({"host": t.column(out_col),
+                             "s": pa.array(r // d, pa.int64())})
+
+        return raw.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = _step(hub, "src_host", "dst_host")
+        hub = _step(auth, "dst_host", "src_host")
+
+    def _zero_fill(col):
+        def _f(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(pc.cast(t.column("s"), pa.int64()),
+                            pa.scalar(0, pa.int64()))
+            return pa.table({"host": t.column("host"), col: s})
+        return _f
+
+    hub_full = equi_join(nodes, hub, "host", "host", ["s"], how="left",
+                         n_buckets=n_buckets).map_batches(
+        _zero_fill("hub_score"), batch_format="pyarrow")
+    auth_full = equi_join(nodes, auth, "host", "host", ["s"], how="left",
+                          n_buckets=n_buckets).map_batches(
+        _zero_fill("authority_score"), batch_format="pyarrow")
+    return equi_join(hub_full, auth_full, "host", "host",
+                     ["authority_score"], n_buckets=n_buckets)
+
+
+def _hits_broadcast(edges, nodes, iters, scale):
+    """Broadcast-vector HITS path: score vectors in driver numpy keyed
+    by dense host index, one map + grouped sum over the distributed
+    edges per step. Same integer recurrence as the co-partition path,
+    bit for bit."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    hosts = sorted(nodes.to_pandas()["host"].tolist())
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n_nodes = len(hosts)
+    idx_ref = ray.put(hidx)
+
+    hub = np.full(n_nodes, scale, dtype=np.int64)
+    auth = np.zeros(n_nodes, dtype=np.int64)
+
+    def _sums(vec, src_col, dst_col):
+        state = ray.put(vec)
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            v = ray.get(state)
+            im = ray.get(idx_ref)
+            src = np.fromiter(
+                (im[h] for h in t.column(src_col).to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+            n = t.column("n").combine_chunks().to_numpy().astype(np.int64)
+            return pa.table({dst_col: t.column(dst_col),
+                             "c": pa.array(n * v[src], pa.int64())})
+
+        out = (edges.map_batches(_contrib, batch_format="pyarrow")
+               .groupby(dst_col).aggregate(Sum("c", alias_name="raw"))
+               .to_pandas())
+        raw = np.zeros(n_nodes, dtype=np.int64)
+        for h, s in zip(out[dst_col], out["raw"]):
+            raw[hidx[h]] = s
+        d = max((int(raw.max()) + scale - 1) // scale, 1) if len(out) \
+            else 1
+        return raw // d
+
+    for _ in range(iters):
+        auth = _sums(hub, "src_host", "dst_host")
+        hub = _sums(auth, "dst_host", "src_host")
+
+    return rd.from_arrow(pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "hub_score": pa.array(hub, pa.int64()),
+        "authority_score": pa.array(auth, pa.int64()),
+    }))
