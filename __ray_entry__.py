@@ -1926,6 +1926,56 @@ pr0 AS (
 ){_PR_ITER_CTES}
 SELECT host, rank_score FROM pr5
 """,
+        # Content-defined chunking mirror: boundary after char i+7
+        # wherever the window-8 rolling hash at 1-based start i is
+        # ≡ 0 (mod 64); spans between consecutive cuts plus the tail;
+        # chunk identity = md5(substr). Same _FP_TERMS arithmetic as
+        # the winnowing mirrors; ASCII bytes==chars contract.
+        "doc_cdc_dedup": f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' xqz'
+  FROM documents WHERE doc_id % 10 = 0
+),
+h AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+    CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
+  FROM corpus, unnest(range(1, length(text) - 6)) AS u(i)
+),
+cuts AS (SELECT doc_id, pos + 7 AS cut FROM h WHERE hv % 64 = 0),
+spans AS (
+  SELECT doc_id,
+    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1
+      AS s,
+    cut AS e
+  FROM cuts
+  UNION ALL
+  SELECT c.doc_id, coalesce(m.mx, 0) + 1, length(c.text)
+  FROM corpus c LEFT JOIN (
+    SELECT doc_id, max(cut) AS mx FROM cuts GROUP BY 1) m
+    USING (doc_id)
+  WHERE coalesce(m.mx, 0) < length(c.text)
+),
+chunks AS (
+  SELECT c.source, md5(substr(c.text, CAST(sp.s AS BIGINT),
+                              CAST(sp.e - sp.s + 1 AS BIGINT))) AS ch,
+         sp.e - sp.s + 1 AS clen
+  FROM spans sp JOIN corpus c USING (doc_id)
+),
+d AS (SELECT DISTINCT source, ch, clen FROM chunks),
+t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(clen) AS BIGINT) AS bytes_total
+      FROM chunks GROUP BY 1),
+dd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+              CAST(sum(clen) AS BIGINT) AS bytes_distinct
+       FROM d GROUP BY 1)
+SELECT t.source, t.n_chunks, dd.n_distinct_chunks, t.bytes_total,
+       dd.bytes_distinct,
+       CAST((t.bytes_total - dd.bytes_distinct) * 10000
+            // greatest(t.bytes_total, 1) AS BIGINT) AS saved_bp
+FROM t JOIN dd USING (source)
+""",
         # Max-normalized integer HITS, 2 unrolled rounds — the exact
         # recurrence of stages/linkgraph.hits_hosts (hub seeds 10^6,
         # raw = Σ n·score over the joined endpoint, normalize by

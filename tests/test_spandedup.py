@@ -143,3 +143,118 @@ class TestStripDupSpans:
         assert out[5]["n_tokens_removed"] == 0
         assert out[9]["text_clean"] == "p q"
         assert out[9]["n_tokens_removed"] == 4
+
+
+class TestCdcChunks:
+    def _chunks(self, texts, mod=64):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.spandedup import cdc_chunks
+
+        ds = rd.from_items([{"source": s, "text": t, "doc_id": i}
+                            for i, (s, t) in enumerate(texts)])
+        return cdc_chunks(ds, mod=mod).take_all()
+
+    @staticmethod
+    def _ref_chunks(text, mod=64, window=8):
+        """Plain-Python reference chunker."""
+        import hashlib
+
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            _rolling_hashes,
+        )
+
+        b = text.encode()
+        cuts = []
+        if len(b) >= window:
+            h = _rolling_hashes(b, window)
+            cuts = [int(k) + window for k in
+                    (h % mod == 0).nonzero()[0]]
+        spans, prev = [], 0
+        for c in cuts:
+            spans.append(b[prev:c]); prev = c
+        if prev < len(b):
+            spans.append(b[prev:])
+        return [(hashlib.md5(s).hexdigest(), len(s)) for s in spans]
+
+    def test_matches_reference_and_covers_doc(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        words = ["tok%d" % i for i in range(40)]
+        text = " ".join(rng.choice(words, 400))
+        rows = self._chunks([("s", text)], mod=16)
+        got = [(r["ch"], r["clen"]) for r in rows]
+        ref = self._ref_chunks(text, mod=16)
+        assert got == ref
+        assert sum(l for _, l in ref) == len(text.encode())
+        assert len(ref) > 5  # actually chunked at mod=16
+
+    def test_append_resynchronizes(self, ray_session):
+        # THE CDC property: appending bytes leaves every chunk before
+        # the last original boundary byte-identical
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        words = ["w%d" % i for i in range(30)]
+        base = " ".join(rng.choice(words, 300))
+        ref_a = self._ref_chunks(base, mod=16)
+        ref_b = self._ref_chunks(base + " xqz appended tail", mod=16)
+        assert ref_a[:-1] == ref_b[:len(ref_a) - 1]
+
+    def test_insertion_resynchronizes(self, ray_session):
+        # insertion in the middle: prefix chunks identical, suffix
+        # chunks re-align after the edit (same content-defined cuts)
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        words = ["w%d" % i for i in range(30)]
+        toks = list(rng.choice(words, 400))
+        a = " ".join(toks)
+        toks_b = toks[:200] + ["INSERTED", "STUFF"] + toks[200:]
+        b = " ".join(toks_b)
+        ca = self._ref_chunks(a, mod=16)
+        cb = self._ref_chunks(b, mod=16)
+        sa, sb = set(ca), set(cb)
+        # both prefix AND suffix chunks survive the edit — at most a
+        # handful of UNIQUE chunk values around the insertion differ
+        assert len(sa & sb) >= len(sa) - 4
+
+    def test_short_and_empty_docs(self, ray_session):
+        import hashlib
+
+        rows = self._chunks([("s", "abc"), ("s", "")])
+        assert len(rows) == 1
+        assert rows[0]["ch"] == hashlib.md5(b"abc").hexdigest()
+        assert rows[0]["clen"] == 3
+
+    def test_census_counts_dups_within_source(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.spandedup import (
+            cdc_chunk_census,
+        )
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        words = ["w%d" % i for i in range(30)]
+        t1 = " ".join(rng.choice(words, 300))
+        ds = rd.from_items([
+            {"source": "a", "text": t1},
+            {"source": "a", "text": t1},          # exact copy dedups
+            {"source": "b", "text": t1},          # other source: own census
+        ])
+        out = {r["source"]: r
+               for r in cdc_chunk_census(ds, mod=16).take_all()}
+        a, b = out["a"], out["b"]
+        assert a["n_chunks"] == 2 * b["n_chunks"]
+        assert a["n_distinct_chunks"] == b["n_distinct_chunks"]
+        assert a["bytes_distinct"] == b["bytes_distinct"]
+        assert a["bytes_total"] == 2 * b["bytes_total"]
+        # formula pin + the copy halves storage (internal dup chunks
+        # from the small vocab push savings above the 5000 floor)
+        for r in (a, b):
+            assert r["saved_bp"] == ((r["bytes_total"]
+                                      - r["bytes_distinct"]) * 10000
+                                     // r["bytes_total"])
+        assert a["saved_bp"] >= 5000 > b["saved_bp"]

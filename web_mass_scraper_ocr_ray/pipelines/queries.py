@@ -2844,6 +2844,36 @@ def q_pagerank_hosts(sf_dir: str):
     )
 
 
+def q_doc_cdc_dedup(sf_dir: str):
+    """Content-defined chunk-level storage-dedup census per source
+    (stages/spandedup.cdc_chunk_census): corpus = documents ∪ every
+    10th doc re-crawled with an appended ' xqz' (the snapshot-append
+    case CDC exists for — every chunk before the copy's last boundary
+    is content-anchored and dedups byte-identically against the
+    original; fixed-size blocks would shift and dedup nothing)."""
+    from ..stages.spandedup import cdc_chunk_census
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _appended(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pc.cast(t.column("text"), pa.string()),
+                pa.array([" xqz"] * t.num_rows, pa.string()), ""),
+            "source": t.column("source"),
+        })
+
+    corpus = docs.union(docs.map_batches(_appended,
+                                         batch_format="pyarrow"))
+    return cdc_chunk_census(corpus)
+
+
 def q_host_hits(sf_dir: str):
     """Max-normalized integer HITS (2 rounds) over the host graph —
     hub and authority scores in [0, 10⁶], the second eigenvector
@@ -5290,6 +5320,7 @@ QUERIES: Dict[str, callable] = {
     "host_link_graph": q_host_link_graph,
     "pagerank_hosts": q_pagerank_hosts,
     "host_hits": q_host_hits,
+    "doc_cdc_dedup": q_doc_cdc_dedup,
     "pages_latest_snapshot": q_pages_latest_snapshot,
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,
