@@ -1926,6 +1926,28 @@ pr0 AS (
 ){_PR_ITER_CTES}
 SELECT host, rank_score FROM pr5
 """,
+        # Largest-remainder (Hamilton) apportionment: floor quotas +
+        # one extra to the (budget − Σfloor) hosts ranked by
+        # (remainder DESC, host ASC) — Σ quota == 1000 exactly.
+        "host_crawl_budget": """
+WITH hc AS (
+  SELECT printf('www.host%03d.example.com', doc_id % 50) AS host,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1
+),
+f AS (
+  SELECT host, n_pages,
+         (1000 * n_pages) // (SELECT sum(n_pages) FROM hc) AS fl,
+         (1000 * n_pages) % (SELECT sum(n_pages) FROM hc) AS rem
+  FROM hc
+),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+      FROM f)
+SELECT host, n_pages,
+       CAST(fl + CASE WHEN rk <= 1000 - (SELECT sum(fl) FROM f)
+                 THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+""",
         # Content-defined chunking mirror: boundary after char i+7
         # wherever the window-8 rolling hash at 1-based start i is
         # ≡ 0 (mod 64); spans between consecutive cuts plus the tail;

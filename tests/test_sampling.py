@@ -360,3 +360,57 @@ class TestLagPerGroup:
             rd.from_arrow(t), group_col="g", order_col="o",
             value_col="v").to_pandas().sort_values("o", ignore_index=True)
         assert list(out.prev_v) == [None, "first"]
+
+
+class TestApportionBudget:
+    def _run(self, counts, budget):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            apportion_budget,
+        )
+
+        ds = rd.from_items([{"host": k, "n": v}
+                            for k, v in sorted(counts.items())])
+        rows = apportion_budget(ds, "host", "n", budget).take_all()
+        return {r["host"]: r["quota"] for r in rows}
+
+    @staticmethod
+    def _ref(counts, budget):
+        total = sum(counts.values())
+        fl = {k: budget * v // total for k, v in counts.items()}
+        rem = {k: budget * v % total for k, v in counts.items()}
+        extra = budget - sum(fl.values())
+        order = sorted(counts, key=lambda k: (-rem[k], k))
+        for k in order[:extra]:
+            fl[k] += 1
+        return fl
+
+    def test_sums_exactly_and_matches_reference(self, ray_session):
+        counts = {"a": 7, "b": 13, "c": 1, "d": 29, "e": 3}
+        for budget in (10, 53, 100, 1):
+            got = self._run(counts, budget)
+            assert sum(got.values()) == budget, budget
+            assert got == self._ref(counts, budget), budget
+
+    def test_tie_break_by_key_asc(self, ray_session):
+        # equal counts -> equal remainders; the first keys by name win
+        counts = {"w": 1, "x": 1, "y": 1, "z": 1}
+        got = self._run(counts, 6)  # floor 1 each, 2 extra -> w, x
+        assert got == {"w": 2, "x": 2, "y": 1, "z": 1}
+
+    def test_exact_division_no_awards(self, ray_session):
+        got = self._run({"a": 2, "b": 2}, 10)
+        assert got == {"a": 5, "b": 5}
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            apportion_budget,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+        assert apportion_budget(ds, "host", "n", 100).count() == 0

@@ -2844,6 +2844,32 @@ def q_pagerank_hosts(sf_dir: str):
     )
 
 
+def q_host_crawl_budget(sf_dir: str):
+    """Largest-remainder apportionment of a 1000-page crawl budget
+    across hosts proportional to their page counts
+    (stages/sampling.apportion_budget) — Σ quota == 1000 exactly,
+    ties broken (remainder DESC, host ASC); the next-wave
+    crawl-scheduling primitive."""
+    from ..sources.pages import synth_pages_dataset
+    from ..stages.shuffle import two_phase_aggregate
+
+    from ..stages.sampling import apportion_budget
+
+    pages = synth_pages_dataset(sf_dir).select_columns(["url"])
+
+    def _host(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = t.column("url").to_pylist()
+        hosts = [u.split("/", 3)[2] for u in urls]
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    counts = two_phase_aggregate(
+        pages.map_batches(_host, batch_format="pyarrow"),
+        "host", {"n_pages": (None, "count")})
+    return apportion_budget(counts, "host", "n_pages", budget=1000)
+
+
 def q_doc_cdc_dedup(sf_dir: str):
     """Content-defined chunk-level storage-dedup census per source
     (stages/spandedup.cdc_chunk_census): corpus = documents ∪ every
@@ -5321,6 +5347,7 @@ QUERIES: Dict[str, callable] = {
     "pagerank_hosts": q_pagerank_hosts,
     "host_hits": q_host_hits,
     "doc_cdc_dedup": q_doc_cdc_dedup,
+    "host_crawl_budget": q_host_crawl_budget,
     "pages_latest_snapshot": q_pages_latest_snapshot,
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,

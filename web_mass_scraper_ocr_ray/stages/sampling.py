@@ -423,3 +423,77 @@ def lag_per_group(ds, group_col: str, order_col: str, value_col: str,
     return ds.map_batches(
         _bucket_col, batch_format="pyarrow"
     ).groupby("_bucket").map_groups(_lag, batch_format="pyarrow")
+
+
+def apportion_budget(counts_ds, key_col: str, n_col: str, budget: int,
+                     n_buckets: int = 16):
+    """Largest-remainder (Hamilton) apportionment of an integer
+    ``budget`` across keys proportional to ``n_col`` → one row per key
+    ``(key_col, n_col, quota)`` with Σ quota == budget exactly — the
+    crawl-scheduling primitive (pages-per-host budget for the next
+    wave) and the classic seats-from-votes rule.
+
+    quota = floor(budget·n/N) everywhere, plus one extra unit to the
+    R = budget − Σ floor keys ranked first by (remainder DESC, key
+    ASC) — the deterministic tie-break the SQL mirror reproduces.
+
+    Scale shape: the input is already a per-key COUNT table (small
+    relative to the corpus); N and R are two bounded driver scalars;
+    the award set comes from a distributed sort + limit(R) and joins
+    back as a hash-partitioned LEFT join — no driver-side key list.
+    int64-exact while budget·max(n) < 2⁶³."""
+    import pyarrow.compute as pc
+
+    from .joins import equi_join
+
+    counts = counts_ds.materialize()
+    total = counts.sum(n_col)
+    if not total:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], pa.string()),
+            n_col: pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64()),
+        }))
+    total = int(total)
+
+    def _floor(t: pa.Table) -> pa.Table:
+        n = t.column(n_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            n_col: pa.array(n, pa.int64()),
+            "fl": pa.array(budget * n // total, pa.int64()),
+            "rem": pa.array(budget * n % total, pa.int64()),
+        })
+
+    f = counts.map_batches(_floor, batch_format="pyarrow").materialize()
+    r_extra = budget - int(f.sum("fl") or 0)
+
+    if r_extra > 0:
+        awarded = (f.sort(["rem", key_col], descending=[True, False])
+                   .limit(r_extra)
+                   .map_batches(lambda t: pa.table({
+                       key_col: t.column(key_col),
+                       "award": pa.array(
+                           np.ones(t.num_rows, np.int64))}),
+                    batch_format="pyarrow"))
+        joined = equi_join(f, awarded, key_col, key_col, ["award"],
+                           how="left", n_buckets=n_buckets)
+    else:
+        joined = f.map_batches(lambda t: t.append_column(
+            "award", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+
+    def _quota(t: pa.Table) -> pa.Table:
+        fl = t.column("fl").to_numpy(zero_copy_only=False)
+        aw = pc.coalesce(pc.cast(t.column("award"), pa.int64()),
+                         pa.scalar(0, pa.int64())).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            key_col: t.column(key_col),
+            n_col: t.column(n_col),
+            "quota": pa.array(fl + aw, pa.int64()),
+        })
+
+    return joined.map_batches(_quota, batch_format="pyarrow")
