@@ -159,6 +159,24 @@ _HITS_ITER_CTES = (
     + _hits_step("h2", "a2", "dst_host", "src_host")
 )
 
+# k-core peeling rounds, unrolled (k=6, 8 rounds — the Ray side
+# early-stops at the fixpoint, after which further rounds are no-ops,
+# so fixed-round SQL output is identical). MATERIALIZED is load-bearing:
+# each round references the previous round's CTE TWICE (both join
+# ends), so DuckDB's default CTE inlining would expand the plan 2^8-
+# fold and never finish.
+_KCORE_ROUND_CTES = "".join(
+    f""",
+d{r} AS MATERIALIZED (
+  SELECT e.a AS host, count(*) AS deg FROM sym e
+  JOIN s{r - 1} x ON x.host = e.a
+  JOIN s{r - 1} y ON y.host = e.b
+  GROUP BY 1
+),
+s{r} AS MATERIALIZED (SELECT host FROM d{r} WHERE deg >= 6)"""
+    for r in range(1, 9)
+)
+
 _PR_ITER_CTES = "".join(
     f""",
 pr{k} AS (
@@ -1925,6 +1943,30 @@ pr0 AS (
   SELECT host, CAST(1000000000000 AS BIGINT) AS rank_score FROM nodes
 ){_PR_ITER_CTES}
 SELECT host, rank_score FROM pr5
+""",
+        # 6-core of the symmetrized host graph: distinct undirected
+        # neighbor pairs, 8 unrolled peeling rounds, survivors with
+        # their in-core degree.
+        "host_kcore": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, count(*) AS n
+  FROM hl GROUP BY 1, 2
+),
+sym AS (
+  SELECT src_host AS a, dst_host AS b FROM edges
+  WHERE src_host <> dst_host
+  UNION
+  SELECT dst_host, src_host FROM edges WHERE src_host <> dst_host
+),
+s0 AS (SELECT DISTINCT a AS host FROM sym)
+{_KCORE_ROUND_CTES}
+SELECT e.a AS host, CAST(count(*) AS BIGINT) AS core_degree
+FROM sym e
+JOIN s8 x ON x.host = e.a
+JOIN s8 y ON y.host = e.b
+GROUP BY 1
 """,
         # Largest-remainder (Hamilton) apportionment: floor quotas +
         # one extra to the (budget − Σfloor) hosts ranked by

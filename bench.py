@@ -266,6 +266,12 @@ def run_bench() -> dict:
         "bpe_pair_counts",
         "vocab_coverage",
         "source_trigram_diversity",
+        "orders_running_total",
+        "events_key_skew",
+        "host_hits",
+        "doc_cdc_dedup",
+        "host_crawl_budget",
+        "host_kcore",
     )
     for name in query_names:
         t0 = time.monotonic()

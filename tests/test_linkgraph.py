@@ -389,3 +389,58 @@ class TestHitsPaths:
         hub = dict(zip(out.host, out.hub_score))
         assert auth == {"a1": 625000, "a2": 375000, "h": 0, "x": 0}
         assert hub == {"h": 1_000_000, "x": 625000, "a1": 0, "a2": 0}
+
+
+class TestKcore:
+    def _run(self, edges, k, **kw):
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        src, dst = zip(*edges)
+        ds = rd.from_arrow(pa.table({
+            "src_host": list(src), "dst_host": list(dst),
+            "n": [1] * len(edges)}))
+        out = lg.kcore_hosts(ds, k=k, **kw).to_pandas()
+        if len(out) == 0:
+            return {}
+        return dict(zip(out.host, out.core_degree))
+
+    def test_peeling_cascades(self, ray_session):
+        # triangle a-b-c (2-core) + a chain d-e hanging off a: d has
+        # degree 2 (a, e) only until e (degree 1) peels — the cascade.
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("a", "d"), ("d", "e")]
+        got = self._run(edges, k=2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_whole_graph_survives_k1(self, ray_session):
+        edges = [("a", "b"), ("b", "c")]
+        got = self._run(edges, k=1)
+        assert got == {"a": 1, "b": 2, "c": 1}
+
+    def test_empty_core(self, ray_session):
+        edges = [("a", "b"), ("b", "c")]  # path: no 2-core
+        assert self._run(edges, k=2) == {}
+
+    def test_multi_edge_counts_once_and_self_loop_dropped(
+            self, ray_session):
+        edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"),
+                 ("c", "a")]
+        got = self._run(edges, k=2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_broadcast_equals_copartition(self, ray_session):
+        from web_mass_scraper_ocr_ray.sources.pages import (
+            synth_link_pages_dataset,
+        )
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        edges = lg.host_edges(
+            lg.outlinks(synth_link_pages_dataset(SF))).materialize()
+        bc = lg.kcore_hosts(edges, k=6).to_pandas()
+        cp = lg.kcore_hosts(edges, k=6, broadcast_max_nodes=0).to_pandas()
+        a = bc.sort_values("host").reset_index(drop=True)
+        b = cp.sort_values("host").reset_index(drop=True)
+        assert len(a) > 0
+        assert (a.host == b.host).all()
+        assert (a.core_degree == b.core_degree).all()

@@ -2844,6 +2844,20 @@ def q_pagerank_hosts(sf_dir: str):
     )
 
 
+def q_host_kcore(sf_dir: str):
+    """6-core of the symmetrized host graph (≤8 peeling rounds, early
+    fixpoint stop) — survivors with their in-core degree
+    (stages/linkgraph.kcore_hosts). Dense-core extraction is the
+    web-graph seed-selection/spam-hygiene staple; degree (distinct
+    neighbors), not weighted degree."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.kcore_hosts(
+        lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir))),
+        k=6, rounds=8)
+
+
 def q_host_crawl_budget(sf_dir: str):
     """Largest-remainder apportionment of a 1000-page crawl budget
     across hosts proportional to their page counts
@@ -5348,6 +5362,7 @@ QUERIES: Dict[str, callable] = {
     "host_hits": q_host_hits,
     "doc_cdc_dedup": q_doc_cdc_dedup,
     "host_crawl_budget": q_host_crawl_budget,
+    "host_kcore": q_host_kcore,
     "pages_latest_snapshot": q_pages_latest_snapshot,
     "domain_quality_filter": q_domain_quality_filter,
     "doc_sample_bottomk": q_doc_sample_bottomk,

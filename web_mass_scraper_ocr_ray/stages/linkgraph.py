@@ -848,3 +848,145 @@ def _hits_broadcast(edges, nodes, iters, scale):
         "hub_score": pa.array(hub, pa.int64()),
         "authority_score": pa.array(auth, pa.int64()),
     }))
+
+
+def kcore_hosts(edges_ds, k: int = 3, rounds: int = 8,
+                n_buckets: int = 16,
+                broadcast_max_nodes: int = PR_BROADCAST_MAX_NODES):
+    """k-core of the (symmetrized, unweighted) host graph: peel nodes
+    of degree < k repeatedly for up to ``rounds`` rounds (early-stop
+    at the fixpoint — continuing past it is a no-op, so a fixed-round
+    SQL mirror with the same ``rounds`` gets identical output whether
+    or not convergence happened earlier) → ``(host, core_degree)``
+    rows for the survivors, ``core_degree`` = degree inside the final
+    surviving subgraph. The spam/seed-selection staple: the dense core
+    of a web host graph.
+
+    Distinct endpoint pairs only (a multi-edge counts once — degree,
+    not weighted degree). Two scale-adaptive paths, identical
+    semantics (pagerank pattern): **broadcast** keeps the surviving
+    set in the driver (bounded by ``broadcast_max_nodes``; per round
+    ONE filter map + grouped count over distributed edges);
+    **co-partition** keeps the surviving set distributed (two
+    hash-partitioned semi-joins + a grouped count per round)."""
+    from ray.data.aggregate import Count
+
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.concat_arrays([
+                t.column("src_host").combine_chunks().cast(pa.string()),
+                t.column("dst_host").combine_chunks().cast(pa.string()),
+            ]),
+            "b": pa.concat_arrays([
+                t.column("dst_host").combine_chunks().cast(pa.string()),
+                t.column("src_host").combine_chunks().cast(pa.string()),
+            ]),
+        })
+
+    def _drop_self_dup(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("a"), t.column("b")))
+        return t.filter(keep)
+
+    # distinct directed pairs (each undirected edge appears a→b and
+    # b→a exactly once after this)
+    def _local_dedup(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = np.asarray(t.column("a").to_pylist(), dtype=object)
+        b = np.asarray(t.column("b").to_pylist(), dtype=object)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"a": pa.array(a[keep].tolist(), pa.string()),
+                         "b": pa.array(b[keep].tolist(), pa.string())})
+
+    edges = (edges_ds.map_batches(_sym, batch_format="pyarrow")
+             .map_batches(_drop_self_dup, batch_format="pyarrow")
+             .groupby("a").map_groups(_local_dedup,
+                                      batch_format="pyarrow")
+             ).materialize()
+
+    nodes = edges.groupby("a").aggregate(Count(alias_name="deg"))
+    if nodes.count() <= broadcast_max_nodes:
+        return _kcore_broadcast(edges, nodes, k, rounds)
+
+    surviving = nodes.map_batches(
+        lambda t: t.select(["a"]).rename_columns(["host"]),
+        batch_format="pyarrow").materialize()
+
+    from .joins import equi_join
+
+    for _ in range(rounds):
+        n_before = surviving.count()
+        alive = equi_join(edges, surviving, "a", "host", [],
+                          n_buckets=n_buckets)
+        alive = equi_join(alive, surviving, "b", "host", [],
+                          n_buckets=n_buckets)
+        deg = alive.groupby("a").aggregate(Count(alias_name="deg"))
+        surviving = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("deg"), pa.scalar(k, pa.int64())))
+            .select(["a"]).rename_columns(["host"]),
+            batch_format="pyarrow").materialize()
+        if surviving.count() == n_before:
+            break
+        edges = alive.materialize()
+
+    alive = equi_join(edges, surviving, "a", "host", [],
+                      n_buckets=n_buckets)
+    alive = equi_join(alive, surviving, "b", "host", [],
+                      n_buckets=n_buckets)
+    deg = alive.groupby("a").aggregate(Count(alias_name="deg"))
+    return deg.map_batches(
+        lambda t: pa.table({
+            "host": t.column("a"),
+            "core_degree": pc.cast(t.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _kcore_broadcast(edges, nodes, k, rounds):
+    """Driver-set k-core path (node count bounded): the surviving set
+    ships once per round via ray.put; each round is one filter map +
+    grouped count over the distributed edge set."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    surviving = set(nodes.to_pandas()["a"].tolist())
+
+    def _deg_of(surv_ref):
+        def _f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            s = ray.get(surv_ref)
+            keep = (pd.Series(t.column("a").to_pylist()).isin(s)
+                    & pd.Series(t.column("b").to_pylist()).isin(s))
+            return t.filter(pa.array(keep.to_numpy()))
+        return _f
+
+    import pandas as pd
+
+    def _degrees(surv):
+        ref = ray.put(surv)
+        df = (edges.map_batches(_deg_of(ref), batch_format="pyarrow")
+              .groupby("a").aggregate(Count(alias_name="deg"))
+              .to_pandas())
+        if "deg" not in df.columns:  # fully peeled: empty, no schema
+            df = pd.DataFrame({"a": pd.Series([], dtype=object),
+                               "deg": pd.Series([], dtype="int64")})
+        return df
+
+    for _ in range(rounds):
+        deg_df = _degrees(surviving)
+        new = set(deg_df.loc[deg_df["deg"] >= k, "a"])
+        if new == surviving:
+            break
+        surviving = new
+
+    deg_df = _degrees(surviving)
+    deg_df = deg_df[deg_df["a"].isin(surviving)]
+    return rd.from_arrow(pa.table({
+        "host": pa.array(deg_df["a"].tolist(), pa.string()),
+        "core_degree": pa.array(
+            deg_df["deg"].astype("int64").tolist(), pa.int64()),
+    }))
