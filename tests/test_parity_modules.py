@@ -805,3 +805,126 @@ class TestJsonlInterchange:
               ds.select_columns(["url", "html"]).take_all()}
         h1 = {r["url"]: r["html"] for r in back.take_all()}
         assert h0 == h1
+
+
+class TestKeepHtml:
+    """S8 HTML sink (scraper.py:290,295): cfg.keep_html carries the raw
+    html bytes into the output rows instead of a per-host file tree."""
+
+    def test_extract_batch_keep_html(self):
+        from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+        from web_mass_scraper_ocr_ray.stages.extract import (
+            extract_batch,
+            extract_batch_sliced,
+        )
+
+        tbl = synth_pages_table("/root/testdata/sf0.001").select(
+            ["url", "warc_ts", "html"]
+        )
+        dropped = extract_batch(tbl)
+        kept = extract_batch(tbl, keep_html=True)
+        assert "html" not in dropped.column_names
+        assert "html" in kept.column_names
+        assert kept.column("html").to_pylist() == tbl.column("html").to_pylist()
+        # everything else identical
+        assert kept.column("text").to_pylist() == dropped.column("text").to_pylist()
+        sliced = extract_batch_sliced(tbl, byte_budget=4096, keep_html=True)
+        assert sliced.column("html").to_pylist() == tbl.column("html").to_pylist()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_pipeline_keep_html_roundtrip(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.config import PipelineConfig
+        from web_mass_scraper_ocr_ray.pipelines.extract_pipeline import (
+            run_pipeline,
+        )
+        from web_mass_scraper_ocr_ray.sources.pages import synth_pages_table
+
+        tbl = synth_pages_table("/root/testdata/sf0.001").select(
+            ["url", "warc_ts", "html"]
+        ).slice(0, 40)
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(keep_html=True, output_dir=out,
+                             num_partitions=0, mode="text")
+        run_pipeline(rd.from_arrow(tbl), cfg)
+        got = pq.read_table(out, columns=["url", "html"])
+        want = {u: h for u, h in zip(tbl.column("url").to_pylist(),
+                                     tbl.column("html").to_pylist())}
+        for u, h in zip(got.column("url").to_pylist(),
+                        got.column("html").to_pylist()):
+            assert want[u] == h
+        assert got.num_rows == tbl.num_rows
+
+
+class TestDuplicateMessageFilter:
+    """T6 log-dedup (logging_utils.py:136-154): consecutive duplicate
+    messages within the window are dropped; anything else passes."""
+
+    def _rec(self, msg):
+        import logging
+
+        return logging.LogRecord("t", logging.INFO, __file__, 1, msg, (), None)
+
+    def test_window_rule(self):
+        from web_mass_scraper_ocr_ray.functions.logfilter import (
+            DuplicateMessageFilter,
+        )
+
+        t = [0.0]
+        f = DuplicateMessageFilter(window=1.0, clock=lambda: t[0])
+        assert f.filter(self._rec("a")) is True
+        assert f.filter(self._rec("a")) is False          # dup inside window
+        t[0] = 0.5
+        assert f.filter(self._rec("a")) is False          # still inside
+        t[0] = 1.5
+        assert f.filter(self._rec("a")) is True           # window expired
+        t[0] = 1.6
+        assert f.filter(self._rec("b")) is True           # different msg
+        assert f.filter(self._rec("a")) is True           # only LAST remembered
+        assert f.suppressed == 2
+
+    def test_steady_stream_rate_limited(self):
+        from web_mass_scraper_ocr_ray.functions.logfilter import (
+            DuplicateMessageFilter,
+        )
+
+        t = [0.0]
+        f = DuplicateMessageFilter(window=1.0, clock=lambda: t[0])
+        passed = 0
+        for i in range(100):
+            t[0] = i * 0.1
+            passed += f.filter(self._rec("spam"))
+        # 10 s of 10 Hz spam → one record per second
+        assert passed == 10
+
+    def test_args_render_before_compare(self):
+        from web_mass_scraper_ocr_ray.functions.logfilter import (
+            DuplicateMessageFilter,
+        )
+        import logging
+
+        t = [0.0]
+        f = DuplicateMessageFilter(window=1.0, clock=lambda: t[0])
+        r1 = logging.LogRecord("t", logging.INFO, __file__, 1, "n=%d", (1,), None)
+        r2 = logging.LogRecord("t", logging.INFO, __file__, 1, "n=%d", (2,), None)
+        assert f.filter(r1) is True
+        assert f.filter(r2) is True   # same format string, different args
+
+    def test_attach_helper(self):
+        import logging
+
+        from web_mass_scraper_ocr_ray.functions.logfilter import (
+            add_duplicate_filter,
+        )
+
+        lg = logging.getLogger("wmso-test-dupfilter")
+        h = logging.NullHandler()
+        lg.addHandler(h)
+        try:
+            filt = add_duplicate_filter(lg, window=2.0)
+            assert filt in h.filters
+            assert filt.window == 2.0
+        finally:
+            lg.removeHandler(h)

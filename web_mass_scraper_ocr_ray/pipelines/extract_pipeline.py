@@ -98,13 +98,15 @@ def build_pipeline(pages_ds, cfg: Optional[PipelineConfig] = None):
         from ..stages.extract import extract_batch_sliced
 
         ds = ds.map_batches(
-            partial(extract_batch_sliced, byte_budget=cfg.skew_bucket_bytes),
+            partial(extract_batch_sliced, byte_budget=cfg.skew_bucket_bytes,
+                    keep_html=cfg.keep_html),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
     else:
         ds = ds.map_batches(
-            extract_batch, batch_format="pyarrow",
+            partial(extract_batch, keep_html=cfg.keep_html),
+            batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
 

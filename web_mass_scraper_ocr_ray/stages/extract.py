@@ -162,7 +162,8 @@ class CssAwareExtract:
 
 
 def extract_batch_sliced(batch: pa.Table,
-                         byte_budget: int = 8 * 1024 * 1024) -> pa.Table:
+                         byte_budget: int = 8 * 1024 * 1024,
+                         keep_html: bool = False) -> pa.Table:
     """Skew/memory-bounded extract (§4.4): process the batch in slices
     whose summed html bytes stay under ``byte_budget``, so a batch that
     happens to contain several multi-MB pages never materializes all
@@ -180,19 +181,27 @@ def extract_batch_sliced(batch: pa.Table,
     for i in range(n):
         acc += (lens[i] or 0)
         if acc >= byte_budget and i + 1 > start:
-            out_parts.append(extract_batch(batch.slice(start, i + 1 - start)))
+            out_parts.append(extract_batch(batch.slice(start, i + 1 - start),
+                                           keep_html=keep_html))
             start, acc = i + 1, 0
     if start < n:
-        out_parts.append(extract_batch(batch.slice(start, n - start)))
+        out_parts.append(extract_batch(batch.slice(start, n - start),
+                                       keep_html=keep_html))
     if len(out_parts) == 1:
         return out_parts[0]
     return pa.concat_tables(out_parts)
 
 
-def extract_batch(batch: pa.Table, css_resolver=None) -> pa.Table:
+def extract_batch(batch: pa.Table, css_resolver=None,
+                  keep_html: bool = False) -> pa.Table:
     """pyarrow Table (url, warc_ts, html, ...) → extracted table.
 
-    Drops ``html``; carries through every other input column untouched.
+    Drops ``html`` (default); carries through every other input column
+    untouched. ``keep_html=True`` is the S8 HTML-sink analog (reference
+    scraper.py:290,295 writes ``page.html`` per url): the raw bytes ride
+    along into the output Parquet row instead of a per-host file tree.
+    Off by default at scale — the input Parquet already holds the bytes,
+    and carrying them through the pipeline doubles every shuffle.
     ``css_resolver`` (href → css text) enables external-stylesheet
     hide-rules — see ``CssAwareExtract`` for the broadcast pattern.
     """
@@ -301,7 +310,7 @@ def extract_batch(batch: pa.Table, css_resolver=None) -> pa.Table:
         ),
     )
     html_len = pc.binary_length(batch.column("html")).cast(pa.int64())
-    out = batch.drop_columns(["html"])
+    out = batch if keep_html else batch.drop_columns(["html"])
     for name, arr in (
         ("hostname", pa.array(hostnames, pa.string())),
         ("text", pa.array(texts, pa.string())),
