@@ -3608,4 +3608,97 @@ FROM c, tot
 ORDER BY n_events DESC, user_id
 LIMIT 10
 """,
+        # TPC-H Q6 shape: filter + global integer sum (1e-4 units)
+        "forecast_revenue": """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    AND l_quantity < 24
+)
+SELECT CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM f
+""",
+        # FULL OUTER join completion; sentinels mirror the pipeline's
+        # fill_null so both engines hash identical values
+        "customer_order_outer": """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_centi
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+),
+c AS (
+  SELECT c_custkey AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_centi,
+         c_mktsegment
+  FROM customer WHERE c_acctbal > 5000
+)
+SELECT coalesce(o.custkey, c.custkey) AS custkey,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.sum_price_centi, 0) AS BIGINT) AS sum_price_centi,
+       CAST(coalesce(c.acctbal_centi, -1) AS BIGINT) AS acctbal_centi,
+       coalesce(c.c_mktsegment, 'NONE') AS c_mktsegment
+FROM o FULL OUTER JOIN c ON o.custkey = c.custkey
+""",
+        # per-group quota sample: row_number over the shared
+        # multiplicative hash (bijection mod 2^32 ⇒ tie-free)
+        "doc_sample_per_source": """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source, hv FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv) <= 5
+""",
+        # constraint-violation census (uniqueness via count - distinct)
+        "docs_schema_audit": """
+SELECT * FROM (
+  SELECT 'null_text' AS check, CAST(count(*) FILTER (text IS NULL)
+         AS BIGINT) AS n_violations FROM documents
+  UNION ALL
+  SELECT 'lang_invalid', CAST(count(*) FILTER (
+         lang IS NULL OR lang NOT IN ('en','de','fr','es','zh'))
+         AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'n_chars_mismatch', CAST(count(*) FILTER (
+         text IS NULL OR length(text) <> n_chars) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'text_short', CAST(count(*) FILTER (n_chars < 64) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'duplicate_doc_id',
+         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+  FROM documents
+)
+""",
+        # exact integer two-sample KS: d_num = max |cum_a*n_b - cum_b*n_a|
+        "source_length_ks": """
+WITH h AS (
+  SELECT n_chars AS value,
+         CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS cb
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+),
+c AS (
+  SELECT sum(ca) OVER (ORDER BY value) AS cuma,
+         sum(cb) OVER (ORDER BY value) AS cumb,
+         (SELECT sum(ca) FROM h) AS na,
+         (SELECT sum(cb) FROM h) AS nb
+  FROM h
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+FROM c
+""",
     }

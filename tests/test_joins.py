@@ -582,3 +582,53 @@ class TestIntervalLookupJoin:
             interval_lookup_join(
                 rd.from_arrow(pa.table({"v": [1.0]})),
                 boundaries=(1.0, 2.0), labels=("a", "b"), value_col="v")
+
+
+class TestEquiJoinOuter:
+    def test_full_outer_unmatched_both_sides(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1, 2, 3], "lv": ["a", "b", "c"]})
+        right = _ds({"rk": [2, 3, 9], "rv": [20, 30, 90]})
+        out = equi_join(left, right, "k", "rk", ["rv"],
+                        how="outer").to_pandas().sort_values(
+            "k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 2, 3, 9]
+        assert out["lv"].tolist()[:3] == ["a", "b", "c"]
+        assert pd.isna(out["lv"].tolist()[3])      # right-only row
+        assert pd.isna(out["rv"].tolist()[0])      # left-only row
+        assert out["rv"].tolist()[1:] == [20, 30, 90]
+
+    def test_full_outer_duplicate_keys_cross_product(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1, 1], "lv": ["a", "b"]})
+        right = _ds({"rk": [1, 1, 7], "rv": [10, 11, 70]})
+        out = equi_join(left, right, "k", "rk", ["rv"],
+                        how="outer").to_pandas()
+        matched = sorted(
+            (lv, rv) for lv, rv in zip(out["lv"], out["rv"])
+            if not pd.isna(lv) and not pd.isna(rv))
+        assert matched == [("a", 10), ("a", 11), ("b", 10), ("b", 11)]
+        only_right = out[out["lv"].isna()]
+        assert only_right["k"].tolist() == [7]
+
+    def test_full_outer_all_right_only_bucket(self, ray_session):
+        """A bucket holding only right rows still emits them."""
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1], "lv": ["a"]})
+        right = _ds({"rk": list(range(100, 160)),
+                     "rv": list(range(60))})
+        out = equi_join(left, right, "k", "rk", ["rv"],
+                        how="outer").to_pandas()
+        assert len(out) == 61
+        assert sorted(out["k"].tolist()) == [1] + list(range(100, 160))
+
+    def test_bad_how_raises(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import equi_join
+
+        left = _ds({"k": [1], "lv": ["a"]})
+        right = _ds({"rk": [1], "rv": [1]})
+        with pytest.raises(ValueError, match="how"):
+            equi_join(left, right, "k", "rk", ["rv"], how="right")

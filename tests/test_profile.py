@@ -74,3 +74,77 @@ class TestSkyline:
 
     def test_single_point(self):
         assert self._run([(3, 3)]) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKsDistance:
+    def test_identical_distributions_zero(self):
+        from web_mass_scraper_ocr_ray.stages.profile import ks_distance
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["a", "a", "b", "b"], pa.string()),
+            "v": pa.array([1, 2, 1, 2], pa.int64()),
+        }))
+        row = ks_distance(ds, "v", "g", "a", "b").to_pylist()[0]
+        assert row == {"n_a": 2, "n_b": 2, "d_num": 0}
+
+    def test_known_small_case(self):
+        from web_mass_scraper_ocr_ray.stages.profile import ks_distance
+
+        # a = {1,2,3}, b = {3,4}; D = max|F_a - F_b| = 2/3 at x in [2,3)
+        # d_num over n_a*n_b = 6: cum_a*2 - cum_b*3 → max |...| = 4
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "z"], pa.string()),
+            "v": pa.array([1, 2, 3, 3, 4, 99], pa.int64()),
+        }))
+        row = ks_distance(ds, "v", "g", "a", "b").to_pylist()[0]
+        assert row["n_a"] == 3 and row["n_b"] == 2
+        assert row["d_num"] == 4          # D = 4/6 = 2/3
+        assert row["d_num"] / (row["n_a"] * row["n_b"]) == 2 / 3
+
+    def test_other_groups_excluded(self):
+        from web_mass_scraper_ocr_ray.stages.profile import ks_distance
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["a", "b", "c", "c"], pa.string()),
+            "v": pa.array([5, 5, 0, 100], pa.int64()),
+        }))
+        row = ks_distance(ds, "v", "g", "a", "b").to_pylist()[0]
+        assert row == {"n_a": 1, "n_b": 1, "d_num": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConstraintAudit:
+    def test_counts_violations_and_duplicates(self):
+        import pyarrow.compute as pc
+
+        from web_mass_scraper_ocr_ray.stages.profile import (
+            constraint_audit,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2, 2, 3, 3, 3], pa.int64()),
+            "x": pa.array([0, None, 5, -1, 2, None], pa.int64()),
+        })).repartition(3)
+
+        def _null_x(t):
+            return t.column("x").null_count
+
+        def _neg_x(t):
+            lt = pc.less(t.column("x"), 0)
+            s = pc.sum(pc.cast(pc.fill_null(lt, False), pa.int64()))
+            return int(s.as_py() or 0)
+
+        out = constraint_audit(
+            ds, {"null_x": _null_x, "neg_x": _neg_x}, unique_col="id")
+        rows = {r["check"]: r["n_violations"] for r in out.to_pylist()}
+        assert rows == {"null_x": 2, "neg_x": 1, "duplicate_id": 3}
+
+    def test_no_unique_col(self):
+        from web_mass_scraper_ocr_ray.stages.profile import (
+            constraint_audit,
+        )
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+        out = constraint_audit(ds, {"never": lambda t: 0})
+        assert out.to_pylist() == [{"check": "never", "n_violations": 0}]

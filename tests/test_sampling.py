@@ -414,3 +414,47 @@ class TestApportionBudget:
             "host": pa.array([], pa.string()),
             "n": pa.array([], pa.int64())}))
         assert apportion_budget(ds, "host", "n", 100).count() == 0
+
+
+class TestSampleBottomkPerGroup:
+    def test_exact_k_per_group_and_small_groups(self, ray_session):
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            sample_bottomk_per_group,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "g": pa.array((["a"] * 30) + (["b"] * 8) + (["c"] * 2),
+                          pa.string()),
+        })
+        out = sample_bottomk_per_group(
+            rd.from_arrow(t).repartition(7), "doc_id", "g", k=5
+        ).to_pandas()
+        sizes = out.groupby("g").size().to_dict()
+        assert sizes == {"a": 5, "b": 5, "c": 2}   # small group keeps all
+
+    def test_matches_global_hash_order(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.stages.sampling import (
+            _M32,
+            _MIX,
+            sample_bottomk_per_group,
+        )
+
+        ids = np.arange(100, dtype=np.int64)
+        groups = ["g%d" % (i % 3) for i in range(100)]
+        t = pa.table({"doc_id": pa.array(ids),
+                      "g": pa.array(groups, pa.string())})
+        out = sample_bottomk_per_group(
+            rd.from_arrow(t).repartition(9), "doc_id", "g", k=4
+        ).to_pandas()
+        hv = ((ids.astype(np.uint64) * _MIX) % _M32).astype(np.int64)
+        for g in ("g0", "g1", "g2"):
+            want = sorted(
+                hv[i] for i in range(100) if groups[i] == g)[:4]
+            got = sorted(out[out["g"] == g]["hv"].tolist())
+            assert got == want

@@ -5257,6 +5257,186 @@ def q_bpe_pair_counts(sf_dir: str):
                  .select_columns(["a", "b", "cnt"])
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped revenue forecast: pure filter + global sum —
+    the simplest possible scan shape, kept integer-exact by summing
+    price_centi × disc_centi products (1e-4 currency units) so the
+    single output row hash-compares across engines. Predicates run as
+    Arrow kernels inside the pruned scan's map stage; only one partial
+    row per batch reaches the final aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(
+            pc.multiply(t.column("l_discount"), 100.0)), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc, pa.scalar(7, pa.int64()))),
+                pc.less(t.column("l_quantity"), 24.0)))
+        price = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        rev = pc.multiply(price, disc)
+        kept = pa.table({"rev": rev}).filter(keep)
+        return pa.table({
+            "rev": pa.array([0 if kept.num_rows == 0 else
+                             pc.sum(kept.column("rev")).as_py()],
+                            pa.int64()),
+            "n": pa.array([kept.num_rows], pa.int64()),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue_e4"),
+        Sum("n", alias_name="n_items"),
+    )
+    return pa.table({
+        "revenue_e4": pa.array([int(agg["revenue_e4"])], pa.int64()),
+        "n_items": pa.array([int(agg["n_items"])], pa.int64()),
+    })
+
+
+def q_customer_order_outer(sf_dir: str):
+    """FULL OUTER equi-join (the join-family completion): per-custkey
+    rollup of FINISHED orders ⟗ high-balance customers — the crawl-gap
+    shape (keys on one side only surface from both directions). Runs
+    the generic co-partition ``equi_join(how="outer")``; nulls are
+    coalesced to typed sentinels IN the pipeline so the driver's
+    hash compare never sees engine-specific null/NaN encodings."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import equi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("o_orderstatus"), "F")
+        t = t.filter(keep)
+        return pa.table({
+            "custkey": t.column("o_custkey"),
+            "price_centi": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), 100.0)), pa.int64()),
+        })
+
+    left = orders.map_batches(_f, batch_format="pyarrow").groupby(
+        "custkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_centi", alias_name="sum_price_centi"),
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _c(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("c_acctbal"), 5000.0))
+        return pa.table({
+            "r_custkey": t.column("c_custkey"),
+            "acctbal_centi": pc.cast(pc.round(pc.multiply(
+                t.column("c_acctbal"), 100.0)), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+        })
+
+    right = cust.map_batches(_c, batch_format="pyarrow")
+    joined = equi_join(left, right, "custkey", "r_custkey",
+                       ["acctbal_centi", "c_mktsegment"], how="outer")
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t.column("custkey"),
+            "n_orders": pc.fill_null(t.column("n_orders"),
+                                     pa.scalar(0, pa.int64())),
+            "sum_price_centi": pc.fill_null(
+                t.column("sum_price_centi"), pa.scalar(0, pa.int64())),
+            "acctbal_centi": pc.fill_null(
+                t.column("acctbal_centi"), pa.scalar(-1, pa.int64())),
+            "c_mktsegment": pc.fill_null(t.column("c_mktsegment"),
+                                         "NONE"),
+        })
+
+    return joined.map_batches(_coalesce, batch_format="pyarrow")
+
+
+def q_doc_sample_per_source(sf_dir: str):
+    """Exact-k per-group quota sample (mixture construction: take
+    exactly 5 docs per source, RNG-free). Two-phase per-group bottom-k
+    over the shared multiplicative hash — a group's full membership
+    never shuffles (stages/sampling.py::sample_bottomk_per_group)."""
+    from ..stages.sampling import sample_bottomk_per_group
+
+    return sample_bottomk_per_group(
+        _docs(sf_dir, ["doc_id", "source"]), "doc_id", "source", k=5)
+
+
+def q_docs_schema_audit(sf_dir: str):
+    """Constraint-violation census over the documents table — the
+    data-quality gate an untrusted drop passes before any pipeline
+    runs. Named vectorized predicates fold as one partial row per
+    batch (zero shuffle); the doc_id-uniqueness check rides the fused
+    distinct exchange (stages/profile.py::constraint_audit)."""
+    from ..stages.profile import constraint_audit
+
+    langs = pa.array(["en", "de", "fr", "es", "zh"], pa.string())
+
+    def _null_text(t: pa.Table) -> int:
+        return t.column("text").null_count
+
+    def _lang_invalid(t: pa.Table) -> int:
+        ok = pc.is_in(t.column("lang"), value_set=langs)
+        return int(pc.sum(pc.cast(pc.invert(
+            pc.fill_null(ok, False)), pa.int64())).as_py() or 0)
+
+    def _nchars_mismatch(t: pa.Table) -> int:
+        neq = pc.not_equal(pc.cast(pc.utf8_length(t.column("text")),
+                                   pa.int64()),
+                           t.column("n_chars"))
+        return int(pc.sum(pc.cast(pc.fill_null(neq, True),
+                                  pa.int64())).as_py() or 0)
+
+    def _text_short(t: pa.Table) -> int:
+        lt = pc.less(t.column("n_chars"), pa.scalar(64, pa.int64()))
+        return int(pc.sum(pc.cast(pc.fill_null(lt, False),
+                                  pa.int64())).as_py() or 0)
+
+    return constraint_audit(
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]),
+        {
+            "null_text": _null_text,
+            "lang_invalid": _lang_invalid,
+            "n_chars_mismatch": _nchars_mismatch,
+            "text_short": _text_short,
+        },
+        unique_col="doc_id",
+    )
+
+
+def q_source_length_ks(sf_dir: str):
+    """Exact two-sample KS distance between src0's and src1's document
+    length distributions — the corpus-drift check, division-free
+    (d_num = max |cum_a·n_b − cum_b·n_a|) so the single output row is
+    hash-comparable. Histogram-broadcast shape: only (value, c_a, c_b)
+    partials shuffle (stages/profile.py::ks_distance)."""
+    from ..stages.profile import ks_distance
+
+    return ks_distance(_docs(sf_dir, ["source", "n_chars"]),
+                       "n_chars", "source", "src0", "src1")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -5442,4 +5622,9 @@ QUERIES: Dict[str, callable] = {
     "nation_market_share": q_nation_market_share,
     "orders_running_total": q_orders_running_total,
     "events_key_skew": q_events_key_skew,
+    "forecast_revenue": q_forecast_revenue,
+    "customer_order_outer": q_customer_order_outer,
+    "doc_sample_per_source": q_doc_sample_per_source,
+    "docs_schema_audit": q_docs_schema_audit,
+    "source_length_ks": q_source_length_ks,
 }

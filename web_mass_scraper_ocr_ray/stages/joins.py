@@ -459,8 +459,12 @@ def equi_join(left_ds, right_ds, left_on: str, right_on: str,
     the join family (broadcast lookup J1 stays right while one side
     fits the object store; THIS is the path when neither does).
 
-    → left columns + ``right_cols``; ``how`` is ``inner`` or ``left``
-    (unmatched left rows keep nulls in ``right_cols``). Duplicate keys
+    → left columns + ``right_cols``; ``how`` is ``inner``, ``left``
+    (unmatched left rows keep nulls in ``right_cols``) or ``outer``
+    (FULL OUTER: unmatched right rows additionally surface with nulls
+    in every left column except the key, which they carry — the
+    "crawl-gap" shape: entities present in one snapshot/side only
+    appear from BOTH directions). Duplicate keys
     on either side produce the full per-key cross product (SQL join
     semantics), so hot keys bound group memory — salt or pre-aggregate
     the hot side first, exactly like any keyed shuffle here.
@@ -473,13 +477,19 @@ def equi_join(left_ds, right_ds, left_on: str, right_on: str,
     partition and deadlocks two-join pipelines on small clusters
     (measured in round 2 — SURVEY §9.2).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"equi_join: how={how!r} not in (inner, left)")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(
+            f"equi_join: how={how!r} not in (inner, left, outer)")
     lschema = left_ds.schema()
     if lschema is None:
         # zero-block left (e.g. an upstream filter matched nothing):
-        # the join of nothing is nothing, for both inner and left
-        return left_ds
+        # the join of nothing is nothing for inner and left; a FULL
+        # OUTER join still needs the right side, so fall through with
+        # a schema-less guard is impossible — require a typed left.
+        if how != "outer":
+            return left_ds
+        raise ValueError("equi_join: outer join needs a typed left "
+                         "dataset (zero-block left has no schema)")
     lcols = list(lschema.names)
     ltypes = dict(zip(lschema.names, lschema.types))
     rschema = right_ds.schema()
@@ -529,9 +539,14 @@ def equi_join(left_ds, right_ds, left_on: str, right_on: str,
 
         side = g.column("side")
         left = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
-        if left.num_rows == 0:
-            return _empty
         right = g.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        if left.num_rows == 0:
+            if how != "outer" or right.num_rows == 0:
+                return _empty
+            # full outer, no left in this bucket: right rows already
+            # carry the key in the left key column and typed nulls in
+            # every other left column — exactly the unmatched-right row
+            return right.select(out_cols).cast(out_schema)
         if right.num_rows == 0 and how == "inner":
             return _empty
         # Arrow-backed frames: merge's null-fill stays typed (a plain

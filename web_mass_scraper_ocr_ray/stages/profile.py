@@ -127,6 +127,104 @@ def profile_columns(ds, columns: Sequence[str]) -> pa.Table:
     })
 
 
+def ks_distance(ds, value_col: str, group_col: str,
+                group_a, group_b) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    ``value_col`` distributions of two groups — the drift/shift check a
+    corpus pipeline runs when a new crawl's length/quality distribution
+    must be compared against the last one before mixing.
+
+    Integer-exact and division-free: the KS statistic
+    ``D = max_x |F_a(x) − F_b(x)|`` is computed as the integer
+    ``d_num = max |cum_a(x)·n_b − cum_b(x)·n_a|`` (so D = d_num /
+    (n_a·n_b) — the caller divides if it wants the float; the integer
+    is what cross-engine oracles can hash-compare).
+
+    Distributed shape = histogram-broadcast: one pass emits per-batch
+    (value, count_a, count_b) partials — bounded by the batch's
+    DISTINCT values, never its rows — one keyed sum co-locates the
+    histogram, and the cumulative max folds on the driver over
+    O(|value domain|) rows. The corpus never shuffles.
+
+    → one row: (n_a, n_b, d_num).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        mask_a = pc.equal(g, group_a)
+        mask_b = pc.equal(g, group_b)
+        keep = pc.or_(mask_a, mask_b)
+        t2 = pa.table({
+            "value": pc.cast(t.column(value_col), pa.int64()),
+            "ca": pc.cast(mask_a, pa.int64()),
+            "cb": pc.cast(mask_b, pa.int64()),
+        }).filter(keep)
+        return t2.group_by("value").aggregate(
+            [("ca", "sum"), ("cb", "sum")]
+        ).rename_columns(["value", "ca", "cb"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "value").aggregate(
+        Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"),
+    ).to_pandas().sort_values("value")
+    ca = hist["ca"].to_numpy().astype(np.int64)
+    cb = hist["cb"].to_numpy().astype(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    d_num = int(np.max(np.abs(
+        np.cumsum(ca) * n_b - np.cumsum(cb) * n_a))) if len(ca) else 0
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+    })
+
+
+def constraint_audit(ds, checks, unique_col: str | None = None
+                     ) -> pa.Table:
+    """Schema/constraint violation census — data-quality gate for an
+    untrusted 100 TB drop: count rows violating each named predicate
+    (nulls, out-of-domain enums, cross-column invariants) plus an
+    optional uniqueness constraint, WITHOUT materializing any violator
+    rows (at scale the audit must cost one streaming pass, not a
+    filter-and-collect).
+
+    ``checks``: {name: fn(pa.Table) → int violation count for the
+    batch}. Each batch emits ONE partial row of k counters; a global
+    Sum folds them — zero shuffle. The uniqueness check rides the
+    :func:`profile_columns` fused distinct exchange (duplicates =
+    n_rows − n_distinct), the only part that must see keys globally.
+
+    → one row per check: (check, n_violations), uniqueness last as
+    ``duplicate_<col>``.
+    """
+    from ray.data.aggregate import Sum
+
+    names = list(checks)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = {f"v_{i}": pa.array([int(checks[nm](t))], pa.int64())
+               for i, nm in enumerate(names)}
+        return pa.table(out)
+
+    aggs = [Sum(f"v_{i}", alias_name=f"v_{i}")
+            for i in range(len(names))]
+    totals = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *aggs)
+    out_names = list(names)
+    out_counts = [int(totals[f"v_{i}"]) for i in range(len(names))]
+    if unique_col is not None:
+        prof = profile_columns(ds, [unique_col])
+        dup = int(prof.column("n_rows")[0].as_py()
+                  - prof.column("n_distinct")[0].as_py())
+        out_names.append(f"duplicate_{unique_col}")
+        out_counts.append(dup)
+    return pa.table({
+        "check": pa.array(out_names, pa.string()),
+        "n_violations": pa.array(out_counts, pa.int64()),
+    })
+
+
 def skyline_2d(ds, max_col: str, min_col: str, id_col: str = "doc_id"):
     """2-D skyline: rows not dominated by any other (dominator has
     ``max_col`` ≥ AND ``min_col`` ≤, at least one strict). Ties at the

@@ -327,6 +327,38 @@ def sample_weighted_bottomk(ds, id_col: str, weight_col: str, k: int):
     ).sort(["prio", id_col]).limit(k)
 
 
+def sample_bottomk_per_group(ds, id_col: str, group_col: str, k: int):
+    """Exact-k uniform sample WITHOUT replacement PER GROUP, RNG-free —
+    the per-source/per-language quota sampler of mixture construction
+    (take exactly k docs from every source, reproducibly). Each row
+    ranks by the same multiplicative id hash as :func:`sample_bottomk`;
+    the k smallest per group win.
+
+    Scale shape = :func:`cap_per_group`: the per-batch per-group
+    bottom-k is a valid partial, so the groupby shuffle carries at most
+    k rows per (group, batch) — a group's full membership never moves.
+    Groups smaller than k keep all their rows (exactly what a quota
+    sampler should do). → input columns + ``hv`` (auditable, and the
+    SQL mirror is a row_number() window over the same hash, tie-free
+    because the odd multiplier is a bijection mod 2³²)."""
+
+    def _hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hv = ((ids.astype(np.uint64) * _MIX) % _M32).astype(np.int64)
+        return t.append_column("hv", pa.array(hv, pa.int64()))
+
+    keys = [("hv", "ascending")]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return _group_topk(t, group_col, k, keys)
+
+    return ds.map_batches(
+        _hash, batch_format="pyarrow"
+    ).map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(group_col).map_groups(_partial, batch_format="pyarrow")
+
+
 def rank_per_group(ds, group_col: str, order_col: str,
                    n_buckets: int = 64):
     """Dense 0-based rank of every row within its group under
