@@ -3701,4 +3701,52 @@ SELECT CAST(max(na) AS BIGINT) AS n_a,
        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
 FROM c
 """,
+        # reciprocal host links: edge-table self-join on swapped keys
+        "host_mutual_links": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, CAST(count(*) AS BIGINT) AS n
+  FROM hl GROUP BY 1, 2
+)
+SELECT e1.src_host AS host_a, e1.dst_host AS host_b,
+       e1.n AS n_ab, e2.n AS n_ba
+FROM edges e1
+JOIN edges e2 ON e1.src_host = e2.dst_host
+            AND e1.dst_host = e2.src_host
+WHERE e1.src_host < e1.dst_host
+""",
+        # path-template census over the exploded outlinks
+        "url_path_templates": f"""
+WITH {_LINK_HL_CTE}
+SELECT dst_host,
+  regexp_replace(
+    regexp_replace(dst_url, 'https?://[^/]*', ''),
+    '[0-9]+', '{{n}}', 'g') AS template,
+  CAST(count(*) AS BIGINT) AS n_urls
+FROM hl GROUP BY 1, 2
+""",
+        # per-host churn between two deterministic snapshot slices
+        "host_churn": """
+WITH a AS (
+  SELECT doc_id, printf('www.host%03d.example.com', doc_id % 50) AS host,
+         md5(text) AS hv
+  FROM documents WHERE doc_id % 10 <> 9
+),
+b AS (
+  SELECT doc_id, printf('www.host%03d.example.com', doc_id % 50) AS host,
+         md5(text || CASE WHEN doc_id % 20 = 0 THEN ' v2' ELSE '' END)
+           AS hv
+  FROM documents WHERE doc_id % 10 <> 4
+)
+SELECT coalesce(a.host, b.host) AS host,
+  CAST(count(*) FILTER (a.doc_id IS NULL) AS BIGINT) AS n_added,
+  CAST(count(*) FILTER (b.doc_id IS NULL) AS BIGINT) AS n_removed,
+  CAST(count(*) FILTER (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                        AND a.hv <> b.hv) AS BIGINT) AS n_changed,
+  CAST(count(*) FILTER (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                        AND a.hv = b.hv) AS BIGINT) AS n_unchanged
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1
+""",
     }

@@ -444,3 +444,36 @@ class TestKcore:
         assert len(a) > 0
         assert (a.host == b.host).all()
         assert (a.core_degree == b.core_degree).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMutualLinks:
+    def _edges(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src_host": pa.array([r[0] for r in rows], pa.string()),
+            "dst_host": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })).repartition(3)
+
+    def test_reciprocal_pairs_and_counts(self):
+        from web_mass_scraper_ocr_ray.stages.linkgraph import mutual_links
+
+        out = mutual_links(self._edges([
+            ("a", "b", 3), ("b", "a", 7),     # mutual
+            ("a", "c", 1),                     # one-way
+            ("c", "d", 2), ("d", "c", 2),     # mutual
+            ("e", "e", 9),                     # self-loop dropped
+        ])).to_pandas().sort_values("host_a").reset_index(drop=True)
+        assert out["host_a"].tolist() == ["a", "c"]
+        assert out["host_b"].tolist() == ["b", "d"]
+        assert out["n_ab"].tolist() == [3, 2]
+        assert out["n_ba"].tolist() == [7, 2]
+
+    def test_no_mutual(self):
+        from web_mass_scraper_ocr_ray.stages.linkgraph import mutual_links
+
+        out = mutual_links(self._edges([
+            ("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]))
+        assert out.count() == 0

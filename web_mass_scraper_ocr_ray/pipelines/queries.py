@@ -5437,6 +5437,125 @@ def q_source_length_ks(sf_dir: str):
                        "n_chars", "source", "src0", "src1")
 
 
+def q_host_mutual_links(sf_dir: str):
+    """Reciprocal host links over the link corpus — link-exchange
+    detection (stages/linkgraph.mutual_links): unordered pairs with
+    both directed edges present, plus each direction's link count.
+    One bucketed exchange on the unbounded pair key."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    return lg.mutual_links(
+        lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir))))
+
+
+def q_url_path_templates(sf_dir: str):
+    """URL path-template census — collapse digit runs in URL paths to
+    ``{n}`` and count urls per (dst_host, template): the crawler-trap /
+    site-structure signal (a host with millions of urls but three
+    templates is a parametric site, not content). Vectorized Arrow RE2
+    per batch (strip scheme+host, digits→{n}), then a map-side-combined
+    keyed sum (stages/shuffle.two_phase_aggregate) — template
+    cardinality is tiny next to url count, so partials collapse early."""
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+    from ..stages.shuffle import two_phase_aggregate
+
+    links = lg.outlinks(synth_link_pages_dataset(sf_dir))
+
+    def _template(t: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            t.column("dst_url"), pattern=r"https?://[^/]*",
+            replacement="", max_replacements=1)
+        tpl = pc.replace_substring_regex(
+            path, pattern=r"[0-9]+", replacement="{n}")
+        return pa.table({
+            "dst_host": t.column("dst_host"),
+            "template": tpl,
+        })
+
+    return two_phase_aggregate(
+        links.map_batches(_template, batch_format="pyarrow"),
+        ("dst_host", "template"), {"n_urls": (None, "count")})
+
+
+def q_host_churn(sf_dir: str):
+    """Per-host churn between two crawl snapshots — the incremental-
+    crawl planning rollup: urls added / removed / changed / unchanged
+    per host. Snapshots are deterministic slices of the corpus
+    (A drops doc_id%10==9, B drops %10==4 and mutates every 20th
+    doc's text). Only (key, host, md5) rows enter the FULL OUTER
+    equi-join (stages/joins.equi_join how="outer" — page text never
+    shuffles); the classification is a stateless map and the final
+    per-host rollup a bounded keyed sum."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import equi_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _snap_a(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d % 10 != 9]
+        return pa.table({
+            "k": pa.array([ids[i] for i in keep], pa.int64()),
+            "host": pa.array(
+                ["www.host%03d.example.com" % (ids[i] % 50)
+                 for i in keep], pa.string()),
+            "hv_a": pa.array(
+                [hashlib.md5(texts[i].encode("utf-8")).hexdigest()
+                 for i in keep], pa.string()),
+        })
+
+    def _snap_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d % 10 != 4]
+        return pa.table({
+            "kb": pa.array([ids[i] for i in keep], pa.int64()),
+            "host_b": pa.array(
+                ["www.host%03d.example.com" % (ids[i] % 50)
+                 for i in keep], pa.string()),
+            "hv_b": pa.array(
+                [hashlib.md5(
+                    (texts[i] + (" v2" if ids[i] % 20 == 0 else "")
+                     ).encode("utf-8")).hexdigest()
+                 for i in keep], pa.string()),
+        })
+
+    a = docs.map_batches(_snap_a, batch_format="pyarrow")
+    b = docs.map_batches(_snap_b, batch_format="pyarrow")
+    joined = equi_join(a, b, "k", "kb", ["host_b", "hv_b"], how="outer")
+
+    def _classify(t: pa.Table) -> pa.Table:
+        in_a = pc.is_valid(t.column("hv_a"))
+        in_b = pc.is_valid(t.column("hv_b"))
+        both = pc.and_(in_a, in_b)
+        changed = pc.and_(both, pc.not_equal(
+            pc.fill_null(t.column("hv_a"), ""),
+            pc.fill_null(t.column("hv_b"), "")))
+        unchanged = pc.and_(both, pc.invert(changed))
+        return pa.table({
+            "host": pc.coalesce(t.column("host"), t.column("host_b")),
+            "n_added": pc.cast(pc.invert(in_a), pa.int64()),
+            "n_removed": pc.cast(pc.invert(in_b), pa.int64()),
+            "n_changed": pc.cast(changed, pa.int64()),
+            "n_unchanged": pc.cast(unchanged, pa.int64()),
+        })
+
+    return joined.map_batches(_classify, batch_format="pyarrow") \
+        .groupby("host").aggregate(
+            Sum("n_added", alias_name="n_added"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("n_unchanged", alias_name="n_unchanged"),
+        )
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -5627,4 +5746,7 @@ QUERIES: Dict[str, callable] = {
     "doc_sample_per_source": q_doc_sample_per_source,
     "docs_schema_audit": q_docs_schema_audit,
     "source_length_ks": q_source_length_ks,
+    "host_mutual_links": q_host_mutual_links,
+    "url_path_templates": q_url_path_templates,
+    "host_churn": q_host_churn,
 }

@@ -523,6 +523,77 @@ def degree_stats(edges_ds):
     )
 
 
+def mutual_links(edges_ds):
+    """Reciprocal host links — unordered pairs {a, b} (a < b) where
+    BOTH directed edges a→b and b→a exist, with each direction's link
+    count: (host_a, host_b, n_ab, n_ba). The classic link-exchange /
+    link-farm signal (organic linking is overwhelmingly asymmetric;
+    dense mutual blocks are trade rings).
+
+    Shape: one per-row canonicalization map (unordered pair + direction
+    flag), then ONE hash-bucketed exchange keyed on the min endpoint —
+    pair keys are unbounded, so per the §10.4 rule they go through
+    bucketed ``map_groups``, never the sort-based keyed groupby. The
+    in-bucket kernel is a single lexsort + run detection: the weighted
+    edge table is distinct per (src, dst), so an unordered pair holds
+    at most two rows and survives iff it holds exactly two (one per
+    direction). Self-loops are dropped. Skew bound = the hottest min
+    endpoint's degree — the same contract as the triangle wedge stage.
+    """
+    from .joins import _bucket_of
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src_host"),
+                                t.column("dst_host"))
+        b = pc.max_element_wise(t.column("src_host"),
+                                t.column("dst_host"))
+        fwd = pc.equal(t.column("src_host"), a)   # edge runs a→b?
+        tb = pa.table({
+            "a": a, "b": b,
+            "fwd": pc.cast(fwd, pa.int8()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        }).filter(pc.not_equal(a, b))
+        return tb.append_column(
+            "_b", _bucket_of(tb.column("a").combine_chunks(), 256))
+
+    _EMPTY = pa.table({
+        "host_a": pa.array([], pa.string()),
+        "host_b": pa.array([], pa.string()),
+        "n_ab": pa.array([], pa.int64()),
+        "n_ba": pa.array([], pa.int64()),
+    })
+
+    def _pair(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _EMPTY
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("a", "ascending"), ("b", "ascending"),
+            ("fwd", "ascending")]))
+        a = g.column("a").combine_chunks()
+        b = g.column("b").combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        same = np.zeros(m, bool)
+        same[1:] = np.asarray(pc.and_(
+            pc.equal(a.slice(1), a.slice(0, m - 1)),
+            pc.equal(b.slice(1), b.slice(0, m - 1))))
+        # row i closes a 2-row run: i-1 is fwd=0 (b→a), i is fwd=1 (a→b)
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return _EMPTY
+        take_hi = pa.array(idx)
+        return pa.table({
+            "host_a": a.take(take_hi),
+            "host_b": b.take(take_hi),
+            "n_ab": pa.array(n[idx], pa.int64()),
+            "n_ba": pa.array(n[idx - 1], pa.int64()),
+        })
+
+    return edges_ds.map_batches(
+        _canon, batch_format="pyarrow"
+    ).groupby("_b").map_groups(_pair, batch_format="pyarrow")
+
+
 def host_triangles(edges_ds, src_col: str = "src_host",
                    dst_col: str = "dst_host"):
     """Per-host triangle counts of the undirected simple host graph →
