@@ -3749,4 +3749,29 @@ SELECT coalesce(a.host, b.host) AS host,
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 GROUP BY 1
 """,
+        # domain-prior gating: pr5 rank joined onto every doc's host
+        "doc_rank_prior": f"""
+WITH {_LINK_HL_CTE},
+edges AS (
+  SELECT printf('www.host%03d.example.com', d % 50) AS src_host,
+         dst_host, count(*) AS n
+  FROM hl GROUP BY 1, 2
+),
+outdeg AS (SELECT src_host, sum(n) AS out_n FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges)
+),
+pr0 AS (
+  SELECT host, CAST(1000000000000 AS BIGINT) AS rank_score FROM nodes
+){_PR_ITER_CTES}
+SELECT d.doc_id,
+  printf('www.host%03d.example.com', d.doc_id % 50) AS host,
+  CAST(coalesce(p.rank_score, 0) AS BIGINT) AS rank_score,
+  coalesce(p.rank_score, 0) >= 860000000000 AS keep_prior
+FROM documents d
+LEFT JOIN pr5 p
+  ON p.host = printf('www.host%03d.example.com', d.doc_id % 50)
+""",
     }

@@ -5556,6 +5556,43 @@ def q_host_churn(sf_dir: str):
         )
 
 
+def q_doc_rank_prior(sf_dir: str):
+    """Domain-prior quality gating (the FineWeb pattern, composed from
+    two families): integer PageRank over the host graph → the bounded
+    host→rank map broadcast once via ``ray.put`` → stateless per-batch
+    lookup stamps every document with its host's rank and a keep flag.
+    The rank vector is the SMALL side even when the page corpus is
+    100 TB (SURVEY §10.1 scale note a) — documents never shuffle."""
+    import ray
+
+    from ..sources.pages import synth_link_pages_dataset
+    from ..stages import linkgraph as lg
+
+    ranks = lg.pagerank_hosts(
+        lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir))))
+    rank_map = {r["host"]: r["rank_score"] for r in ranks.take_all()}
+    ref = ray.put(rank_map)
+    thresh = 860_000_000_000
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        rm = ray.get(ref)
+        ids = t.column("doc_id").to_pylist()
+        rs = [rm.get("www.host%03d.example.com" % (d % 50), 0)
+              for d in ids]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "host": pa.array(
+                ["www.host%03d.example.com" % (d % 50) for d in ids],
+                pa.string()),
+            "rank_score": pa.array(rs, pa.int64()),
+            "keep_prior": pa.array([r >= thresh for r in rs],
+                                   pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _stamp, batch_format="pyarrow")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -5749,4 +5786,5 @@ QUERIES: Dict[str, callable] = {
     "host_mutual_links": q_host_mutual_links,
     "url_path_templates": q_url_path_templates,
     "host_churn": q_host_churn,
+    "doc_rank_prior": q_doc_rank_prior,
 }
