@@ -272,6 +272,15 @@ def run_bench() -> dict:
         "doc_cdc_dedup",
         "host_crawl_budget",
         "host_kcore",
+        "forecast_revenue",
+        "customer_order_outer",
+        "doc_sample_per_source",
+        "docs_schema_audit",
+        "source_length_ks",
+        "host_mutual_links",
+        "url_path_templates",
+        "host_churn",
+        "doc_rank_prior",
     )
     for name in query_names:
         t0 = time.monotonic()
