@@ -3774,4 +3774,53 @@ FROM documents d
 LEFT JOIN pr5 p
   ON p.host = printf('www.host%03d.example.com', d.doc_id % 50)
 """,
+        # forward interval PAIR join: gap strictly positive, <= 30 min
+        "events_window_pairs": """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id,
+  c.event_id AS left_id, p.event_id AS right_id,
+  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM c JOIN p ON p.user_id = c.user_id
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+        # real resize claims as constants (the image_phash_dct pattern):
+        # 64x64 scenes -> 16x16 BMP thumb = 54 + 16*16*3 bytes; area
+        # resampling preserves the milli-quantized mean within 1
+        "image_resize": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(64 AS BIGINT) AS in_h, CAST(64 AS BIGINT) AS in_w,
+  CAST(16 AS BIGINT) AS out_h, CAST(16 AS BIGINT) AS out_w,
+  CAST(822 AS BIGINT) AS thumb_n_bytes,
+  TRUE AS mean_ok
+FROM documents
+""",
+        # Morton interleave of (user_id & 1023, centi-value // 64 & 1023)
+        "events_zorder": """
+WITH ax_bx AS (
+  SELECT event_id,
+    user_id & 1023 AS ax,
+    (CAST(round(value * 100) AS BIGINT) // 64) & 1023 AS bx
+  FROM events
+),
+z AS (
+  SELECT event_id, ax, bx,
+    (((ax >> 0) & 1) << 0) | (((bx >> 0) & 1) << 1)
+      | (((ax >> 1) & 1) << 2) | (((bx >> 1) & 1) << 3)
+      | (((ax >> 2) & 1) << 4) | (((bx >> 2) & 1) << 5)
+      | (((ax >> 3) & 1) << 6) | (((bx >> 3) & 1) << 7)
+      | (((ax >> 4) & 1) << 8) | (((bx >> 4) & 1) << 9)
+      | (((ax >> 5) & 1) << 10) | (((bx >> 5) & 1) << 11)
+      | (((ax >> 6) & 1) << 12) | (((bx >> 6) & 1) << 13)
+      | (((ax >> 7) & 1) << 14) | (((bx >> 7) & 1) << 15)
+      | (((ax >> 8) & 1) << 16) | (((bx >> 8) & 1) << 17)
+      | (((ax >> 9) & 1) << 18) | (((bx >> 9) & 1) << 19) AS zkey
+  FROM ax_bx
+)
+SELECT event_id, ax, bx, CAST(zkey AS BIGINT) AS zkey,
+  CAST(zkey >> 14 AS BIGINT) AS zshard
+FROM z
+""",
     }

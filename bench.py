@@ -281,6 +281,9 @@ def run_bench() -> dict:
         "url_path_templates",
         "host_churn",
         "doc_rank_prior",
+        "events_window_pairs",
+        "image_resize",
+        "events_zorder",
     )
     for name in query_names:
         t0 = time.monotonic()

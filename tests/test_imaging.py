@@ -157,3 +157,79 @@ class TestActorPoolDctPath:
         # corrupt header → ok=False, not an exception
         bad = b"BM" + payload[2:20]
         assert dec._decode_one(bad, "image/bmp")["ok"] is False
+
+
+class TestImageResizer:
+    def _media(self):
+        rows = [
+            (1, encode_bmp(synth_image(3, 64, 64)), "image/bmp"),
+            (2, encode_bmp(synth_image(7, 40, 72)), "image/bmp"),
+            (99, b"plain text", "text/plain"),
+        ]
+        return pa.table({
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+            "mime": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_thumb_roundtrip_and_mean_preservation(self, ray_session):
+        import ray.data as rd
+
+        out = rd.from_arrow(self._media()).map_batches(
+            mm.ImageResizer,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow", concurrency=1,
+        ).to_pandas().set_index("media_id")
+
+        # non-image passes through with nulls
+        assert out.loc[99, "thumb"] is None
+
+        for mid, (seed, h, w) in {1: (3, 64, 64), 2: (7, 40, 72)}.items():
+            assert (out.loc[mid, "in_h"], out.loc[mid, "in_w"]) == (h, w)
+            thumb = decode_bmp(bytes(out.loc[mid, "thumb"]))
+            assert thumb.shape == (16, 16, 3)
+            # area resampling is mass-preserving: the milli-quantized
+            # means agree within 1 (fp rounding only)
+            assert abs(out.loc[mid, "mean_milli_in"]
+                       - out.loc[mid, "mean_milli_out"]) <= 1
+            # thumb pixels are the rounded area-averages of the source
+            gray = to_gray_u8(decode_bmp(encode_bmp(synth_image(seed, h, w))))
+            small = resize_area(gray.astype(np.float64), 16, 16)
+            expect = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+            assert np.array_equal(thumb[:, :, 0], expect)
+
+    def test_strict_rejects_compressed(self):
+        r = mm.ImageResizer(strict=True)
+        batch = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\xff\xd8\xff fake-jpeg"], pa.binary()),
+            "mime": pa.array(["image/jpeg"], pa.string()),
+        })
+        with pytest.raises(NotImplementedError):
+            r(batch)
+
+    def test_nonstrict_nulls_undecodable(self):
+        r = mm.ImageResizer(strict=False)
+        batch = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\xff\xd8\xff fake-jpeg"], pa.binary()),
+            "mime": pa.array(["image/jpeg"], pa.string()),
+        })
+        out = r(batch)
+        assert out.column("thumb").to_pylist() == [None]
+        assert out.column("in_h").to_pylist() == [None]
+
+    def test_weight_cache_reused_across_batches(self):
+        r = mm.ImageResizer()
+        p = encode_bmp(synth_image(5, 32, 48))
+        batch = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([p], pa.binary()),
+            "mime": pa.array(["image/bmp"], pa.string()),
+        })
+        r(batch)
+        assert (32, 48) in r._wcache
+        wh, ww = r._wcache[(32, 48)]
+        r(batch)  # same dims: cache hit, same objects
+        assert r._wcache[(32, 48)][0] is wh
+        assert r._wcache[(32, 48)][1] is ww

@@ -632,3 +632,79 @@ class TestEquiJoinOuter:
         right = _ds({"rk": [1], "rv": [1]})
         with pytest.raises(ValueError, match="how"):
             equi_join(left, right, "k", "rk", ["rv"], how="right")
+
+
+class TestWindowPairJoin:
+    def test_boundary_inclusivity(self, ray_session):
+        """gap = 0 is EXCLUDED, gap = window is INCLUDED."""
+        from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+        w_us = 30 * 60 * 1_000_000
+        left = _ds({"event_id": [1], "user_id": [5], "ts": [_t(60)]})
+        right = _ds({
+            "event_id": [10, 11, 12, 13],
+            "user_id": [5, 5, 5, 5],
+            "ts": [_t(60), _t(60.001), _t(90), _t(90.001)],
+        })
+        out = window_pair_join(
+            left, right, key="user_id", on="ts", window_us=w_us,
+        ).to_pandas().sort_values("right_id")
+        assert out["right_id"].tolist() == [11, 12]
+        assert out["left_id"].tolist() == [1, 1]
+        assert out["gap_us"].tolist() == [60_000, w_us]
+
+    def test_match_across_bucket_boundary_no_dups(self, ray_session):
+        """Left at minute 29: its forward window spans its own bucket
+        and the next one — found via left replication, exactly once."""
+        from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+        w_us = 30 * 60 * 1_000_000
+        left = _ds({"event_id": [1], "user_id": [2], "ts": [_t(29)]})
+        right = _ds({"event_id": [10, 11], "user_id": [2, 2],
+                     "ts": [_t(29.5), _t(45)]})
+        out = window_pair_join(
+            left, right, key="user_id", on="ts", window_us=w_us,
+        ).to_pandas().sort_values("right_id")
+        assert out["right_id"].tolist() == [10, 11]
+        assert len(out) == 2  # each pair emitted exactly once
+
+    def test_keys_do_not_cross_and_empty(self, ray_session):
+        from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+        left = _ds({"event_id": [1, 2], "user_id": [2, 3],
+                    "ts": [_t(0), _t(0)]})
+        # user 9 never matches; user 2 matches once (schema anchor)
+        right = _ds({"event_id": [10, 11], "user_id": [9, 2],
+                     "ts": [_t(1), _t(1)]})
+        out = window_pair_join(
+            left, right, key="user_id", on="ts",
+            window_us=60 * 60 * 1_000_000,
+        ).to_pandas()
+        assert list(out.columns) == [
+            "user_id", "left_id", "right_id", "gap_us"]
+        assert out["right_id"].tolist() == [11]
+        assert out["user_id"].tolist() == [2]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=25),
+       st.lists(_event, min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=2000))
+def test_window_pair_join_matches_bruteforce(ray_session, lefts, rights,
+                                             wmin):
+    from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+    w_us = wmin * 6_000_000
+    L, R = _mk(lefts, 0), _mk(rights, 1000)
+    out = window_pair_join(
+        _ds(L), _ds(R), key="user_id", on="ts", window_us=w_us,
+    ).to_pandas()
+    got = ([] if len(out) == 0 else
+           sorted(zip(out["left_id"], out["right_id"], out["gap_us"])))
+    expect = sorted(
+        (li, rid, (rt - t) * 6_000_000)
+        for li, (u, t) in enumerate(lefts)
+        for rid, (ru, rt) in enumerate(rights, start=1000)
+        if ru == u and 0 < (rt - t) * 6_000_000 <= w_us
+    )
+    assert got == expect

@@ -458,3 +458,62 @@ class TestSampleBottomkPerGroup:
                 hv[i] for i in range(100) if groups[i] == g)[:4]
             got = sorted(out[out["g"] == g]["hv"].tolist())
             assert got == want
+
+
+class TestZorderLayout:
+    def test_zorder_key_interleaves_bits(self):
+        import numpy as np
+        from web_mass_scraper_ocr_ray.stages.shuffle import zorder_key
+
+        a = np.array([0b101, 0, 1023])
+        b = np.array([0b011, 0, 1023])
+        z = zorder_key(a, b, bits=10)
+        # bit i of a -> 2i, bit i of b -> 2i+1
+        assert z[0] == (1 << 0) | (1 << 1) | (1 << 3) | (1 << 4)
+        assert z[1] == 0
+        assert z[2] == (1 << 20) - 1
+
+    def test_zorder_key_rejects_out_of_range(self):
+        import numpy as np
+        import pytest
+        from web_mass_scraper_ocr_ray.stages.shuffle import zorder_key
+
+        with pytest.raises(ValueError, match="negative"):
+            zorder_key(np.array([-1]), np.array([0]), bits=4)
+        with pytest.raises(ValueError, match="exceed"):
+            zorder_key(np.array([16]), np.array([0]), bits=4)
+
+    def test_layout_locality_and_shard_pruning(self, ray_session):
+        """The point of Z-order: a range predicate on EITHER axis maps
+        to a bounded set of shards (both axes prune), unlike a
+        single-axis sort where only the leading axis prunes."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.shuffle import zorder_layout
+
+        n = 1 << 10
+        rng = np.arange(n)
+        a = rng % 32          # 5 bits used
+        b = (rng // 32) % 32  # 5 bits used
+        ds = rd.from_arrow(pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}))
+        out = zorder_layout(ds, "a", "b", bits=5, n_shards=16).to_pandas()
+        assert len(out) == n
+        assert out["zshard"].nunique() == 16
+        assert (out["zshard"].to_numpy()
+                == (out["zkey"].to_numpy() >> 6)).all()
+        # each axis's low range touches only a strict subset of shards
+        for col in ("a", "b"):
+            hit = out.loc[out[col] < 8, "zshard"].nunique()
+            assert hit <= 8, f"{col}-range hits {hit} shards of 16"
+
+    def test_rejects_non_power_of_two_shards(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        import pytest
+        from web_mass_scraper_ocr_ray.stages.shuffle import zorder_layout
+
+        ds = rd.from_arrow(pa.table({"a": [1], "b": [1]}))
+        with pytest.raises(ValueError, match="power of two"):
+            zorder_layout(ds, "a", "b", bits=4, n_shards=6)

@@ -5593,6 +5593,112 @@ def q_doc_rank_prior(sf_dir: str):
         _stamp, batch_format="pyarrow")
 
 
+def q_events_window_pairs(sf_dir: str):
+    """Forward-window PAIR join (stream-stream attribution): every
+    (click → purchase-by-same-user-within-30-min) pair, EMITTED (not
+    counted — the interval-join shape Ray Data lacks natively). One
+    (user, time-bucket) co-partition shuffle with left-side boundary
+    replication; in-group matching is two searchsorted calls over a
+    composite key (stages/joins.window_pair_join), no pair loop."""
+    from ..stages.joins import window_pair_join
+
+    return window_pair_join(
+        _events_of_type(sf_dir, "click"),
+        _events_of_type(sf_dir, "purchase"),
+        key="user_id", on="ts",
+        window_us=30 * 60 * 1_000_000,
+    )
+
+
+def q_image_resize(sf_dir: str):
+    """REAL-kernel image thumbnailing through the actor pool: the
+    phash-gate's 64×64 BMP scenes (same synthesis contract as
+    q_image_phash_dct) decoded, area-resampled to 16×16 and re-encoded
+    by stages/multimodal.ImageResizer — real pixels end-to-end. Claims
+    carried per row: area resampling is mass-preserving, so the milli-
+    quantized gray means of input and thumbnail differ by ≤ 1
+    (mean_ok), and the BMP thumb is a fixed 822-byte envelope
+    (54-byte header + 16·16·3 pixels, rows unpadded)."""
+    from ..functions.imaging import encode_bmp, synth_image
+
+    N_SCENES = 37
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seeds = ids % N_SCENES
+        bright = (ids // N_SCENES) % 3 * 8
+        cache = {}
+        payloads = []
+        for s, b in zip(seeds.tolist(), bright.tolist()):
+            p = cache.get((s, b))
+            if p is None:
+                p = cache[(s, b)] = encode_bmp(
+                    synth_image(s, brightness=b))
+            payloads.append(p)
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(payloads), pa.string()),
+        })
+
+    resized = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_synth, batch_format="pyarrow")
+        .map_batches(
+            mm.ImageResizer, fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow", batch_size=256, concurrency=2,
+        )
+    )
+
+    def _claims(t: pa.Table) -> pa.Table:
+        thumbs = t.column("thumb").to_pylist()
+        mi = t.column("mean_milli_in").to_numpy(zero_copy_only=False)
+        mo = t.column("mean_milli_out").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "in_h": t.column("in_h"), "in_w": t.column("in_w"),
+            "out_h": t.column("out_h"), "out_w": t.column("out_w"),
+            "thumb_n_bytes": pa.array(
+                [len(b) for b in thumbs], pa.int64()),
+            "mean_ok": pa.array(
+                (abs(mi - mo) <= 1).tolist(), pa.bool_()),
+        })
+
+    return resized.map_batches(_claims, batch_format="pyarrow")
+
+
+def q_events_zorder(sf_dir: str):
+    """Z-order (Morton) layout assignment over two bounded integer
+    axes — user_id and the centi-value's coarse bucket — so range
+    predicates on EITHER axis prune shards (the Delta/Iceberg
+    OPTIMIZE ZORDER idea as a first-class op). Stateless per-batch
+    stamp (stages/shuffle.zorder_layout): no histogram, no sort, no
+    shuffle; shard = the key's top bits, reproducible across runs and
+    cluster sizes."""
+    import ray.data as rd
+
+    from ..stages.shuffle import zorder_layout
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def _axes(t: pa.Table) -> pa.Table:
+        ax = pc.cast(pc.bit_wise_and(t.column("user_id"),
+                                     pa.scalar(1023, pa.int64())),
+                     pa.int64())
+        centi = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        bx = pc.bit_wise_and(pc.divide(centi, pa.scalar(64, pa.int64())),
+                             pa.scalar(1023, pa.int64()))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ax": ax, "bx": bx,
+        })
+
+    return zorder_layout(ev.map_batches(_axes, batch_format="pyarrow"),
+                         "ax", "bx", bits=10, n_shards=64)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -5787,4 +5893,7 @@ QUERIES: Dict[str, callable] = {
     "url_path_templates": q_url_path_templates,
     "host_churn": q_host_churn,
     "doc_rank_prior": q_doc_rank_prior,
+    "events_window_pairs": q_events_window_pairs,
+    "image_resize": q_image_resize,
+    "events_zorder": q_events_zorder,
 }

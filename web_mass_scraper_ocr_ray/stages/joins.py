@@ -285,6 +285,134 @@ def range_count_join(left_ds, right_ds, key: str, on: str,
     ).map_groups(_count_coarse, batch_format="pandas")
 
 
+def window_pair_join(left_ds, right_ds, key: str, on: str,
+                     window_us: int,
+                     left_id_col: str = "event_id",
+                     right_id_col: str = "event_id"):
+    """Forward window PAIR join (the stream-stream interval join): for
+    each left row emit one output row per right row with the same
+    ``key`` and ``on`` in (left.on, left.on + window] — the
+    view→purchase attribution shape. Unlike :func:`range_count_join`
+    this EMITS the matched pairs (id, id, gap), not a count.
+
+    Same co-partition trick, mirrored forward: bucket both sides by
+    (key, floor(on/window)); each LEFT row is duplicated into its own
+    bucket and the NEXT one (its forward window spans at most two
+    buckets), right rows stay single — so every (left, right) match
+    co-locates in exactly ONE group and no pair is emitted twice.
+    In-group matching is two vectorized ``searchsorted`` calls over a
+    composite (fine-group, ts) key plus ``np.repeat``/arange index
+    arithmetic — no Python pair loop (§10.4). Pair volume is the true
+    join cardinality (SQL semantics): the window bounds it on real
+    event streams; a degenerate key×window hot spot bounds group
+    memory exactly like any keyed shuffle here — salt or pre-filter
+    the hot side.
+
+    ``left_id_col`` / ``right_id_col`` name each side's INPUT id
+    column; the output ids are always emitted as ``left_id`` /
+    ``right_id``.
+
+    → (key, left_id, right_id, gap_us) with gap_us ∈ (0, window].
+    """
+
+    def _tag(side: int, id_col: str, dup: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t.column(on), pa.int64())
+            b = pc.divide(ts, pa.scalar(window_us, pa.int64()))
+            cols = {
+                key: pc.cast(t.column(key), pa.int64()),
+                "__on_us": ts,
+                "__rid": pc.cast(t.column(id_col), pa.int64()),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            }
+            base = pa.table({**cols, "tbucket": pc.cast(b, pa.int64())})
+            if not dup:
+                return base
+            nxt = pa.table({**cols, "tbucket": pc.cast(
+                pc.add(b, pa.scalar(1, pa.int64())), pa.int64())})
+            return pa.concat_tables([base, nxt]).combine_chunks()
+
+        return _f
+
+    l_tagged = left_ds.select_columns(
+        [key, on, left_id_col]).map_batches(
+        _tag(0, left_id_col, dup=True), batch_format="pyarrow")
+    r_tagged = right_ds.select_columns(
+        [key, on, right_id_col]).map_batches(
+        _tag(1, right_id_col, dup=False), batch_format="pyarrow")
+    tagged = l_tagged.union(r_tagged)
+
+    def _pack(t: pa.Table) -> pa.Table:
+        packed = pc.add(
+            pc.multiply(pc.cast(t.column(key), pa.int64()),
+                        pa.scalar(2**32, pa.int64())),
+            pc.add(t.column("tbucket"), pa.scalar(2**20, pa.int64())),
+        )
+        mixed = pc.multiply(
+            pc.cast(packed, pa.uint64()),
+            pa.scalar(0x9E3779B97F4A7C15, pa.uint64()))
+        coarse = pc.bit_wise_and(
+            pc.shift_right(mixed, pa.scalar(np.uint64(32), pa.uint64())),
+            pa.scalar(np.uint64(N_JOIN_BUCKETS - 1), pa.uint64()),
+        )
+        return t.append_column("gkey", packed).append_column(
+            "coarse", pc.cast(coarse, pa.int64()))
+
+    _empty = pa.table({
+        key: pa.array([], pa.int64()),
+        "left_id": pa.array([], pa.int64()),
+        "right_id": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+    })
+
+    def _match(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return _empty
+        codes = np.unique(g.column("gkey").to_numpy(
+            zero_copy_only=False), return_inverse=True)[1].astype(
+            np.int64)
+        ts = g.column("__on_us").to_numpy(zero_copy_only=False)
+        # per-fine-group ts normalization (span ≤ 2 windows) so the
+        # composite never overflows int64 for year-scale timestamps
+        order = np.lexsort((ts, codes))
+        oc, ot = codes[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+        base = np.zeros(int(codes.max()) + 1, dtype=np.int64)
+        base[oc[starts]] = ot[starts]
+        tsn = ts - base[codes]
+        T = int(tsn.max()) + window_us + 2
+        comp = codes * T + tsn
+        rsel = np.flatnonzero(~lmask)
+        rorder = rsel[np.argsort(comp[rsel], kind="stable")]
+        rcomp = comp[rorder]
+        lsel = np.flatnonzero(lmask)
+        lo = np.searchsorted(rcomp, comp[lsel], side="right")
+        hi = np.searchsorted(rcomp, comp[lsel] + window_us,
+                             side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return _empty
+        li = np.repeat(np.arange(len(lsel)), cnt)
+        # within-row offsets: arange over the flattened match ranges
+        offs = np.arange(int(cnt.sum())) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        ri = rorder[np.repeat(lo, cnt) + offs]
+        lrows = lsel[li]
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        rids = g.column("__rid").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: pa.array(keys[lrows], pa.int64()),
+            "left_id": pa.array(rids[lrows], pa.int64()),
+            "right_id": pa.array(rids[ri], pa.int64()),
+            "gap_us": pa.array(ts[ri] - ts[lrows], pa.int64()),
+        })
+
+    return tagged.map_batches(_pack, batch_format="pyarrow").groupby(
+        "coarse").map_groups(_match, batch_format="pyarrow")
+
+
 # ---- keyed anti-join -------------------------------------------------------
 
 def _bucket_of(keys_col, n_buckets: int) -> pa.Array:

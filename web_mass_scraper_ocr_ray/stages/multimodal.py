@@ -286,3 +286,79 @@ class AudioFeaturizer:
                 c, pa.array([r[c] if r else None for r in rows],
                             pa.int64()))
         return out
+
+
+class ImageResizer:
+    """REAL image thumbnail stage: decode BMP → exact area-average
+    resample to (out_h, out_w) (functions/imaging.resize_area — real
+    pixels, float64 interval-overlap weights, no PIL) → re-encode the
+    grayscale thumbnail as BMP. The brief's decode/resize plumbing,
+    end-to-end real in-sandbox; a PIL deployment swaps only
+    ``imaging.decode_image``.
+
+    Stateful-stage rule: the (in_dims → weight matrices) cache lives on
+    the ACTOR (bounded by distinct input dims), so repeated dims pay
+    the weight build once per actor, not per image. Area resampling is
+    mass-preserving, so the mean gray level is invariant up to float
+    rounding — emitted as milli-level ints (mean_milli_in/out) for the
+    claim gate. Non-image / undecodable rows pass through with nulls
+    (strict surfaces the seam, like :class:`MediaDecoder`).
+    """
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 strict: bool = False):
+        from ..functions import imaging
+
+        self._img = imaging
+        self.out_h, self.out_w = out_h, out_w
+        self.strict = strict
+        self._wcache = {}
+
+    def _resize_one(self, p: bytes):
+        img = self._img
+        gray = img.to_gray_u8(img.decode_image(p))
+        h, w = gray.shape
+        wh_ww = self._wcache.get((h, w))
+        if wh_ww is None:
+            wh_ww = self._wcache[(h, w)] = (
+                img._area_weights(h, self.out_h),
+                img._area_weights(w, self.out_w))
+        small = img.resize_area(gray, self.out_h, self.out_w,
+                                wh=wh_ww[0], ww=wh_ww[1])
+        import numpy as np
+
+        small_u8 = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+        rgb = np.repeat(small_u8[:, :, None], 3, axis=2)
+        return {
+            "thumb": img.encode_bmp(rgb),
+            "in_h": h, "in_w": w,
+            "out_h": self.out_h, "out_w": self.out_w,
+            "mean_milli_in": int(round(float(gray.mean()) * 1000)),
+            "mean_milli_out": int(round(float(small.mean()) * 1000)),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        rows = []
+        for p, m in zip(payloads, mimes):
+            if not (m or "").startswith("image/") or p is None:
+                rows.append(None)
+                continue
+            try:
+                rows.append(self._resize_one(bytes(p)))
+            except ValueError:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-BMP image payload: real decode of compressed "
+                        "formats requires PIL (swap imaging.decode_image)")
+                rows.append(None)
+        out = batch.append_column(
+            "thumb", pa.array(
+                [r["thumb"] if r else None for r in rows], pa.binary()))
+        for c in ("in_h", "in_w", "out_h", "out_w",
+                  "mean_milli_in", "mean_milli_out"):
+            out = out.append_column(
+                c, pa.array([r[c] if r else None for r in rows],
+                            pa.int64()))
+        return out

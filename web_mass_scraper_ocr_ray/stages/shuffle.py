@@ -369,3 +369,61 @@ def first_of_run(starts: np.ndarray) -> np.ndarray:
 
     return np.maximum.accumulate(
         np.where(starts, np.arange(len(starts)), 0))
+
+
+def zorder_key(a: "np.ndarray", b: "np.ndarray", bits: int) -> "np.ndarray":
+    """Interleave the low ``bits`` of two non-negative integer arrays
+    into a Morton (Z-order) key: bit i of ``a`` → bit 2i, bit i of
+    ``b`` → bit 2i+1. Vectorized shift/mask loop — O(bits) numpy ops
+    per batch, no per-row Python."""
+    import numpy as np
+
+    a = a.astype(np.int64)
+    b = b.astype(np.int64)
+    if (a < 0).any() or (b < 0).any():
+        raise ValueError("zorder_key: negative inputs")
+    if (a >> bits).any() or (b >> bits).any():
+        raise ValueError(f"zorder_key: inputs exceed {bits} bits")
+    z = np.zeros(len(a), np.int64)
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout(ds, col_a: str, col_b: str, bits: int = 10,
+                  n_shards: int = 64):
+    """Z-order (Morton) layout assignment over two bounded integer
+    axes — the data-layout optimization that makes RANGE predicates on
+    EITHER axis prune shards (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    here as a first-class op): rows stamped with the interleaved key
+    and a shard id = the key's top bits.
+
+    Stateless per-batch map — no histogram, no sort, no shuffle: shard
+    boundaries are fixed bit prefixes of the key space, so the
+    assignment is reproducible across runs and cluster sizes, and the
+    actual physical placement is one ``groupby(zshard)`` write away
+    (decoupled, like part_id vs commit groups). A value-balanced
+    variant would quantile-bucket each axis first (the
+    histogram-broadcast pattern) — documented, not needed for bounded
+    axes like ours.
+
+    → input columns + ``zkey`` + ``zshard``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shift = 2 * bits - (n_shards.bit_length() - 1)
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        av = t.column(col_a).to_numpy(zero_copy_only=False)
+        bv = t.column(col_b).to_numpy(zero_copy_only=False)
+        z = zorder_key(av, bv, bits)
+        return t.append_column(
+            "zkey", pa.array(z, pa.int64())
+        ).append_column(
+            "zshard", pa.array(z >> shift, pa.int64()))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow")
