@@ -3823,4 +3823,70 @@ SELECT event_id, ax, bx, CAST(zkey AS BIGINT) AS zkey,
   CAST(zkey >> 14 AS BIGINT) AS zshard
 FROM z
 """,
+        # ordered funnel: each stage strictly after the previous one's
+        # FIRST completion; unreached stages are -1
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+  CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+       + (t3 IS NOT NULL)::INT AS BIGINT) AS reached,
+  coalesce(epoch_us(t1), -1) AS t1_us,
+  coalesce(epoch_us(t2), -1) AS t2_us,
+  coalesce(epoch_us(t3), -1) AS t3_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
+        # SCD2 over the synthesized snapshot history: doc d has 1+d%4
+        # snapshots; content changes at v>0 iff (d*7+v)%3=0
+        "pages_scd2": """
+WITH vs AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(0, 1 + doc_id % 4)) AS BIGINT) AS v
+  FROM documents
+),
+cv AS (
+  SELECT doc_id, v, text,
+    CAST(sum(CASE WHEN v > 0 AND (doc_id * 7 + v) % 3 = 0
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY v) AS BIGINT) AS c
+  FROM vs
+),
+h AS (SELECT doc_id, v, c,
+             md5(text || '#' || CAST(c AS VARCHAR)) AS hv FROM cv),
+g AS (
+  SELECT doc_id, hv, c AS version_no,
+         min(v) AS valid_from, count(*) AS n_snaps
+  FROM h GROUP BY doc_id, hv, c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, hv,
+  CAST(version_no AS BIGINT) AS version_no,
+  CAST(valid_from AS BIGINT) AS valid_from,
+  CAST(coalesce(lead(valid_from)
+    OVER (PARTITION BY doc_id ORDER BY version_no), -1) AS BIGINT)
+    AS valid_to,
+  CAST(n_snaps AS BIGINT) AS n_snaps
+FROM g
+""",
+        # diversity-constrained top-k: <=5 per source, global top-40,
+        # total order (n_chars DESC, doc_id ASC)
+        "doc_topk_diverse": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS src_rank
+FROM r WHERE rk <= 5
+ORDER BY n_chars DESC, doc_id LIMIT 40
+""",
     }

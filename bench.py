@@ -284,6 +284,9 @@ def run_bench() -> dict:
         "events_window_pairs",
         "image_resize",
         "events_zorder",
+        "events_funnel",
+        "pages_scd2",
+        "doc_topk_diverse",
     )
     for name in query_names:
         t0 = time.monotonic()

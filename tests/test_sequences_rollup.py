@@ -201,3 +201,110 @@ class TestGlobalRunningSum:
                                  n_ranges=64, out_col="run") \
             .to_pandas().sort_values("k")
         assert out["run"].tolist() == [10, 30, 60]
+
+
+class TestOrderedFunnel:
+    def test_progression_and_order_requirement(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import ordered_funnel
+
+        TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+        def t(m):
+            return TS0 + np.timedelta64(m * 60_000_000, "us")
+
+        ev = rd.from_arrow(pa.table({
+            "user_id": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "event_type": ["view", "click", "purchase",
+                           "click", "view",       # out of order: stops at 1
+                           "view",
+                           "view", "purchase", "click"],  # purchase BEFORE
+            "ts": [t(0), t(1), t(2), t(0), t(1), t(5), t(0), t(1), t(2)],
+        }))
+        out = ordered_funnel(
+            ev, ["view", "click", "purchase"]
+        ).to_pandas().set_index("user_id").sort_index()
+        assert out["reached"].tolist() == [3, 1, 1, 2]
+        # unreached stages are -1
+        assert out.loc[2, "t2_us"] == -1 and out.loc[2, "t3_us"] == -1
+        # user 4: click found at t(2) (after view), purchase at t(1) is
+        # BEFORE the click -> not counted
+        assert out.loc[4, "t2_us"] == int(
+            (t(2) - np.datetime64(0, "us")) // np.timedelta64(1, "us"))
+        assert out.loc[4, "t3_us"] == -1
+
+    def test_strictly_after_semantics(self, ray_session):
+        """A stage-2 event at EXACTLY the stage-1 ts does not count."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import ordered_funnel
+
+        TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+        ev = rd.from_arrow(pa.table({
+            "user_id": [7, 7],
+            "event_type": ["view", "click"],
+            "ts": [TS0, TS0],
+        }))
+        out = ordered_funnel(ev, ["view", "click"]).to_pandas()
+        assert out["reached"].tolist() == [1]
+
+    def test_hot_user_spanning_blocks(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import ordered_funnel
+
+        TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+        n = 5000
+        ts = TS0 + np.arange(n) * np.timedelta64(1_000_000, "us")
+        types = np.array(["view"] * n, dtype=object)
+        types[n - 2] = "click"
+        types[n - 1] = "purchase"
+        ev = rd.from_arrow(pa.table({
+            "user_id": pa.array([42] * n, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(ts),
+        })).repartition(8)
+        out = ordered_funnel(ev, ["view", "click", "purchase"]).to_pandas()
+        assert len(out) == 1
+        assert out["reached"].tolist() == [3]
+
+
+class TestScd2Intervals:
+    def test_runs_collapse_and_validity_chain(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import scd2_intervals
+
+        hist = rd.from_arrow(pa.table({
+            "k": [1, 1, 1, 1, 2, 2, 3],
+            "v": [0, 1, 2, 3, 0, 1, 0],
+            "hv": ["a", "a", "b", "b", "x", "y", "z"],
+        }))
+        out = scd2_intervals(hist, "k", "v", "hv").to_pandas()
+        out = out.sort_values(["k", "version_no"], ignore_index=True)
+        assert out["hv"].tolist() == ["a", "b", "x", "y", "z"]
+        assert out["version_no"].tolist() == [0, 1, 0, 1, 0]
+        assert out["valid_from"].tolist() == [0, 2, 0, 1, 0]
+        assert out["valid_to"].tolist() == [2, -1, 1, -1, -1]
+        assert out["n_snaps"].tolist() == [2, 2, 1, 1, 1]
+
+    def test_content_flapping_keeps_distinct_runs(self, ray_session):
+        """a -> b -> a is THREE versions (SCD2 tracks runs, not
+        distinct values)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import scd2_intervals
+
+        hist = rd.from_arrow(pa.table({
+            "k": [5, 5, 5],
+            "v": [0, 1, 2],
+            "hv": ["a", "b", "a"],
+        })).repartition(3)
+        out = scd2_intervals(hist, "k", "v", "hv").to_pandas()
+        out = out.sort_values("version_no", ignore_index=True)
+        assert out["hv"].tolist() == ["a", "b", "a"]
+        assert out["valid_to"].tolist() == [1, 2, -1]

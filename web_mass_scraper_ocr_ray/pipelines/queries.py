@@ -5699,6 +5699,124 @@ def q_events_zorder(sf_dir: str):
                          "ax", "bx", bits=10, n_shards=64)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase per user: each step must
+    occur strictly after the previous step's FIRST completion (the
+    product-analytics funnel). One hash-bucketed shuffle; per stage
+    one vectorized segment-min over the bucket
+    (stages/sequences.ordered_funnel) — no per-user task."""
+    import ray.data as rd
+
+    from ..stages.sequences import ordered_funnel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return ordered_funnel(ev, ["view", "click", "purchase"])
+
+
+def q_pages_scd2(sf_dir: str):
+    """SCD2 intervalization of a synthesized per-doc snapshot history
+    (the crawl-warehouse op: "this version of the page was live from
+    day X to day Y"). History contract: doc d has 1 + d%4 snapshots at
+    days v=0..; content changes at snapshot v>0 iff (d·7+v)%3==0; the
+    content hash is md5(text + '#' + version-counter). Runs of
+    identical content collapse via stages/sequences.scd2_intervals
+    (bucketed sort + reduceat run arithmetic, no per-key loop)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..stages.sequences import scd2_intervals
+
+    def _history(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        n_v = (1 + ids % 4).astype(np.int64)
+        doc = np.repeat(np.arange(len(ids)), n_v)
+        ends = np.cumsum(n_v)
+        v = np.arange(int(ends[-1])) - np.repeat(ends - n_v, n_v)
+        chg = ((ids[doc] * 7 + v) % 3 == 0) & (v > 0)
+        cv_all = np.cumsum(chg)
+        base = cv_all - np.repeat(
+            cv_all[np.r_[0, ends[:-1]]] - chg[np.r_[0, ends[:-1]]],
+            n_v)
+        # base is the within-doc change counter (0 at v=0 by contract)
+        hv = [hashlib.md5(
+            (texts[d] + "#" + str(c)).encode("utf-8")).hexdigest()
+            for d, c in zip(doc.tolist(), base.tolist())]
+        return pa.table({
+            "doc_id": pa.array(ids[doc], pa.int64()),
+            "v": pa.array(v.astype(np.int64), pa.int64()),
+            "hv": pa.array(hv, pa.string()),
+        })
+
+    hist = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _history, batch_format="pyarrow")
+    return scd2_intervals(hist, "doc_id", "v", "hv")
+
+
+def q_doc_topk_diverse(sf_dir: str):
+    """Diversity-constrained selection: global top-40 docs by length
+    with AT MOST 5 per source (the training-mix curation op — a plain
+    top-k would let one dominant source fill the whole budget).
+    Map-side partial per-source top-5 prunes each block BEFORE the
+    shuffle (per-source top-m is a semilattice, so partials compose);
+    the exact per-source rank runs on the pruned remainder
+    (rank_per_group), and the global cut is a tiny sort+limit."""
+    import numpy as np
+
+    from ..stages.sampling import rank_per_group
+
+    M_PER_SRC, K = 5, 40
+
+    def _ord(t: pa.Table) -> pa.Table:
+        # ascending ord == (n_chars DESC, doc_id ASC); both < 1e9
+        o = pc.add(
+            pc.multiply(
+                pc.subtract(pa.scalar(10**9, pa.int64()),
+                            pc.cast(t.column("n_chars"), pa.int64())),
+                pa.scalar(10**9, pa.int64())),
+            t.column("doc_id"))
+        return t.append_column("ord", o)
+
+    def _partial_topm(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        o = t.column("ord").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((o, src))
+        s_sorted = src[idx]
+        starts = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        first = np.maximum.accumulate(
+            np.where(starts, np.arange(len(idx)), 0))
+        keep = idx[(np.arange(len(idx)) - first) < M_PER_SRC]
+        return t.take(pa.array(np.sort(keep)))
+
+    pruned = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(_ord, batch_format="pyarrow")
+        .map_batches(_partial_topm, batch_format="pyarrow")
+    )
+    ranked = rank_per_group(pruned, group_col="source", order_col="ord")
+
+    def _cut(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("group_rank"),
+                             pa.scalar(M_PER_SRC, pa.int64())))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "src_rank": pc.add(pc.cast(t.column("group_rank"),
+                                       pa.int64()),
+                               pa.scalar(1, pa.int64())),
+            "ord": t.column("ord"),
+        })
+
+    final = (ranked.map_batches(_cut, batch_format="pyarrow")
+             .sort("ord").limit(K))
+    tbl = pa.concat_tables(list(
+        final.iter_batches(batch_format="pyarrow", batch_size=K)))
+    return tbl.drop_columns(["ord"])
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -5896,4 +6014,7 @@ QUERIES: Dict[str, callable] = {
     "events_window_pairs": q_events_window_pairs,
     "image_resize": q_image_resize,
     "events_zorder": q_events_zorder,
+    "events_funnel": q_events_funnel,
+    "pages_scd2": q_pages_scd2,
+    "doc_topk_diverse": q_doc_topk_diverse,
 }

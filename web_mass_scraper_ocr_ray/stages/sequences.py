@@ -174,3 +174,129 @@ def global_running_sum(ds, order_col: str, val_col: str,
 
     return bucketed.groupby("_b").map_groups(_scan,
                                              batch_format="pandas")
+
+
+def ordered_funnel(ev_ds, stages, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   n_buckets: int = 64):
+    """Ordered funnel per entity: how far each user progresses through
+    ``stages`` (each step must occur STRICTLY AFTER the previous
+    step's first completion — the classic product-analytics funnel,
+    here as a distributed op with no per-user task).
+
+    Shape: hash-bucket users (shuffle.bucketed_map_groups — skew-proof
+    on the unbounded key), ONE (user, ts) sort per bucket, then per
+    stage k one vectorized segment-min over the bucket
+    (np.minimum.reduceat on a masked ts array): t_k[user] = min ts of
+    a stage-k event with ts > t_{k-1}[user]. O(len(stages)) numpy
+    passes per bucket, never a per-user or per-row loop (§10.4).
+
+    → (user_id, reached, t1_us..tK_us); unreached stage times are -1.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_map_groups
+
+    k_stages = list(stages)
+    t_cols = [f"t{i + 1}_us" for i in range(len(k_stages))]
+    out_schema = pa.schema(
+        [(user_col, pa.int64()), ("reached", pa.int64())]
+        + [(c, pa.int64()) for c in t_cols])
+
+    def _funnel(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (user_col, "ascending"), (ts_col, "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column(user_col).to_numpy(zero_copy_only=False)
+        ts = pc.cast(s.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        typ = s.column(type_col).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        starts = np.flatnonzero(
+            np.r_[True, uid[1:] != uid[:-1]])          # run offsets
+        run_of = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
+        prev = np.full(len(starts), -np.inf)           # t_0 = -inf
+        stage_ts = []
+        for st in k_stages:
+            cand = np.where(
+                (typ == st) & (ts > prev[run_of]), ts, np.inf)
+            t_k = np.minimum.reduceat(cand, starts)
+            stage_ts.append(t_k)
+            prev = t_k                                  # inf stays inf
+        reached = np.sum([np.isfinite(t) for t in stage_ts], axis=0)
+        cols = {
+            user_col: pa.array(uid[starts], pa.int64()),
+            "reached": pa.array(reached.astype(np.int64), pa.int64()),
+        }
+        for c, t_k in zip(t_cols, stage_ts):
+            v = np.where(np.isfinite(t_k), t_k, -1).astype(np.int64)
+            cols[c] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    return bucketed_map_groups(
+        ev_ds, user_col, _funnel, n_buckets=n_buckets,
+        out_schema=out_schema)
+
+
+def scd2_intervals(ds, key_col: str, order_col: str, hash_col: str,
+                   n_buckets: int = 64):
+    """Slowly-changing-dimension (SCD2) intervalization: collapse a
+    per-key snapshot HISTORY (one row per observation, ``order_col``
+    ordinal, ``hash_col`` content fingerprint) into validity
+    intervals — one row per run of consecutive identical content.
+    The warehouse op that turns crawl snapshots into
+    "this version of the page was live from X to Y".
+
+    Shape: hash-bucket keys, one (key, order) sort per bucket, run
+    boundaries where key OR hash changes, then reduceat/shift index
+    arithmetic for per-run min/max/next-start — no per-key loop.
+
+    → (key, hash, version_no, valid_from, valid_to, n_snaps);
+    ``valid_to`` = next version's valid_from, -1 while current;
+    ``version_no`` counts from 0 per key in order.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_map_groups
+
+    out_schema = pa.schema([
+        (key_col, pa.int64()), (hash_col, pa.string()),
+        ("version_no", pa.int64()), ("valid_from", pa.int64()),
+        ("valid_to", pa.int64()), ("n_snaps", pa.int64()),
+    ])
+
+    def _runs(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (order_col, "ascending")])
+        s = g.take(idx).combine_chunks()
+        key = s.column(key_col).to_numpy(zero_copy_only=False)
+        order = s.column(order_col).to_numpy(zero_copy_only=False)
+        hv = s.column(hash_col).to_numpy(zero_copy_only=False)
+        n = len(key)
+        new_key = np.r_[True, key[1:] != key[:-1]]
+        new_run = new_key | np.r_[True, hv[1:] != hv[:-1]]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n] - 1
+        run_key_start = np.flatnonzero(new_key[starts])
+        # version_no: position of each run within its key
+        version = np.arange(len(starts)) - np.repeat(
+            np.flatnonzero(new_key[starts]),
+            np.diff(np.r_[run_key_start, len(starts)]))
+        valid_from = order[starts]
+        # next run's start, unless that run belongs to the next key
+        nxt = np.r_[valid_from[1:], -1]
+        last_of_key = np.r_[new_key[starts][1:], True]
+        valid_to = np.where(last_of_key, -1, nxt)
+        return pa.table({
+            key_col: pa.array(key[starts], pa.int64()),
+            hash_col: pa.array(hv[starts], pa.string()),
+            "version_no": pa.array(version.astype(np.int64), pa.int64()),
+            "valid_from": pa.array(valid_from.astype(np.int64),
+                                   pa.int64()),
+            "valid_to": pa.array(valid_to.astype(np.int64), pa.int64()),
+            "n_snaps": pa.array((ends - starts + 1).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return bucketed_map_groups(
+        ds, key_col, _runs, n_buckets=n_buckets, out_schema=out_schema)
