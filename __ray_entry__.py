@@ -194,6 +194,30 @@ pr{k} AS (
 )
 
 
+# Morton (Z-order) key over (user_id & 1023, centi-value // 64 & 1023),
+# bits=10 — mirrors stages/shuffle.zorder_key bit for bit
+_ZORDER_CTE = """ax_bx AS (
+  SELECT event_id,
+    user_id & 1023 AS ax,
+    (CAST(round(value * 100) AS BIGINT) // 64) & 1023 AS bx
+  FROM events
+),
+z AS (
+  SELECT event_id, ax, bx,
+    (((ax >> 0) & 1) << 0) | (((bx >> 0) & 1) << 1)
+      | (((ax >> 1) & 1) << 2) | (((bx >> 1) & 1) << 3)
+      | (((ax >> 2) & 1) << 4) | (((bx >> 2) & 1) << 5)
+      | (((ax >> 3) & 1) << 6) | (((bx >> 3) & 1) << 7)
+      | (((ax >> 4) & 1) << 8) | (((bx >> 4) & 1) << 9)
+      | (((ax >> 5) & 1) << 10) | (((bx >> 5) & 1) << 11)
+      | (((ax >> 6) & 1) << 12) | (((bx >> 6) & 1) << 13)
+      | (((ax >> 7) & 1) << 14) | (((bx >> 7) & 1) << 15)
+      | (((ax >> 8) & 1) << 16) | (((bx >> 8) & 1) << 17)
+      | (((ax >> 9) & 1) << 18) | (((bx >> 9) & 1) << 19) AS zkey
+  FROM ax_bx
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": f"""
@@ -3798,30 +3822,22 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
 FROM documents
 """,
         # Morton interleave of (user_id & 1023, centi-value // 64 & 1023)
-        "events_zorder": """
-WITH ax_bx AS (
-  SELECT event_id,
-    user_id & 1023 AS ax,
-    (CAST(round(value * 100) AS BIGINT) // 64) & 1023 AS bx
-  FROM events
-),
-z AS (
-  SELECT event_id, ax, bx,
-    (((ax >> 0) & 1) << 0) | (((bx >> 0) & 1) << 1)
-      | (((ax >> 1) & 1) << 2) | (((bx >> 1) & 1) << 3)
-      | (((ax >> 2) & 1) << 4) | (((bx >> 2) & 1) << 5)
-      | (((ax >> 3) & 1) << 6) | (((bx >> 3) & 1) << 7)
-      | (((ax >> 4) & 1) << 8) | (((bx >> 4) & 1) << 9)
-      | (((ax >> 5) & 1) << 10) | (((bx >> 5) & 1) << 11)
-      | (((ax >> 6) & 1) << 12) | (((bx >> 6) & 1) << 13)
-      | (((ax >> 7) & 1) << 14) | (((bx >> 7) & 1) << 15)
-      | (((ax >> 8) & 1) << 16) | (((bx >> 8) & 1) << 17)
-      | (((ax >> 9) & 1) << 18) | (((bx >> 9) & 1) << 19) AS zkey
-  FROM ax_bx
-)
+        "events_zorder": f"""
+WITH {_ZORDER_CTE}
 SELECT event_id, ax, bx, CAST(zkey AS BIGINT) AS zkey,
   CAST(zkey >> 14 AS BIGINT) AS zshard
 FROM z
+""",
+        # per-shard envelopes + must-scan flags for ax<8 / bx<8
+        "zorder_prune_stats": f"""
+WITH {_ZORDER_CTE}
+SELECT CAST(zkey >> 14 AS BIGINT) AS zshard,
+  CAST(min(ax) AS BIGINT) AS min_ax, CAST(max(ax) AS BIGINT) AS max_ax,
+  CAST(min(bx) AS BIGINT) AS min_bx, CAST(max(bx) AS BIGINT) AS max_bx,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(ax) < 8 AS scan_for_ax_lt8,
+  min(bx) < 8 AS scan_for_bx_lt8
+FROM z GROUP BY 1
 """,
         # ordered funnel: each stage strictly after the previous one's
         # FIRST completion; unreached stages are -1
@@ -3888,5 +3904,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
   CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS src_rank
 FROM r WHERE rk <= 5
 ORDER BY n_chars DESC, doc_id LIMIT 40
+""",
+        # C4 bad-word gate: keep <=> zero blocklisted-term occurrences
+        "doc_term_blocklist": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\bslow\b'))
+     + len(regexp_extract_all(text, '\bdup\b'))
+     + len(regexp_extract_all(text, '\bbig\b')) AS BIGINT) AS n_blocked,
+  CAST((len(regexp_extract_all(text, '\bslow\b')) > 0)::INT
+     + (len(regexp_extract_all(text, '\bdup\b')) > 0)::INT
+     + (len(regexp_extract_all(text, '\bbig\b')) > 0)::INT AS BIGINT)
+    AS n_distinct_blocked,
+  len(regexp_extract_all(text, '\bslow\b'))
+    + len(regexp_extract_all(text, '\bdup\b'))
+    + len(regexp_extract_all(text, '\bbig\b')) = 0 AS keep
+FROM documents
 """,
     }

@@ -287,6 +287,8 @@ def run_bench() -> dict:
         "events_funnel",
         "pages_scd2",
         "doc_topk_diverse",
+        "doc_term_blocklist",
+        "zorder_prune_stats",
     )
     for name in query_names:
         t0 = time.monotonic()

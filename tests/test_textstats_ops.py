@@ -406,3 +406,28 @@ class TestTrigramDiversity:
         out = self._run([("s1", "a b"), ("s2", "a b c")])
         assert "s1" not in out.index
         assert out.loc["s2", "total_trigrams"] == 1
+
+
+class TestTermBlocklist:
+    def test_word_boundaries_counts_and_keep(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            term_blocklist_table,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "clean text only",
+                "slow join slow scan",       # 2x slow
+                "bigger is not big-listed",  # 'bigger' must NOT match
+                "dup and big and slow",      # one of each
+            ],
+        }))
+        out = term_blocklist_table(
+            docs, ["slow", "dup", "big"]
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert out["n_blocked"].tolist() == [0, 2, 1, 3]
+        assert out["n_distinct_blocked"].tolist() == [0, 1, 1, 3]
+        assert out["keep"].tolist() == [True, False, False, False]

@@ -5817,6 +5817,45 @@ def q_doc_topk_diverse(sf_dir: str):
     return tbl.drop_columns(["ord"])
 
 
+def q_doc_term_blocklist(sf_dir: str):
+    """C4-style bad-word gate: per doc, occurrences of blocklisted
+    terms ('slow', 'dup', 'big' — terms the synthetic vocabulary
+    actually contains, so the gate discriminates) and keep ⇔ zero.
+    One stateless RE2 pass, no shuffle."""
+    from ..stages.textstats import term_blocklist_table
+
+    return term_blocklist_table(
+        _docs(sf_dir, ["doc_id", "text"]), ["slow", "dup", "big"])
+
+
+def q_zorder_prune_stats(sf_dir: str):
+    """Shard-pruning statistics over the Z-order layout — the reason
+    the layout exists: per zshard, the (min, max) envelope of BOTH
+    axes plus row count, and the must-scan flag for a fixed range
+    predicate on each axis (ax < 8, bx < 8). Because the shard id is
+    a Morton-key prefix, BOTH flags are selective — the measurable
+    'prune at the read' claim (SURVEY §10.1). Map-side combine then a
+    64-group aggregate; rows never shuffle."""
+    from ..stages.shuffle import two_phase_aggregate
+
+    stamped = q_events_zorder(sf_dir)
+    stats = two_phase_aggregate(
+        stamped, "zshard",
+        {"min_ax": ("ax", "min"), "max_ax": ("ax", "max"),
+         "min_bx": ("bx", "min"), "max_bx": ("bx", "max"),
+         "n_rows": (None, "count")})
+
+    def _flags(t: pa.Table) -> pa.Table:
+        return (t.append_column(
+            "scan_for_ax_lt8",
+            pc.less(t.column("min_ax"), pa.scalar(8, pa.int64())))
+            .append_column(
+            "scan_for_bx_lt8",
+            pc.less(t.column("min_bx"), pa.scalar(8, pa.int64()))))
+
+    return stats.map_batches(_flags, batch_format="pyarrow")
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6017,4 +6056,6 @@ QUERIES: Dict[str, callable] = {
     "events_funnel": q_events_funnel,
     "pages_scd2": q_pages_scd2,
     "doc_topk_diverse": q_doc_topk_diverse,
+    "doc_term_blocklist": q_doc_term_blocklist,
+    "zorder_prune_stats": q_zorder_prune_stats,
 }

@@ -1364,3 +1364,42 @@ def trigram_diversity(docs_ds, key_col: str = "source",
             pc.cast(pc.divide(d, t.column("total_trigrams")), pa.int64()))
 
     return out.map_batches(_bp, batch_format="pyarrow")
+
+
+def term_blocklist_table(docs_ds, terms, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """C4-style bad-word gating (Raffel et al. §2.2 drop docs
+    containing any blocklisted word): per doc, the total and distinct
+    blocked-term occurrence counts and the keep flag (keep ⇔ zero
+    occurrences).
+
+    Stateless one-pass map — one `count_substring_regex` per term
+    (RE2 word-boundary pattern, identical engine semantics in Arrow
+    and DuckDB; no `^`, no empty matches — COVERAGE.md parity rules).
+    The blocklist is a task-closure constant: real deployments ship
+    thousands of terms as ONE alternation per ~1k terms, same shape.
+
+    → (id_col, n_blocked, n_distinct_blocked, keep).
+    """
+    import pyarrow.compute as pc_
+
+    pats = [r"\b" + t + r"\b" for t in terms]
+
+    def _count(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        per = [pc_.cast(pc_.count_substring_regex(text, p), pa.int64())
+               for p in pats]
+        total = per[0]
+        distinct = pc_.cast(pc_.greater(per[0], 0), pa.int64())
+        for c in per[1:]:
+            total = pc_.add(total, c)
+            distinct = pc_.add(
+                distinct, pc_.cast(pc_.greater(c, 0), pa.int64()))
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_blocked": total,
+            "n_distinct_blocked": distinct,
+            "keep": pc_.equal(total, pa.scalar(0, pa.int64())),
+        })
+
+    return docs_ds.map_batches(_count, batch_format="pyarrow")
