@@ -3920,4 +3920,35 @@ SELECT doc_id,
     + len(regexp_extract_all(text, '\bbig\b')) = 0 AS keep
 FROM documents
 """,
+        # stub FrameSampler contract: video rows (doc_id%3=2), k=4
+        # frames at step = max(duration//5, 1)
+        "video_frames_exploded": """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         1 + (strlen(text) + 6) % 60000 AS dur
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, greatest(dur // 5, 1) AS step,
+         CAST(unnest(range(1, 5)) AS BIGINT) AS frame_idx
+  FROM v
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, frame_idx,
+  CAST(step * frame_idx AS BIGINT) AS offset_ms
+FROM f
+""",
+        # oracle aggregates the ORIGINAL parquet: any JSONL roundtrip
+        # corruption (types, rows) breaks the compare
+        "jsonl_roundtrip": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+        # single-partition re-read must equal the source-filtered table
+        "partitioned_sink_prune": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+FROM documents WHERE source = 'src7'
+""",
     }

@@ -289,6 +289,9 @@ def run_bench() -> dict:
         "doc_topk_diverse",
         "doc_term_blocklist",
         "zorder_prune_stats",
+        "video_frames_exploded",
+        "jsonl_roundtrip",
+        "partitioned_sink_prune",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -928,3 +928,25 @@ class TestDuplicateMessageFilter:
             assert filt.window == 2.0
         finally:
             lg.removeHandler(h)
+
+
+class TestFrameExplode:
+    def test_video_only_k_frames_and_empty_lists_drop(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_video_frames_exploded,
+        )
+
+        out = q_video_frames_exploded(
+            "/root/testdata/sf0.001").to_pandas()
+        # only video rows (doc_id % 3 == 2) contribute, 4 frames each
+        assert set(out["media_id"] % 3) == {2}
+        per = out.groupby("media_id").size()
+        assert (per == 4).all()
+        # offsets are step, 2*step, 3*step, 4*step per media
+        g = out.sort_values(["media_id", "frame_idx"]).groupby("media_id")
+        first = g["offset_ms"].first()
+        last = g["offset_ms"].last()
+        assert (last == 4 * first).all()

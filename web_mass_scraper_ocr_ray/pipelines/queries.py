@@ -5856,6 +5856,103 @@ def q_zorder_prune_stats(sf_dir: str):
     return stats.map_batches(_flags, batch_format="pyarrow")
 
 
+def q_video_frames_exploded(sf_dir: str):
+    """List-column explode: the FrameSampler's per-video
+    frame_offsets_ms (list<int64>) flattened to one row per sampled
+    frame — the shape every frame-level multimodal stage consumes.
+    Pure-Arrow flatten (list offsets → np.repeat of the parent id),
+    no Python per-row loop, no shuffle."""
+    import numpy as np
+
+    # decode_media already runs the FrameSampler (k=4) after decode
+    sampled = mm.decode_media(mm.synth_media_dataset(sf_dir))
+
+    def _explode(t: pa.Table) -> pa.Table:
+        col = t.column("frame_offsets_ms").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(ids)), lens)
+        ends = np.cumsum(lens)
+        fidx = np.arange(int(ends[-1] if len(ends) else 0)) - np.repeat(
+            ends - lens, lens)
+        return pa.table({
+            "media_id": pa.array(ids[parent], pa.int64()),
+            "frame_idx": pa.array(fidx + 1, pa.int64()),
+            "offset_ms": flat,
+        })
+
+    return sampled.map_batches(_explode, batch_format="pyarrow")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Source/sink breadth: documents projected to (doc_id, lang,
+    n_chars), written as JSONL to scratch, read back with
+    ray.data.read_json, rolled up per lang — proves the JSON source
+    and sink carry types faithfully (the oracle aggregates the
+    ORIGINAL parquet, so any roundtrip corruption breaks the gate)."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out_dir = "/tmp/graft_jsonl_%s" % hashlib.md5(
+        sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    return back.map_batches(_norm, batch_format="pyarrow").groupby(
+        "lang").aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_chars"))
+
+
+def q_partitioned_sink_prune(sf_dir: str):
+    """Resumable-output contract, measured end to end: documents
+    written as hive-partitioned Parquet (partition key = source), then
+    ONE partition directory re-read by path — the re-read scans only
+    that partition's files (prune at the read), exactly how a resumed
+    run skips finished partitions. Rollup over the single partition;
+    the oracle filters the original table, so a leaky partition write
+    (rows in the wrong dir) breaks the gate."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out_dir = "/tmp/graft_part_%s" % hashlib.md5(
+        sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "source", "n_chars"]).write_parquet(
+        out_dir, partition_cols=["source"])
+    one = rd.read_parquet(f"{out_dir}/source=src7",
+                          columns=["doc_id", "n_chars"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    agg = one.map_batches(_norm, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
+        Sum("doc_id", alias_name="sum_doc_ids"))
+    return pa.table({
+        "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+        "sum_chars": pa.array([int(agg["sum_chars"])], pa.int64()),
+        "sum_doc_ids": pa.array([int(agg["sum_doc_ids"])], pa.int64()),
+    })
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6058,4 +6155,7 @@ QUERIES: Dict[str, callable] = {
     "doc_topk_diverse": q_doc_topk_diverse,
     "doc_term_blocklist": q_doc_term_blocklist,
     "zorder_prune_stats": q_zorder_prune_stats,
+    "video_frames_exploded": q_video_frames_exploded,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "partitioned_sink_prune": q_partitioned_sink_prune,
 }
