@@ -3951,4 +3951,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
 FROM documents WHERE source = 'src7'
 """,
+        # last-touch attribution: most recent click <= purchase ts,
+        # credited only when the gap is <= 30 min (else hour -1)
+        "events_attribution": """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.value, p.ts, cl.ts AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY cl.ts DESC) AS rn
+  FROM p LEFT JOIN cl ON cl.user_id = p.user_id AND cl.ts <= p.ts
+),
+a AS (
+  SELECT CASE WHEN click_ts IS NOT NULL
+              AND ts - click_ts <= INTERVAL 30 MINUTE
+         THEN CAST(hour(click_ts) AS BIGINT)
+         ELSE CAST(-1 AS BIGINT) END AS click_hour,
+         CAST(round(value * 100) AS BIGINT) AS centi
+  FROM j WHERE rn = 1
+)
+SELECT click_hour, CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(centi) AS BIGINT) AS sum_value_centi
+FROM a GROUP BY 1
+""",
     }

@@ -292,6 +292,7 @@ def run_bench() -> dict:
         "video_frames_exploded",
         "jsonl_roundtrip",
         "partitioned_sink_prune",
+        "events_attribution",
     )
     for name in query_names:
         t0 = time.monotonic()

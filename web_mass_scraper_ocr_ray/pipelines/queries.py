@@ -5953,6 +5953,48 @@ def q_partitioned_sink_prune(sf_dir: str):
     })
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits the most recent
+    click by the same user IF it happened within 30 minutes (else
+    'unattributed', hour -1), rolled up to (click hour-of-day,
+    purchases, centi-value). Composes the as-of join with a window
+    bound and a two-phase rollup — the marketing-analytics shape built
+    from existing operators, no new shuffle primitive."""
+    from ..stages.joins import asof_join
+    from ..stages.shuffle import two_phase_aggregate
+
+    joined = asof_join(
+        _events_of_type(sf_dir, "purchase",
+                        columns=("event_id", "user_id", "ts", "value")),
+        _events_of_type(sf_dir, "click"),
+        key="user_id", on="ts",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["ts"],
+    )
+    w_us = 30 * 60 * 1_000_000
+
+    def _hour(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(t.column("ts"), pa.int64()),
+                          pc.cast(t.column("right_ts"), pa.int64()))
+        # and_kleene: false & null -> false (plain and_ would propagate
+        # the null gap of unattributed rows into a spurious null hour)
+        in_win = pc.and_kleene(
+            pc.is_valid(t.column("right_ts")),
+            pc.less_equal(gap, pa.scalar(w_us, pa.int64())))
+        hour = pc.if_else(
+            in_win, pc.cast(pc.hour(t.column("right_ts")), pa.int64()),
+            pa.scalar(-1, pa.int64()))
+        centi = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return pa.table({"click_hour": hour, "value_centi": centi})
+
+    return two_phase_aggregate(
+        joined.map_batches(_hour, batch_format="pyarrow"),
+        "click_hour",
+        {"n_purchases": (None, "count"),
+         "sum_value_centi": ("value_centi", "sum")})
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6158,4 +6200,5 @@ QUERIES: Dict[str, callable] = {
     "video_frames_exploded": q_video_frames_exploded,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "partitioned_sink_prune": q_partitioned_sink_prune,
+    "events_attribution": q_events_attribution,
 }
