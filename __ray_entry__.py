@@ -3975,4 +3975,28 @@ SELECT click_hour, CAST(count(*) AS BIGINT) AS n_purchases,
   CAST(sum(centi) AS BIGINT) AS sum_value_centi
 FROM a GROUP BY 1
 """,
+        # same winnow window-min CTE as doc_winnow, source-tagged and
+        # self-joined across sources
+        "source_contamination": f"""
+WITH h AS (
+  SELECT doc_id, source, CAST(u.i AS BIGINT) AS pos,
+    CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
+  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+),
+w AS (
+  SELECT doc_id, source, pos,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mh,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wn,
+    count(*) OVER (PARTITION BY doc_id) AS tot
+  FROM h
+),
+ss AS (SELECT DISTINCT source, mh FROM w
+       WHERE wn = 16 OR (pos = tot AND tot < 16))
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM ss a JOIN ss b ON a.mh = b.mh AND a.source < b.source
+GROUP BY 1, 2
+""",
     }

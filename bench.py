@@ -293,6 +293,7 @@ def run_bench() -> dict:
         "jsonl_roundtrip",
         "partitioned_sink_prune",
         "events_attribution",
+        "source_contamination",
     )
     for name in query_names:
         t0 = time.monotonic()

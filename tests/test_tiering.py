@@ -257,3 +257,51 @@ class TestHeavyHittersDistributed:
         assert {"the", "and"} <= set(mg.counts)
         assert mg.counts["the"] <= 2000
         assert mg.counts["and"] <= 1200
+
+
+class TestSourceContamination:
+    def test_shared_fingerprints_across_sources(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.tiering import (
+            source_contamination,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog again"
+        docs = rd.from_arrow(pa.table({
+            "source": ["a", "b", "c", "c"],
+            "text": [
+                shared + " alpha tail content for source a",
+                shared + " beta tail content for source b",
+                "completely different text with no overlap here zz",
+                shared + " gamma tail content for source c",
+            ],
+        }))
+        out = source_contamination(docs).to_pandas()
+        pairs = {(r.src_a, r.src_b): r.n_shared_fps
+                 for r in out.itertuples()}
+        # a/b/c all share the long prefix's fingerprints
+        assert pairs.get(("a", "b"), 0) > 0
+        assert pairs.get(("a", "c"), 0) > 0
+        assert pairs.get(("b", "c"), 0) > 0
+        # lexical pair order, no self-pairs
+        assert all(a < b for a, b in pairs)
+        # the shared prefix dominates: ab and ac counts are close
+        assert abs(pairs[("a", "b")] - pairs[("a", "c")]) <= 3
+
+    def test_disjoint_sources_emit_nothing(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.tiering import (
+            source_contamination,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "source": ["a", "b"],
+            "text": [
+                "xqzv wbpl mntr kjhg dfsa qwer tyui opas",
+                "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss",
+            ],
+        }))
+        out = source_contamination(docs).to_pandas()
+        assert len(out) == 0

@@ -5995,6 +5995,18 @@ def q_events_attribution(sf_dir: str):
          "sum_value_centi": ("value_centi", "sum")})
 
 
+def q_source_contamination(sf_dir: str):
+    """Cross-source contamination matrix: distinct winnowing
+    fingerprints shared by each source pair — which feeds copy from
+    each other / share boilerplate, the decontamination-planning view.
+    One fp-hash bucket shuffle; in-bucket lexsort handles distinct
+    (fp, source) AND per-fp pair generation by length class
+    (stages/tiering.source_contamination)."""
+    from ..stages.tiering import source_contamination
+
+    return source_contamination(_docs(sf_dir, ["source", "text"]))
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6201,4 +6213,5 @@ QUERIES: Dict[str, callable] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "partitioned_sink_prune": q_partitioned_sink_prune,
     "events_attribution": q_events_attribution,
+    "source_contamination": q_source_contamination,
 }

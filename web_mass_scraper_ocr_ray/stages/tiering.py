@@ -512,3 +512,103 @@ def heavy_hitters_mg(docs_ds, capacity: int = 64,
         ).map_batches(_merge_rows, batch_format="pyarrow").materialize()
     rows = parts.take_all()
     return _mg_from_row(rows[0], cap) if rows else MisraGries(cap)
+
+
+def source_contamination(docs_ds, hash_window: int = 8,
+                         sel_window: int = 16, n_buckets: int = 64):
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of DISTINCT winnowing fingerprints they share — the
+    corpus-forensics view ("which feeds copy from each other / share
+    boilerplate") that decides decontamination order before a training
+    mix is frozen.
+
+    Shape: per-doc fingerprint selection (same hash/window contract as
+    :func:`winnow_pairs`, de-duplicated per doc), tagged with the
+    doc's source, then ONE fp-hash bucket shuffle; in-bucket ONE
+    lexsort gives both the (fp, source) distinct step and the per-fp
+    source runs, and pair generation groups runs by length class
+    (source count per fp is bounded by the source cardinality, so the
+    per-class `triu_indices` matrix trick from host_triangles applies;
+    no per-fp Python loop over a length-1 class). Per-bucket partial
+    (src_a, src_b) counts combine before the final tiny keyed
+    aggregate (≤ C(|sources|, 2) rows).
+
+    → (src_a, src_b, n_shared_fps) with src_a < src_b lexically.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import two_phase_aggregate
+    from .textstats import _rolling_hashes
+
+    def _fps(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_pylist()
+        fp_out, src_out = [], []
+        for src, txt in zip(srcs, t.column("text").to_pylist()):
+            sel = np.unique(_window_min_values(
+                _rolling_hashes(txt.encode("utf-8"), hash_window),
+                sel_window))
+            fp_out.append(sel)
+            src_out.extend([src] * len(sel))
+        return pa.table({
+            "fp": pa.array(np.concatenate(fp_out) if fp_out else
+                           np.empty(0, np.uint64), pa.uint64()),
+            "source": pa.array(src_out, pa.string()),
+        })
+
+    fps = docs_ds.select_columns(["source", "text"]).map_batches(
+        _fps, batch_format="pyarrow")
+
+    def _bucket_fp(t: pa.Table) -> pa.Table:
+        f = t.column("fp").to_numpy(zero_copy_only=False)
+        b = ((f * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(n_buckets)
+        return t.append_column("_b", pa.array(b.astype(np.int32)))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        f = g.column("fp").to_numpy(zero_copy_only=False)
+        # dictionary-encode sources; np.unique sorts LEXICALLY, so
+        # numeric code order == string order (the SQL src_a < src_b)
+        src = np.asarray(g.column("source").to_pylist(), dtype=object)
+        uniq, codes = np.unique(src, return_inverse=True)
+        order = np.lexsort((codes, f))
+        f, codes = f[order], codes[order]
+        # distinct (fp, source)
+        keep = np.r_[True, (f[1:] != f[:-1]) | (codes[1:] != codes[:-1])]
+        f, codes = f[keep], codes[keep]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        lens = np.diff(np.r_[starts, len(f)])
+        a_parts, b_parts = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            s_l = starts[lens == ln]
+            mat = codes[s_l[:, None] + np.arange(ln)[None, :]]
+            iu, ju = np.triu_indices(int(ln), k=1)
+            a_parts.append(mat[:, iu].ravel())
+            b_parts.append(mat[:, ju].ravel())
+        if not a_parts:
+            return pa.table({
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n_shared_fps": pa.array([], pa.int64()),
+            })
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # in-bucket combine: one lexsort over the pair codes
+        comp = a.astype(np.int64) * len(uniq) + b
+        comp.sort()
+        cs = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
+        n = np.diff(np.r_[cs, len(comp)])
+        pa_codes = comp[cs] // len(uniq)
+        pb_codes = comp[cs] % len(uniq)
+        return pa.table({
+            "src_a": pa.array(uniq[pa_codes], pa.string()),
+            "src_b": pa.array(uniq[pb_codes], pa.string()),
+            "n_shared_fps": pa.array(n, pa.int64()),
+        })
+
+    partials = fps.map_batches(_bucket_fp, batch_format="pyarrow") \
+        .groupby("_b").map_groups(_pairs, batch_format="pyarrow")
+    return two_phase_aggregate(
+        partials, ("src_a", "src_b"),
+        {"n_shared_fps": ("n_shared_fps", "sum")})
