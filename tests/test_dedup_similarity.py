@@ -698,3 +698,28 @@ class TestPairJaccardKernel:
         inter, union = _pair_jaccard_counts(doc_a, doc_b, uniq, [sh, sh])
         assert (inter == len(sh)).all()
         assert (union == len(sh)).all()
+
+
+class TestPairCountsBucketed:
+    def test_counts_match_keyed_groupby(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.shuffle import (
+            pair_counts_bucketed,
+        )
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 50, 3000).astype(np.int64)
+        b = (a + 1 + rng.randint(0, 5, 3000)).astype(np.int64)
+        ds = rd.from_arrow(pa.table({
+            "doc_a": pa.array(a), "doc_b": pa.array(b)})).repartition(7)
+        out = pair_counts_bucketed(ds).to_pandas()
+        import pandas as pd
+
+        expect = (pd.DataFrame({"doc_a": a, "doc_b": b})
+                  .groupby(["doc_a", "doc_b"]).size()
+                  .reset_index(name="n_bands_hit"))
+        got = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+        expect = expect.sort_values(["doc_a", "doc_b"], ignore_index=True)
+        assert got.equals(expect.astype({"n_bands_hit": "int64"}))

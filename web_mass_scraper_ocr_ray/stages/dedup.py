@@ -323,8 +323,6 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 8,
     (j=0.5 → 3%, j=0.95 → ~1.0). A 16×4 banding fires at j≈0.5 and
     floods the verify stage on vocabulary-dense corpora (observed 337k
     candidates on 10k synthetic docs vs ~6k with 8×8)."""
-    from ray.data.aggregate import Count
-
     sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         _minhash_batch,
         fn_kwargs={"n_perm": n_perm, "shingle_k": shingle_k},
@@ -345,10 +343,12 @@ def minhash_lsh_candidates(docs_ds, n_perm: int = 64, n_bands: int = 8,
     pairs = bands.groupby("coarse").map_groups(
         _pairs_from_coarse_group, batch_format="pandas"
     )
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands_hit")
-    )
+    # distinct pairs (a pair can collide in several bands) — bucketed
+    # count, not a keyed groupby over millions of tiny pair groups
+    # (§10.4; same shape as setjoin._distinct_pairs)
+    from .shuffle import pair_counts_bucketed
+
+    return pair_counts_bucketed(pairs)
 
 
 def _cross_pairs_from_coarse_group(df) -> pa.Table:
@@ -415,8 +415,6 @@ def minhash_cross_candidates(old_ds, new_ds, n_perm: int = 64,
     each run can be avoided by persisting its (band_id, band_hash,
     doc_id) table as the crawl index and unioning new bands onto it.
     """
-    from ray.data.aggregate import Count
-
     tagged = _tag_side(old_ds, 0).union(_tag_side(new_ds, 1))
     sigs = tagged.map_batches(
         _minhash_batch,
@@ -439,9 +437,9 @@ def minhash_cross_candidates(old_ds, new_ds, n_perm: int = 64,
     pairs = bands.groupby("coarse").map_groups(
         _cross_pairs_from_coarse_group, batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands_hit")
-    )
+    from .shuffle import pair_counts_bucketed
+
+    return pair_counts_bucketed(pairs)
 
 
 def minhash_cross_corpus_pairs(old_ds, new_ds, threshold: float = 0.8,
@@ -886,8 +884,6 @@ def simhash_table(docs_ds):
 def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4-band
     blocking (pigeonhole: ≤3 differing bits ⇒ one 16-bit band equal)."""
-    from ray.data.aggregate import Count
-
     sigs = simhash_table(docs_ds)
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -944,9 +940,10 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3):
     pairs = sigs.map_batches(_explode, batch_format="pyarrow").groupby(
         "coarse"
     ).map_groups(_pairs_coarse, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands_hit"),
-    )
+    from .shuffle import pair_counts_bucketed
+
+    return pair_counts_bucketed(
+        pairs.select_columns(["doc_a", "doc_b"]))
 
 
 # ---------- near-dup clustering (connected components) --------------------
