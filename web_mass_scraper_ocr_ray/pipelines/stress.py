@@ -187,6 +187,17 @@ def run_stress_sweep(sf_dir: str, cache_dir: str, k: int = 10,
             tiers, id_col="doc_id", strata_col="tier",
             rates_bp={0: 500, 1: 1000, 2: 2000, 3: 10000})
 
+    def _minhash_cands():
+        from ..stages.dedup import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(_stress_neardups(marker))
+
+    def _contamination():
+        from ..stages.tiering import source_contamination
+
+        return source_contamination(
+            _stress_docs(marker, ["source", "text"]))
+
     all_ops = {
         # graph family (never driver-sampled before r4)
         "host_link_graph": edges,
@@ -205,6 +216,10 @@ def run_stress_sweep(sf_dir: str, cache_dir: str, k: int = 10,
         "doc_novelty": lambda: novelty_table(
             _stress_docs(marker, ["doc_id", "text"])),
         "doc_tier_sample": _tier_sample,
+        # r4-tail additions: the bucketed pair-count LSH path and the
+        # cross-source fingerprint matrix at k× scale
+        "minhash_candidates": _minhash_cands,
+        "source_contamination": _contamination,
     }
     chosen = {name: all_ops[name] for name in (ops or all_ops)}
 
