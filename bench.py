@@ -294,6 +294,7 @@ def run_bench() -> dict:
         "partitioned_sink_prune",
         "events_attribution",
         "source_contamination",
+        "pipeline_stage_report",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -285,3 +285,21 @@ def test_empty_input_dir_is_vacuous_run(ray_session, tmp_path):
     assert s["urls_total"] == 0
     assert s["groups_executed"] == 0
     assert s["average_success_rate_on_processable"] == 0.0
+
+
+class TestStageReport:
+    def test_report_shape_and_extract_stage_present(self, ray_session):
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_pipeline_stage_report,
+        )
+
+        t = q_pipeline_stage_report("/root/testdata/sf0.001").to_pandas()
+        assert len(t) >= 2
+        names = " | ".join(t["operator"])
+        assert "extract_batch_sliced" in names   # the flagship stage
+        assert (t["pipeline_rows_out"] == 500).all()
+        assert (t["n_tasks"] >= 1).all()
+        # the extract operator's wall time was parsed (not the -1
+        # fallback) and is plausibly positive
+        ext = t[t["operator"].str.contains("extract_batch_sliced")]
+        assert (ext["wall_us_reported"] > 0).all()

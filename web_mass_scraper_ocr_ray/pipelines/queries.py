@@ -6007,6 +6007,57 @@ def q_source_contamination(sf_dir: str):
     return source_contamination(_docs(sf_dir, ["source", "text"]))
 
 
+def q_pipeline_stage_report(sf_dir: str):
+    """Observability: run the flagship extract pipeline and surface
+    Ray Data's own per-operator execution stats (`ds.stats()`) as
+    rows — (operator, tasks, blocks, wall-time) per stage plus total
+    rows out. This is the feedback loop the tuning rules in SURVEY
+    §10.4 are built on, exposed as a first-class query. Wall times are
+    host-dependent, so the gate is the weaker rows-only check (no SQL
+    oracle — stats are engine-internal by nature); the report SHAPE is
+    pinned by the stage-name assertions in the unit test."""
+    import re
+
+    from ..config import PipelineConfig
+    from ..sources.pages import synth_pages_dataset
+
+    ds = build_pipeline(
+        synth_pages_dataset(sf_dir), PipelineConfig()).materialize()
+    stats = ds.stats()
+    n_rows = ds.count()
+
+    hdr = re.compile(
+        r"^Operator (\d+) (.+?): (\d+) tasks executed, "
+        r"(\d+) blocks produced", re.M)
+    wall_re = re.compile(r"Remote wall time:.*?([\d.]+)(us|ms|s) total")
+    heads = list(hdr.finditer(stats))
+    ops, walls = [], []
+    for i, m in enumerate(heads):
+        ops.append((int(m.group(1)), m.group(2), int(m.group(3)),
+                    int(m.group(4))))
+        # first Remote-wall line INSIDE this operator's block (sub-
+        # operator lines come later in the block, so "first" is the
+        # operator-level total)
+        block = stats[m.end():
+                      heads[i + 1].start() if i + 1 < len(heads)
+                      else len(stats)]
+        w = wall_re.search(block)
+        if w:
+            unit = {"us": 1, "ms": 1_000, "s": 1_000_000}[w.group(2)]
+            walls.append(int(float(w.group(1)) * unit))
+        else:
+            walls.append(-1)
+
+    return pa.table({
+        "op_idx": pa.array([o[0] for o in ops], pa.int64()),
+        "operator": pa.array([o[1] for o in ops], pa.string()),
+        "n_tasks": pa.array([o[2] for o in ops], pa.int64()),
+        "n_blocks": pa.array([o[3] for o in ops], pa.int64()),
+        "wall_us_reported": pa.array(walls, pa.int64()),
+        "pipeline_rows_out": pa.array([n_rows] * len(ops), pa.int64()),
+    })
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6214,4 +6265,5 @@ QUERIES: Dict[str, callable] = {
     "partitioned_sink_prune": q_partitioned_sink_prune,
     "events_attribution": q_events_attribution,
     "source_contamination": q_source_contamination,
+    "pipeline_stage_report": q_pipeline_stage_report,
 }
