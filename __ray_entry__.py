@@ -3999,4 +3999,18 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM ss a JOIN ss b ON a.mh = b.mh AND a.source < b.source
 GROUP BY 1, 2
 """,
+        # per-user inter-event gaps; single-event users -> -1 sentinels
+        "events_gap_stats": """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(coalesce(min(gap), -1) AS BIGINT) AS min_gap_us,
+  CAST(coalesce(max(gap), -1) AS BIGINT) AS max_gap_us,
+  CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us
+FROM g GROUP BY user_id
+""",
     }

@@ -295,6 +295,7 @@ def run_bench() -> dict:
         "events_attribution",
         "source_contamination",
         "pipeline_stage_report",
+        "events_gap_stats",
     )
     for name in query_names:
         t0 = time.monotonic()

@@ -135,3 +135,35 @@ class TestHotUserWindows:
         ref = pd.concat(outs).sort_values(
             ["user_id", "day"], ignore_index=True)
         pd.testing.assert_frame_equal(got[ref.columns], ref)
+
+
+class TestGapStats:
+    def test_single_event_users_and_hot_user(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.pipelines.queries import (
+            q_events_gap_stats,
+        )
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+        with tempfile.TemporaryDirectory() as d:
+            # user 1: gaps 60s, 120s; user 2: single event (sentinels)
+            tbl = pa.table({
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([TS0, TS0 + np.timedelta64(60_000_000, "us"),
+                                TS0 + np.timedelta64(180_000_000, "us"),
+                                TS0]),
+            })
+            pq.write_table(tbl, os.path.join(d, "events.parquet"))
+            out = q_events_gap_stats(d).to_pandas().set_index("user_id")
+        assert out.loc[1, "n_gaps"] == 2
+        assert out.loc[1, "min_gap_us"] == 60_000_000
+        assert out.loc[1, "max_gap_us"] == 120_000_000
+        assert out.loc[1, "sum_gap_us"] == 180_000_000
+        assert out.loc[2, "n_gaps"] == 0
+        assert out.loc[2, "min_gap_us"] == -1
+        assert out.loc[2, "sum_gap_us"] == 0

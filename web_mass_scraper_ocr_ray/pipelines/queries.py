@@ -6058,6 +6058,65 @@ def q_pipeline_stage_report(sf_dir: str):
     })
 
 
+def q_events_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics (n_gaps, min/max/sum µs) —
+    the session-health profile behind every bot/trap heuristic. Same
+    skew-proof shape as events_cumulative: one (user, ts, event_id)
+    sort per hash bucket, gaps by a single shifted subtraction, run
+    stats via reduceat — no per-user task."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+        ("min_gap_us", pa.int64()), ("max_gap_us", pa.int64()),
+        ("sum_gap_us", pa.int64()),
+    ])
+
+    def _gaps(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(s.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(uid)
+        gap = ts[1:] - ts[:-1]
+        within = uid[1:] == uid[:-1]          # gap belongs to a user run
+        starts = np.flatnonzero(np.r_[True, ~within])
+        users = uid[starts]
+        n_gaps = np.diff(np.r_[starts, n]) - 1
+        has = n_gaps > 0
+        # reduceat over the within-run gaps only: rebuild per-run
+        # offsets into the gap array (gap i sits between rows i, i+1)
+        gsel = np.flatnonzero(within)
+        gvals = gap[gsel]
+        ends = np.cumsum(n_gaps)
+        offs = ends - n_gaps
+        mins = np.full(len(starts), -1, np.int64)
+        maxs = np.full(len(starts), -1, np.int64)
+        sums = np.zeros(len(starts), np.int64)
+        if len(gvals):
+            mins[has] = np.minimum.reduceat(gvals, offs[has])
+            maxs[has] = np.maximum.reduceat(gvals, offs[has])
+            sums[has] = np.add.reduceat(gvals, offs[has])
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_gaps": pa.array(n_gaps, pa.int64()),
+            "min_gap_us": pa.array(mins, pa.int64()),
+            "max_gap_us": pa.array(maxs, pa.int64()),
+            "sum_gap_us": pa.array(sums, pa.int64()),
+        })
+
+    return bucketed_map_groups(ev, "user_id", _gaps,
+                               out_schema=out_schema)
+
+
 QUERIES: Dict[str, callable] = {
     "extract_text": q_extract_text,
     "hostname_rollup": q_hostname_rollup,
@@ -6266,4 +6325,5 @@ QUERIES: Dict[str, callable] = {
     "events_attribution": q_events_attribution,
     "source_contamination": q_source_contamination,
     "pipeline_stage_report": q_pipeline_stage_report,
+    "events_gap_stats": q_events_gap_stats,
 }
