@@ -198,7 +198,7 @@ def test_speedup_exists():
         "html"
     ).to_pylist()[:200]
 
-    def best_of(fn, n=3):
+    def best_of(fn, n=5):
         # best-of-N: this shared VM's throughput swings several-fold
         # minute to minute; the MIN is the honest kernel time
         best = float("inf")

@@ -685,6 +685,38 @@ class TestWindowPairJoin:
         assert out["right_id"].tolist() == [11]
         assert out["user_id"].tolist() == [2]
 
+    def test_packed_key_bounds_raise_not_wrap(self, ray_session):
+        """(key, tbucket) packs into one int64; out-of-range keys used
+        to WRAP silently and merge unrelated fine groups — they must
+        raise instead."""
+        from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+        left = _ds({"event_id": [1], "user_id": [2**31], "ts": [_t(0)]})
+        right = _ds({"event_id": [10], "user_id": [2**31], "ts": [_t(1)]})
+        with pytest.raises(Exception) as ei:
+            window_pair_join(
+                left, right, key="user_id", on="ts",
+                window_us=60 * 60 * 1_000_000,
+            ).materialize()
+        assert "window_pair_join" in str(ei.value)
+
+    def test_subsecond_window_large_epoch_raises(self, ray_session):
+        """ts//window_us >= 2^32-2^20 (sub-second window over a
+        century-scale microsecond epoch) overflows the packed bucket —
+        must raise, not emit wrong cross-key pairs."""
+        from web_mass_scraper_ocr_ray.stages.joins import window_pair_join
+
+        big = np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(
+            0, "us")
+        left = _ds({"event_id": [1], "user_id": [2], "ts": [big]})
+        right = _ds({"event_id": [10], "user_id": [2], "ts": [big]})
+        with pytest.raises(Exception) as ei:
+            window_pair_join(
+                left, right, key="user_id", on="ts",
+                window_us=100,  # 100 us window: tbucket ~ 1.7e13 >> 2^32
+            ).materialize()
+        assert "window_pair_join" in str(ei.value)
+
 
 @settings(max_examples=12, deadline=None)
 @given(st.lists(_event, min_size=1, max_size=25),

@@ -204,6 +204,26 @@ class TestGlobalRunningSum:
 
 
 class TestOrderedFunnel:
+    def test_int64_precision_beyond_2e53(self, ray_session):
+        """Nanosecond-scale epochs exceed float64's exact-integer
+        range: 2^53 and 2^53+1 collapse to the same float. The funnel
+        must keep int64 timestamps so a click 1 ns after a view still
+        counts as strictly-after."""
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.sequences import ordered_funnel
+
+        base = 2**53
+        ev = rd.from_arrow(pa.table({
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": ["view", "click"],
+            "ts": pa.array([base, base + 1], pa.int64()),
+        }))
+        out = ordered_funnel(ev, ["view", "click"]).to_pandas()
+        assert out["reached"].tolist() == [2]
+        assert out["t1_us"].tolist() == [base]
+        assert out["t2_us"].tolist() == [base + 1]
+
     def test_progression_and_order_requirement(self, ray_session):
         import numpy as np
         import pyarrow as pa

@@ -409,6 +409,42 @@ class TestTrigramDiversity:
 
 
 class TestTermBlocklist:
+    def test_metacharacter_terms_are_escaped(self, ray_session):
+        """Real C4/LDNOOBW blocklists contain regex metacharacters
+        ('f*ck', 'a$$', 'c++'); the terms must be matched literally,
+        not compiled as patterns (or crash)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            term_blocklist_table,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "wrote some c++ today",     # literal 'c++' present
+                "fck fbck",                 # '*' must NOT act as a regex
+                "clean prose only",
+            ],
+        }))
+        out = term_blocklist_table(
+            docs, ["f*ck", "c++"]
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert out["n_blocked"].tolist() == [1, 0, 0]
+        assert out["keep"].tolist() == [False, True, True]
+
+    def test_empty_blocklist_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages.textstats import (
+            term_blocklist_table,
+        )
+
+        docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            term_blocklist_table(docs, ["", None])
+
     def test_word_boundaries_counts_and_keep(self, ray_session):
         import pyarrow as pa
         import ray.data as rd

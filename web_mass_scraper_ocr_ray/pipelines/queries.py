@@ -5892,27 +5892,34 @@ def q_jsonl_roundtrip(sf_dir: str):
     ray.data.read_json, rolled up per lang — proves the JSON source
     and sink carry types faithfully (the oracle aggregates the
     ORIGINAL parquet, so any roundtrip corruption breaks the gate)."""
-    import hashlib
     import shutil
+    import tempfile
 
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    out_dir = "/tmp/graft_jsonl_%s" % hashlib.md5(
-        sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(out_dir, ignore_errors=True)
-    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(out_dir)
-    back = rd.read_json(out_dir)
+    # mkdtemp, not a path derived from sf_dir: concurrent runs over
+    # the same fixture (bench + pytest, parallel gates) must not race
+    # on rmtree/write/read.
+    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_")
+    try:
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(out_dir)
+        back = rd.read_json(out_dir)
 
-    def _norm(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "lang": t.column("lang"),
-            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
-        })
+        def _norm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": t.column("lang"),
+                "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            })
 
-    return back.map_batches(_norm, batch_format="pyarrow").groupby(
-        "lang").aggregate(Count(alias_name="n_docs"),
-                          Sum("n_chars", alias_name="sum_chars"))
+        # materialize the (tiny, per-lang) rollup before the scratch
+        # dir disappears — the lazy read would otherwise outlive it
+        return back.map_batches(_norm, batch_format="pyarrow").groupby(
+            "lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars")).materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_partitioned_sink_prune(sf_dir: str):
@@ -5923,29 +5930,32 @@ def q_partitioned_sink_prune(sf_dir: str):
     run skips finished partitions. Rollup over the single partition;
     the oracle filters the original table, so a leaky partition write
     (rows in the wrong dir) breaks the gate."""
-    import hashlib
     import shutil
+    import tempfile
 
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    out_dir = "/tmp/graft_part_%s" % hashlib.md5(
-        sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(out_dir, ignore_errors=True)
-    _docs(sf_dir, ["doc_id", "source", "n_chars"]).write_parquet(
-        out_dir, partition_cols=["source"])
-    one = rd.read_parquet(f"{out_dir}/source=src7",
-                          columns=["doc_id", "n_chars"])
+    # mkdtemp per call — see q_jsonl_roundtrip for why
+    out_dir = tempfile.mkdtemp(prefix="graft_part_")
+    try:
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]).write_parquet(
+            out_dir, partition_cols=["source"])
+        one = rd.read_parquet(f"{out_dir}/source=src7",
+                              columns=["doc_id", "n_chars"])
 
-    def _norm(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
-        })
+        def _norm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            })
 
-    agg = one.map_batches(_norm, batch_format="pyarrow").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
-        Sum("doc_id", alias_name="sum_doc_ids"))
+        agg = one.map_batches(_norm, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("doc_id", alias_name="sum_doc_ids"))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return pa.table({
         "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
         "sum_chars": pa.array([int(agg["sum_chars"])], pa.int64()),

@@ -343,11 +343,29 @@ def window_pair_join(left_ds, right_ds, key: str, on: str,
     tagged = l_tagged.union(r_tagged)
 
     def _pack(t: pa.Table) -> pa.Table:
+        # (key, tbucket) packs into ONE int64 as key*2^32 + tbucket +
+        # 2^20; Arrow's multiply wraps silently, so guard the bounds
+        # vectorized (the zorder_key pattern) instead of emitting
+        # silently-merged fine groups: key ∈ [0, 2^31), shifted
+        # tbucket ∈ [0, 2^32).  tbucket = ts // window_us, so the
+        # bucket bound only bites for sub-second windows over
+        # century-scale microsecond epochs — raise, don't wrap.
+        kcol = pc.cast(t.column(key), pa.int64())
+        shifted = pc.add(t.column("tbucket"),
+                         pa.scalar(2**20, pa.int64()))
+        bad_k = pc.or_(pc.less(kcol, pa.scalar(0, pa.int64())),
+                       pc.greater_equal(kcol,
+                                        pa.scalar(2**31, pa.int64())))
+        bad_b = pc.or_(
+            pc.less(shifted, pa.scalar(0, pa.int64())),
+            pc.greater_equal(shifted, pa.scalar(2**32, pa.int64())))
+        if pc.any(bad_k).as_py() or pc.any(bad_b).as_py():
+            raise ValueError(
+                "window_pair_join: key must be in [0, 2^31) and "
+                "ts//window_us in [-2^20, 2^32-2^20) for the packed "
+                "group key; widen the window or remap keys")
         packed = pc.add(
-            pc.multiply(pc.cast(t.column(key), pa.int64()),
-                        pa.scalar(2**32, pa.int64())),
-            pc.add(t.column("tbucket"), pa.scalar(2**20, pa.int64())),
-        )
+            pc.multiply(kcol, pa.scalar(2**32, pa.int64())), shifted)
         mixed = pc.multiply(
             pc.cast(packed, pa.uint64()),
             pa.scalar(0x9E3779B97F4A7C15, pa.uint64()))

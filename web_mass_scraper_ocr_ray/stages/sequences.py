@@ -208,28 +208,33 @@ def ordered_funnel(ev_ds, stages, user_col: str = "user_id",
             (user_col, "ascending"), (ts_col, "ascending")])
         s = g.take(idx).combine_chunks()
         uid = s.column(user_col).to_numpy(zero_copy_only=False)
+        # keep int64 end-to-end: a float64 cast is exact for
+        # microsecond epochs but silently rounds ts >= 2^53
+        # (nanosecond epochs), which could mis-order events — use
+        # integer iinfo sentinels instead of ±inf
         ts = pc.cast(s.column(ts_col), pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.float64)
+            zero_copy_only=False)
         typ = s.column(type_col).to_numpy(zero_copy_only=False)
         n = len(uid)
+        i64 = np.iinfo(np.int64)
         starts = np.flatnonzero(
             np.r_[True, uid[1:] != uid[:-1]])          # run offsets
         run_of = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
-        prev = np.full(len(starts), -np.inf)           # t_0 = -inf
+        prev = np.full(len(starts), i64.min)           # t_0 = -"inf"
         stage_ts = []
         for st in k_stages:
             cand = np.where(
-                (typ == st) & (ts > prev[run_of]), ts, np.inf)
+                (typ == st) & (ts > prev[run_of]), ts, i64.max)
             t_k = np.minimum.reduceat(cand, starts)
             stage_ts.append(t_k)
-            prev = t_k                                  # inf stays inf
-        reached = np.sum([np.isfinite(t) for t in stage_ts], axis=0)
+            prev = t_k                         # i64.max stays unreached
+        reached = np.sum([t != i64.max for t in stage_ts], axis=0)
         cols = {
             user_col: pa.array(uid[starts], pa.int64()),
             "reached": pa.array(reached.astype(np.int64), pa.int64()),
         }
         for c, t_k in zip(t_cols, stage_ts):
-            v = np.where(np.isfinite(t_k), t_k, -1).astype(np.int64)
+            v = np.where(t_k != i64.max, t_k, -1).astype(np.int64)
             cols[c] = pa.array(v, pa.int64())
         return pa.table(cols)
 

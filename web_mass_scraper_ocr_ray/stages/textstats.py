@@ -1379,11 +1379,31 @@ def term_blocklist_table(docs_ds, terms, text_col: str = "text",
     The blocklist is a task-closure constant: real deployments ship
     thousands of terms as ONE alternation per ~1k terms, same shape.
 
+    Terms are regex-ESCAPED before anchoring: real C4/LDNOOBW
+    blocklists contain regex metacharacters ('f*ck', 'a$$', 'c++')
+    that would otherwise fail to compile or silently miscount and
+    flip the keep gate. The \\b anchor is added only on term edges
+    that ARE word characters — \\b next to a non-word edge char (the
+    '+' in 'c++') can never match, so such edges are left unanchored
+    (RE2 has no lookarounds to do better).
+
     → (id_col, n_blocked, n_distinct_blocked, keep).
     """
+    import re
+
     import pyarrow.compute as pc_
 
-    pats = [r"\b" + t + r"\b" for t in terms]
+    terms = [t for t in terms if t]
+    if not terms:
+        raise ValueError("term_blocklist_table: empty blocklist")
+    _w = re.compile(r"\w")
+
+    def _pat(t: str) -> str:
+        pre = r"\b" if _w.match(t[0]) else ""
+        suf = r"\b" if _w.match(t[-1]) else ""
+        return pre + re.escape(t) + suf
+
+    pats = [_pat(t) for t in terms]
 
     def _count(t: pa.Table) -> pa.Table:
         text = t.column(text_col)
