@@ -25,8 +25,10 @@ from ..config import PipelineConfig
 from ..sources.pages import (
     candidate_url,
     page_url,
+    page_url_array,
     synth_pages_dataset,
 )
+from ..stages.broadcast import VecLut
 from ..stages import decontam as dc
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
@@ -156,16 +158,17 @@ def q_resume_filter(sf_dir: str):
     via a broadcast key set — no shuffle."""
     import ray
 
+    import numpy as np
+
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    committed = frozenset(
-        page_url(d) for d in docs.column("doc_id").to_pylist() if d % 3 == 0
-    )
-    ref = ray.put(committed)
+    ids = docs.column("doc_id").to_numpy()
+    ref = ray.put(page_url_array(ids[ids % 3 == 0]))
 
     def _filter(t: pa.Table) -> pa.Table:
         done = ray.get(ref)
-        mask = [u not in done for u in t.column("url").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        # membership via Arrow's C++ hash set — no per-row Python
+        mask = pc.invert(pc.is_in(t.column("url"), value_set=done))
+        return t.filter(mask)
 
     return (
         synth_pages_dataset(sf_dir)
@@ -188,9 +191,10 @@ def q_resume_filter_large(sf_dir: str):
                            columns=["doc_id"])
 
     def _committed(t: pa.Table) -> pa.Table:
-        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
-        return pa.table({"url": pa.array([page_url(d) for d in ids],
-                                         pa.string())})
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+        return pa.table({"url": page_url_array(ids[ids % 3 == 0])})
 
     committed = docs.map_batches(_committed, batch_format="pyarrow")
     left = synth_pages_dataset(sf_dir).select_columns(["url"])
@@ -210,9 +214,10 @@ def q_resume_committed(sf_dir: str):
                            columns=["doc_id"])
 
     def _committed(t: pa.Table) -> pa.Table:
-        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
-        return pa.table({"url": pa.array([page_url(d) for d in ids],
-                                         pa.string())})
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+        return pa.table({"url": page_url_array(ids[ids % 3 == 0])})
 
     committed = docs.map_batches(_committed, batch_format="pyarrow")
     left = synth_pages_dataset(sf_dir).select_columns(["url"])
@@ -233,9 +238,10 @@ def q_resume_filter_bloom(sf_dir: str):
                            columns=["doc_id"])
 
     def _committed(t: pa.Table) -> pa.Table:
-        ids = [d for d in t.column("doc_id").to_pylist() if d % 3 == 0]
-        return pa.table({"url": pa.array([page_url(d) for d in ids],
-                                         pa.string())})
+        import numpy as np
+
+        ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+        return pa.table({"url": page_url_array(ids[ids % 3 == 0])})
 
     committed = docs.map_batches(_committed, batch_format="pyarrow")
     left = synth_pages_dataset(sf_dir).select_columns(["url"])
@@ -265,11 +271,11 @@ def q_dedup_canonical_urls(sf_dir: str):
         import numpy as np
 
         ids = np.asarray(t.column("doc_id").combine_chunks())
-        base = [page_url(int(d) % 200) for d in ids]
+        base = page_url_array(ids % 200)
         suffix = np.where(ids % 3 == 0, "#sec",
                           np.where(ids % 3 == 1, "/", ""))
-        urls = pa.array([b + s for b, s in zip(base, suffix)],
-                        pa.string())
+        urls = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
         return pa.table({
             "doc_id": t.column("doc_id"),
             "canonical_url": canonicalize_url_batch(urls),
@@ -334,23 +340,22 @@ def q_company_join(sf_dir: str):
     ray.put ONCE and read per task — no shuffle, never re-shipped."""
     import ray
 
+    import numpy as np
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
-    keys = cust.column("c_custkey").to_pylist()
-    names = cust.column("c_name").to_pylist()
-    lookup = dict(zip(keys, names))
-    n, kmin = len(keys), min(keys)
-    ref = ray.put(lookup)
+    keys = cust.column("c_custkey").to_numpy()
+    lut = VecLut(keys, {"c_name": cust.column("c_name").combine_chunks()})
+    n, kmin = len(keys), int(keys.min())
+    ref = ray.put(lut)
 
     def _join(t: pa.Table) -> pa.Table:
         lk = ray.get(ref)
-        ids = t.column("doc_id").to_pylist()
+        ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "url": pa.array([page_url(d) for d in ids], pa.string()),
-            "c_name": pa.array(
-                [lk[d % n + kmin] for d in ids], pa.string()
-            ),
+            "doc_id": t.column("doc_id"),
+            "url": page_url_array(ids),
+            "c_name": lk.take(ids % n + kmin, "c_name"),
         })
 
     return _docs(sf_dir, ["doc_id"]).map_batches(
@@ -1361,20 +1366,20 @@ def q_order_customer_join(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_by_key = dict(zip(cust.column("c_custkey").to_pylist(),
-                          cust.column("c_mktsegment").to_pylist()))
-    ref = ray.put(seg_by_key)
+    lut = VecLut(cust.column("c_custkey").to_numpy(),
+                 {"seg": cust.column("c_mktsegment").combine_chunks()},
+                 defaults={"seg": "UNKNOWN"})
+    ref = ray.put(lut)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"]
                              )
 
     def _join(t: pa.Table) -> pa.Table:
-        seg = ray.get(ref)
-        keys = t.column("o_custkey").to_pylist()
+        lk = ray.get(ref)
+        keys = t.column("o_custkey").combine_chunks()
         return pa.table({
-            "c_mktsegment": pa.array(
-                [seg.get(k, "UNKNOWN") for k in keys], pa.string()),
+            "c_mktsegment": lk.take(keys, "seg"),
             "price_centi": pc.cast(pc.round(pc.multiply(
                 t.column("o_totalprice"), 100.0)), pa.int64()),
         })
@@ -4077,10 +4082,12 @@ def q_region_supplier_revenue(sf_dir: str):
                       nat.column("n_name").to_pylist()))
     r2name = dict(zip(reg.column("r_regionkey").to_pylist(),
                       reg.column("r_name").to_pylist()))
-    lookup = {sk: (r2name[n2r[nk]], n2name[nk])
-              for sk, nk in zip(sup.column("s_suppkey").to_pylist(),
-                                sup.column("s_nationkey").to_pylist())}
-    lookup_ref = ray.put(lookup)
+    _sk = sup.column("s_suppkey").to_pylist()
+    _nk = sup.column("s_nationkey").to_pylist()
+    lookup_ref = ray.put(VecLut(_sk, {
+        "r_name": [r2name[n2r[nk]] for nk in _nk],
+        "n_name": [n2name[nk] for nk in _nk],
+    }))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_extendedprice",
@@ -4097,10 +4104,10 @@ def q_region_supplier_revenue(sf_dir: str):
             t.column("l_discount"), 10000.0)), pa.int64())
             .combine_chunks())
         rev = price_c * (10000 - disc_bp)
-        names = [lk[s] for s in t.column("l_suppkey").to_pylist()]
+        sk = t.column("l_suppkey").combine_chunks()
         tb = pa.table({
-            "r_name": pa.array([r for r, _ in names], pa.string()),
-            "n_name": pa.array([n for _, n in names], pa.string()),
+            "r_name": lk.take(sk, "r_name"),
+            "n_name": lk.take(sk, "n_name"),
             "n_items": pa.array(np.ones(len(rev), np.int64)),
             "revenue_micro": pa.array(rev, pa.int64()),
         })
@@ -4345,20 +4352,20 @@ def q_large_orders(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
-    cmap_ref = ray.put(dict(zip(
-        cust.column("c_custkey").to_pylist(),
-        cust.column("c_name").to_pylist())))
+    cmap_ref = ray.put(VecLut(
+        cust.column("c_custkey").to_numpy(),
+        {"c_name": cust.column("c_name").combine_chunks()}))
 
     def _final(t: pa.Table) -> pa.Table:
         import ray
 
         cm = ray.get(cmap_ref)
-        names = [cm[k] for k in t.column("o_custkey").to_pylist()]
         total_c = pc.cast(pc.round(pc.multiply(
             t.column("o_totalprice"), 100.0)), pa.int64())
         return pa.table({
             "o_orderkey": t.column("l_orderkey"),
-            "c_name": pa.array(names, pa.string()),
+            "c_name": cm.take(t.column("o_custkey").combine_chunks(),
+                              "c_name"),
             "o_orderdate": t.column("o_orderdate"),
             "o_totalprice_centi": total_c,
             "sum_qty_centi": t.column("sum_qty_centi"),
@@ -4432,22 +4439,23 @@ def q_returned_item_revenue(sf_dir: str):
                         columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
                     nat.column("n_name").to_pylist()))
-    cmap_ref = ray.put({
-        k: (nm, round(b * 100), nmap[nk])
-        for k, nm, b, nk in zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_name").to_pylist(),
-            cust.column("c_acctbal").to_pylist(),
-            cust.column("c_nationkey").to_pylist())})
+    cmap_ref = ray.put(VecLut(
+        cust.column("c_custkey").to_numpy(),
+        {"c_name": cust.column("c_name").combine_chunks(),
+         "n_name": [nmap[nk] for nk in
+                    cust.column("c_nationkey").to_pylist()],
+         "acctbal_cents": [round(b * 100) for b in
+                           cust.column("c_acctbal").to_pylist()]}))
 
     def _dims(t: pa.Table) -> pa.Table:
         cm = ray.get(cmap_ref)
-        rows = [cm[k] for k in t.column("o_custkey").to_pylist()]
+        ck = t.column("o_custkey").combine_chunks()
         return pa.table({
             "c_custkey": t.column("o_custkey"),
-            "c_name": pa.array([r[0] for r in rows], pa.string()),
-            "n_name": pa.array([r[2] for r in rows], pa.string()),
-            "acctbal_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "c_name": cm.take(ck, "c_name"),
+            "n_name": cm.take(ck, "n_name"),
+            "acctbal_cents": pc.cast(cm.take(ck, "acctbal_cents"),
+                                     pa.int64()),
             "revenue_micro": t.column("revenue_micro"),
         })
 
@@ -4679,8 +4687,9 @@ def q_top_supplier(sf_dir: str):
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_name"])
-    smap_ref = ray.put(dict(zip(sup.column("s_suppkey").to_pylist(),
-                                sup.column("s_name").to_pylist())))
+    smap_ref = ray.put(VecLut(
+        sup.column("s_suppkey").to_numpy(),
+        {"s_name": sup.column("s_name").combine_chunks()}))
 
     def _final(t: pa.Table) -> pa.Table:
         import ray as _ray
@@ -4688,10 +4697,10 @@ def q_top_supplier(sf_dir: str):
         t = t.filter(pc.equal(t.column("total_revenue_micro"),
                               pa.scalar(best, pa.int64())))
         sm = _ray.get(smap_ref)
-        names = [sm[k] for k in t.column("l_suppkey").to_pylist()]
         return pa.table({
             "s_suppkey": t.column("l_suppkey"),
-            "s_name": pa.array(names, pa.string()),
+            "s_name": sm.take(t.column("l_suppkey").combine_chunks(),
+                              "s_name"),
             "total_revenue_micro": t.column("total_revenue_micro"),
         })
 
@@ -4843,9 +4852,10 @@ def q_nation_trade_volume(sf_dir: str):
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"])
-    smap_ref = ray.put(dict(zip(
-        sup.column("s_suppkey").to_pylist(),
-        pc.cast(sup.column("s_nationkey"), pa.int64()).to_pylist())))
+    smap_ref = ray.put(VecLut(
+        sup.column("s_suppkey").to_numpy(),
+        {"nation": pc.cast(sup.column("s_nationkey"),
+                           pa.int64()).combine_chunks()}))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -4874,8 +4884,8 @@ def q_nation_trade_volume(sf_dir: str):
                     pc.less(t.column("l_shipdate"), hi))
         t = t.filter(m)
         sm = _ray.get(smap_ref)
-        sn = pa.array([sm[k] for k in t.column("l_suppkey").to_pylist()],
-                      pa.int64())
+        sn = pc.cast(sm.take(t.column("l_suppkey").combine_chunks(),
+                             "nation"), pa.int64())
         t = t.append_column("supp_nation", sn)
         keep = pc.is_in(sn, value_set=pa.array([12, 11], pa.int64()))
         t = t.filter(keep)
@@ -5028,9 +5038,10 @@ def q_nation_market_share(sf_dir: str):
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"])
-    smap_ref = ray.put(dict(zip(
-        sup.column("s_suppkey").to_pylist(),
-        pc.cast(sup.column("s_nationkey"), pa.int64()).to_pylist())))
+    smap_ref = ray.put(VecLut(
+        sup.column("s_suppkey").to_numpy(),
+        {"nation": pc.cast(sup.column("s_nationkey"),
+                           pa.int64()).combine_chunks()}))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -5059,8 +5070,8 @@ def q_nation_market_share(sf_dir: str):
                     pc.less(t.column("l_shipdate"), hi))
         t = t.filter(m)
         sm = _ray.get(smap_ref)
-        sn = pa.array([sm[k] for k in t.column("l_suppkey").to_pylist()],
-                      pa.int64())
+        sn = pc.cast(sm.take(t.column("l_suppkey").combine_chunks(),
+                             "nation"), pa.int64())
         price_c = pc.cast(pc.round(pc.multiply(
             t.column("l_extendedprice"), 100.0)), pa.int64())
         disc_bp = pc.cast(pc.round(pc.multiply(
@@ -5571,22 +5582,27 @@ def q_doc_rank_prior(sf_dir: str):
     ranks = lg.pagerank_hosts(
         lg.host_edges(lg.outlinks(synth_link_pages_dataset(sf_dir))))
     rank_map = {r["host"]: r["rank_score"] for r in ranks.take_all()}
-    ref = ray.put(rank_map)
+    # dense host-index vector (hosts are the bounded small side):
+    # per batch the stamp is one modulo + two vectorized takes, no
+    # per-row dict.get (r4 verdict action #4)
+    import numpy as np
+
+    hosts = ["www.host%03d.example.com" % h for h in range(50)]
+    ref = ray.put((pa.array(hosts, pa.string()),
+                   np.array([rank_map.get(h, 0) for h in hosts],
+                            np.int64)))
     thresh = 860_000_000_000
 
     def _stamp(t: pa.Table) -> pa.Table:
-        rm = ray.get(ref)
-        ids = t.column("doc_id").to_pylist()
-        rs = [rm.get("www.host%03d.example.com" % (d % 50), 0)
-              for d in ids]
+        hosts_arr, rv = ray.get(ref)
+        ids = np.asarray(t.column("doc_id").combine_chunks(), np.int64)
+        hidx = ids % 50
+        rs = rv[hidx]
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "host": pa.array(
-                ["www.host%03d.example.com" % (d % 50) for d in ids],
-                pa.string()),
+            "host": pc.take(hosts_arr, pa.array(hidx)),
             "rank_score": pa.array(rs, pa.int64()),
-            "keep_prior": pa.array([r >= thresh for r in rs],
-                                   pa.bool_()),
+            "keep_prior": pa.array(rs >= thresh),
         })
 
     return _docs(sf_dir, ["doc_id"]).map_batches(

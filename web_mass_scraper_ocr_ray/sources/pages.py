@@ -63,6 +63,30 @@ def page_url(doc_id: int) -> str:
     return f"https://www.host{doc_id % N_HOSTS:03d}.example.com/docs/{doc_id}"
 
 
+_PAGE_URL_PREFIXES = None
+
+
+def page_url_array(ids) -> "pa.Array":
+    """Vectorized :func:`page_url` over an int array → pa.string().
+
+    One take over the 50 precomputed host prefixes + one Arrow
+    element-wise concat with the cast ids — replaces the
+    ``[page_url(d) for d in ids]`` per-row stamp loops (r4 verdict
+    action #4: no per-row Python in broadcast-stamp stages)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    global _PAGE_URL_PREFIXES
+    if _PAGE_URL_PREFIXES is None:
+        _PAGE_URL_PREFIXES = pa.array(
+            [f"https://www.host{h:03d}.example.com/docs/"
+             for h in range(N_HOSTS)], pa.string())
+    ids_np = np.asarray(ids, np.int64)
+    pre = _pc.take(_PAGE_URL_PREFIXES, pa.array(ids_np % N_HOSTS))
+    return _pc.binary_join_element_wise(
+        pre, _pc.cast(pa.array(ids_np), pa.string()), "")
+
+
 def page_warc_ts(doc_id: int) -> _dt.datetime:
     return _EPOCH + _dt.timedelta(seconds=int(doc_id))
 
