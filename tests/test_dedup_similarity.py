@@ -457,10 +457,10 @@ class TestPairCapOverflow:
         )
 
         n = PAIR_RUN_CAP + 320
-        df = pd.DataFrame({
-            "band_id": np.zeros(n, np.int32),
-            "band_hash": np.full(n, 7, np.uint64),
-            "doc_id": np.arange(n, dtype=np.int64),
+        df = pa.table({
+            "band_id": pa.array(np.zeros(n, np.int32)),
+            "band_hash": pa.array(np.full(n, 7, np.uint64)),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         })
         with caplog.at_level(logging.WARNING,
                              logger="web_mass_scraper_ocr_ray.stages.dedup"):
@@ -489,16 +489,16 @@ class TestPairCapOverflow:
 
         n_old, n_new = PAIR_RUN_CAP + 50, PAIR_RUN_CAP + 70
         n = n_old + n_new
-        df = pd.DataFrame({
-            "band_id": np.zeros(n, np.int32),
-            "band_hash": np.full(n, 7, np.uint64),
-            "doc_id": np.concatenate([
+        df = pa.table({
+            "band_id": pa.array(np.zeros(n, np.int32)),
+            "band_hash": pa.array(np.full(n, 7, np.uint64)),
+            "doc_id": pa.array(np.concatenate([
                 np.arange(n_old, dtype=np.int64),
                 1_000_000 + np.arange(n_new, dtype=np.int64),
-            ]),
-            "side": np.concatenate([
+            ])),
+            "side": pa.array(np.concatenate([
                 np.zeros(n_old, np.int8), np.ones(n_new, np.int8),
-            ]),
+            ])),
         })
         t = _cross_pairs_from_coarse_group(df)
         a = t.column("doc_a").to_pylist()
