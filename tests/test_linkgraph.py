@@ -229,6 +229,22 @@ class TestGraphComponents:
         assert out.component.nunique() == 1
         assert len(out) == 10
 
+    def test_log_diameter_rounds_on_long_path(self, ray_session):
+        """Pointer jumping makes round count O(log diameter): a
+        128-node path (diameter 127) must converge within 9 strict
+        rounds — plain 1-hop propagation would need ~127."""
+        import ray.data as rd
+        from web_mass_scraper_ocr_ray.stages import linkgraph as lg
+
+        n = 128
+        chain = rd.from_arrow(pa.table({
+            "src_host": [f"{i:03d}" for i in range(n - 1)],
+            "dst_host": [f"{i + 1:03d}" for i in range(n - 1)],
+        }))
+        out = lg.graph_components(chain, max_rounds=9).to_pandas()
+        assert len(out) == n
+        assert set(out.component) == {"000"}
+
 
 class TestAnchorText:
     def test_extract_anchor_text(self):

@@ -1099,11 +1099,16 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
             "coarse": _coarse(dst),
         })
 
+    # bound the per-round label table to a fixed block count: a sort's
+    # output inherits its input block count, so without the cap labels
+    # gain the edge table's block count EVERY round and the all-to-all
+    # cost compounds (the graph_components 10×-stress lesson —
+    # stages/linkgraph.py `_mat_small`)
     labels = edges.map_batches(
         _initial_votes, batch_format="pyarrow"
     ).groupby("coarse").map_groups(
         _bucket_min, batch_format="pandas"
-    ).materialize()
+    ).repartition(16).materialize()
     prev_sum = labels.sum("label")
 
     def _propagate(df):
@@ -1147,7 +1152,7 @@ def cluster_pairs_label_propagation(pairs, max_rounds: int = 10,
         )
         new_labels = votes.groupby("coarse").map_groups(
             _bucket_min, batch_format="pandas"
-        ).materialize()
+        ).repartition(16).materialize()
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == prev_sum:
