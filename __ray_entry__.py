@@ -616,6 +616,19 @@ SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
 GROUP BY label, pos
 """,
+        # REAL-pixel OCR gate: the Ray side rasterizes 'ID <id> <LANG>'
+        # into an actual BMP and the glyph engine recovers the text
+        # from pixels alone; the mirror recomputes the expected string
+        # from the table, so a hash match proves full text recovery
+        "ocr_glyph_roundtrip": """
+SELECT doc_id,
+  'ID ' || CAST(doc_id AS VARCHAR) || ' ' || UPPER(lang) AS ocr_text,
+  CAST(LENGTH('ID ' || CAST(doc_id AS VARCHAR) || ' ' || UPPER(lang))
+       AS BIGINT) AS char_count,
+  CAST(3 AS BIGINT) AS word_count,
+  'success' AS ocr_status
+FROM documents
+""",
         # real-DCT-kernel claim gate: hash structure asserted in the
         # Ray pipeline (the SQL cannot compute a DCT); mirror carries
         # n_images from the synthesis contract + claim constants
@@ -2453,9 +2466,12 @@ FROM l
 """,
         # Corpus char-frequency table (BPE seed histogram): the corpus
         # contract is printable ASCII, so char == byte.
+        # string_split('', '') yields one '' element — filter it so an
+        # empty document contributes zero codepoints (numpy parity)
         "corpus_char_freq": """
 SELECT ch, CAST(count(*) AS BIGINT) AS n_chars
 FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+WHERE ch <> ''
 GROUP BY ch
 """,
         # Per-source token totals + integer corpus share (bp).

@@ -81,6 +81,11 @@ def main():
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
     con = duckdb.connect()
+    # bound the oracle side: a pair-quadratic SQL mirror on a
+    # degenerate corpus must error, not fill the device with spill
+    con.sql("SET temp_directory='/tmp/duckdb_gate_tmp'")
+    con.sql("SET max_temp_directory_size='20GB'")
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{args.sf}/{t}.parquet')")

@@ -1259,6 +1259,68 @@ def q_embedding_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir))
 
 
+def q_ocr_glyph_roundtrip(sf_dir: str):
+    """REAL-pixel OCR gate (r4 verdict #2): per document the string
+    ``'ID <doc_id> <LANG>'`` is rasterized into an actual BMP (5×7
+    glyph font, per-doc scale 1-3 and x-offset 0-4 so segmentation
+    and scale inference genuinely run) by one stateless render stage,
+    then a SEPARATE actor-pool stage (``ocr/engine.GlyphOCREngine``,
+    templates pinned per actor) recovers the text from pixels alone —
+    binarize → column-projection segmentation → block-reduce →
+    template match. The DuckDB oracle recomputes the expected string
+    from the table; a hash match therefore proves the OCR stage read
+    real pixel data and emitted the exact text (the claim-gate
+    pattern of ``q_image_phash_dct``, upgraded from hash structure to
+    full text recovery). Reference semantics:
+    /root/reference/src/scraper_app/ocr.py:39-76 (engine per actor,
+    6-status taxonomy)."""
+    from ..ocr.glyphs import render_text_bmp
+
+    def _render(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        payloads = [
+            render_text_bmp(f"ID {d} {lg.upper()}",
+                            scale=1 + d % 3, x_off=d % 5)
+            for d, lg in zip(ids, langs)
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(payloads),
+                             pa.string()),
+        })
+
+    class _OcrStage:
+        def __init__(self):
+            from ..ocr.engine import make_engine
+
+            self._engine = make_engine("glyph")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            outs = [self._engine.ocr(p, m) for p, m in
+                    zip(t.column("payload").to_pylist(),
+                        t.column("mime").to_pylist())]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "ocr_text": pa.array([o.text for o in outs],
+                                     pa.string()),
+                "char_count": pa.array([o.char_count for o in outs],
+                                       pa.int64()),
+                "word_count": pa.array([o.word_count for o in outs],
+                                       pa.int64()),
+                "ocr_status": pa.array([o.ocr_status for o in outs],
+                                       pa.string()),
+            })
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(_render, batch_format="pyarrow")
+        .map_batches(_OcrStage, concurrency=2, batch_size=256,
+                     batch_format="pyarrow")
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Actor-pool media decode, flattened to scalar columns — the stub
     decode is deterministic arithmetic over the payload digest, so the
@@ -3208,28 +3270,26 @@ def q_outlinks_robots_gate(sf_dir: str):
 
 
 def q_corpus_char_freq(sf_dir: str):
-    """Corpus-wide character frequency table — the byte/char histogram
-    a BPE tokenizer seeds from. Per batch ONE np.bincount over the
-    concatenated utf-8 bytes (the corpus contract is printable ASCII,
-    asserted — so byte == char), emitting ≤128 partial rows per batch;
-    the groupby then sums ≤128-row partials, never text."""
+    """Corpus-wide character frequency table — the char histogram a
+    BPE tokenizer seeds from. Per batch ONE np.unique over the
+    concatenated text viewed as UTF-32 codepoints (full Unicode — the
+    r4 adversarial sweep replaced the printable-ASCII bincount
+    shortcut, whose guard tripped on NUL/NBSP corpora), emitting one
+    partial row per DISTINCT char per batch; the groupby then sums
+    tiny partials, never text. Parity: DuckDB ``string_split(t, '')``
+    enumerates the same codepoints (verified incl. NUL, NBSP, ZWSP
+    and astral chars)."""
     docs = _docs(sf_dir, ["text"])
 
     def _hist(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        buf = "".join(t.column("text").to_pylist()).encode("utf-8")
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        if arr.size and int(arr.max()) > 0x7E or (
-                arr.size and int(arr.min()) < 0x20):
-            raise ValueError(
-                "corpus_char_freq: non-printable/non-ASCII byte — the "
-                "byte==char shortcut no longer holds for this corpus")
-        counts = np.bincount(arr, minlength=128)
-        nz = np.flatnonzero(counts)
+        buf = "".join(t.column("text").to_pylist()).encode("utf-32-le")
+        arr = np.frombuffer(buf, dtype=np.uint32)
+        cps, counts = np.unique(arr, return_counts=True)
         return pa.table({
-            "ch": pa.array([chr(i) for i in nz], pa.string()),
-            "n": pa.array(counts[nz], pa.int64()),
+            "ch": pa.array([chr(int(c)) for c in cps], pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
     from ray.data.aggregate import Sum
@@ -6187,6 +6247,7 @@ QUERIES: Dict[str, callable] = {
     "multimodal_decode": q_multimodal_decode,
     "image_dedup_phash": q_image_dedup_phash,
     "image_phash_dct": q_image_phash_dct,
+    "ocr_glyph_roundtrip": q_ocr_glyph_roundtrip,
     "embedding_centroids": q_embedding_centroids,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
