@@ -42,12 +42,17 @@ from .htmltext import (
 from .textclean import clean_text
 
 # One pass: comments / CDATA / doctype / processing instrs / tags.
+# No whitespace is allowed between '<' and the tag name: browsers and
+# stdlib html.parser treat a stray '< ' as TEXT, and the old
+# whitespace-tolerant form turned '< angle bracket in prose' into a
+# fake tag that swallowed everything to the next '>' (found by the
+# realweb broken-markup fixture).
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|<\s*(/?)([a-zA-Z][a-zA-Z0-9-]*)"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)"
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
     re.S,
 )
