@@ -1213,9 +1213,13 @@ w AS (
 wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
 agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d
         FROM wc GROUP BY doc_id),
+-- LEFT JOIN + COALESCE: a zero-token document has no word rows, so an
+-- inner join silently dropped it while the engine (correctly) emits
+-- it as a quality-drop (r5 adversarial-gate oracle fix)
 q AS (
-  SELECT nd.doc_id, nd.source, a.n AS n_toks,
-    (a.n < 25 OR 10000 - (10000 * a.d) // a.n > 6500) AS lowq,
+  SELECT nd.doc_id, nd.source, COALESCE(a.n, 0) AS n_toks,
+    (COALESCE(a.n, 0) < 25
+     OR COALESCE(10000 - (10000 * a.d) // a.n, 0) > 6500) AS lowq,
     regexp_replace(regexp_replace(regexp_replace(nd.text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
@@ -1224,7 +1228,7 @@ q AS (
       '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})'
       || '|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)'
       || '|(?:\+\d{1,3}-\d{3}-\d{4,})')) AS BIGINT) AS pii_hits
-  FROM nd JOIN agg a USING (doc_id)
+  FROM nd LEFT JOIN agg a USING (doc_id)
 ),
 ded AS (
   SELECT q.*,
@@ -1259,9 +1263,13 @@ w AS (
 wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
 agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d
         FROM wc GROUP BY doc_id),
+-- LEFT JOIN + COALESCE: a zero-token document has no word rows, so an
+-- inner join silently dropped it while the engine (correctly) emits
+-- it as a quality-drop (r5 adversarial-gate oracle fix)
 q AS (
-  SELECT nd.doc_id, nd.source, a.n AS n_toks,
-    (a.n < 25 OR 10000 - (10000 * a.d) // a.n > 6500) AS lowq,
+  SELECT nd.doc_id, nd.source, COALESCE(a.n, 0) AS n_toks,
+    (COALESCE(a.n, 0) < 25
+     OR COALESCE(10000 - (10000 * a.d) // a.n, 0) > 6500) AS lowq,
     regexp_replace(regexp_replace(regexp_replace(nd.text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
@@ -1270,7 +1278,7 @@ q AS (
       '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})'
       || '|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)'
       || '|(?:\+\d{1,3}-\d{3}-\d{4,})')) AS BIGINT) AS pii_hits
-  FROM nd JOIN agg a USING (doc_id)
+  FROM nd LEFT JOIN agg a USING (doc_id)
 ),
 ded AS (
   SELECT q.*,
@@ -1759,6 +1767,9 @@ WHERE 5 * a.n >= 4 * b.n
         # dedup_simhash: corpus = documents + exact copies; identical
         # texts have hamming-0 signatures and must ALL be blocked
         # together by the 4x16 banding.
+        # cap-aware: pair-completeness is claimed for groups below the
+        # 200-member pair cap; groups at/above it claim one connected
+        # candidate-graph component instead (star-link contract)
         "dedup_simhash": """
 WITH c AS (
   SELECT doc_id, text FROM documents
@@ -1766,8 +1777,13 @@ WITH c AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents
 ),
 g AS (SELECT text, count(*) AS n FROM c GROUP BY text)
-SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_exact_dup_pairs,
-       TRUE AS all_exact_dups_found
+SELECT CAST(COALESCE(sum(n * (n - 1) // 2)
+              FILTER (WHERE n < 200), 0) AS BIGINT)
+         AS n_exact_dup_pairs,
+       TRUE AS all_exact_dups_found,
+       CAST(count(*) FILTER (WHERE n >= 200) AS BIGINT)
+         AS n_giant_groups,
+       TRUE AS giant_groups_connected
 FROM g
 """,
         "knn_lsh": """

@@ -63,21 +63,23 @@ def _docs_table(base_dir: str, n_giant: int = None) -> pa.Table:
             langs.append(lang)
             srcs.append(src)
 
-    # giant dup group on one host: ids ≡ 7 (mod 50)
+    # giant dup group on one host: ids ≡ 7 (mod 50). The whole id
+    # space stays BELOW 1e6: several queries derive secondary corpora
+    # at doc_id + 1e6 / + 3e6 and assume base ids never reach there.
     for i in range(N_GIANT if n_giant is None else n_giant):
-        ids.append(1_000_007 + 50 * i)
+        ids.append(100_007 + 50 * i)
         texts.append(GIANT_TEXT)
         langs.append("en")
         srcs.append("src97")
-    fam(2_000_000, 10, lambda i: "")                       # empty
-    fam(2_000_100, 10,
+    fam(700_000, 10, lambda i: "")                       # empty
+    fam(700_100, 10,
         lambda i: f"alpha\x00beta gamma\x00delta {i} nul")  # NUL bytes
-    fam(2_000_200, 10,
+    fam(700_200, 10,
         lambda i: ("alpha\u00a0beta\u200bgamma\u00a0 %d" % i
                    + " \u2009thin\u00a0space"))     # NBSP/ZWSP/thin
-    fam(2_000_300, 5,
+    fam(700_300, 5,
         lambda i: " ".join(f"tok{i}w{j}" for j in range(12_000)))
-    fam(2_000_400, 10, lambda i: "x")                       # 1 char
+    fam(700_400, 10, lambda i: "x")                       # 1 char
     extra = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(texts, pa.string()),
@@ -91,6 +93,7 @@ def _docs_table(base_dir: str, n_giant: int = None) -> pa.Table:
     assert pc.all(pc.equal(pc.utf8_length(out.column("text")),
                            out.column("n_chars"))).as_py()
     assert len(set(out.column("doc_id").to_pylist())) == out.num_rows
+    assert pc.max(out.column("doc_id")).as_py() < 1_000_000
     return out
 
 

@@ -683,7 +683,49 @@ def q_dedup_minhash(sf_dir: str):
         _truth, batch_format="pyarrow"
     )
     found = cands.map_batches(_found, batch_format="pyarrow")
-    n_truth, _, n_hit = _overlap_counts(truth, found, ("doc_id",))
+
+    # cap-aware completion (r5 adversarial sweep): in a degenerate
+    # bucket (one text repeated ≫ PAIR_RUN_CAP times) the pair cap
+    # preserves CONNECTIVITY, not pair-completeness — the documented
+    # star-link contract. A truth doc whose direct (d, d+1e6) pair
+    # was capped away still counts as found when both endpoints land
+    # in one component of the candidate graph. On non-degenerate
+    # corpora candidates contain the direct pairs, so this is a pure
+    # superset and the gate stays as strict as before.
+    from ..stages.shuffle import bucketed_map_groups
+
+    labels = dd.cluster_pairs_label_propagation(cands, as_dataset=True)
+
+    def _split_side(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "base_id": pc.subtract(
+                did, pc.multiply(
+                    pc.divide(did, pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(1_000_000, pa.int64()))),
+            "side": pc.divide(did, pa.scalar(1_000_000, pa.int64())),
+            "cluster_id": pc.cast(t.column("cluster_id"), pa.int64()),
+        })
+
+    def _connected(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        base = g.column("base_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lab = g.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, base))
+        b, s, c = base[order], side[order], lab[order]
+        adj = np.flatnonzero(
+            (b[:-1] == b[1:]) & (s[:-1] == 0) & (s[1:] == 1)
+            & (c[:-1] == c[1:]))
+        return pa.table({"doc_id": pa.array(b[adj], pa.int64())})
+
+    connected = bucketed_map_groups(
+        labels.map_batches(_split_side, batch_format="pyarrow"),
+        "base_id", _connected,
+        out_schema=pa.schema([("doc_id", pa.int64())]))
+    hits = found.union(connected)
+    n_truth, _, n_hit = _overlap_counts(truth, hits, ("doc_id",))
     return _claim_row(
         n_truth_pairs=int(n_truth),
         candidates_recall_ge_95pct=bool(100 * n_hit >= 95 * n_truth),
@@ -906,14 +948,47 @@ def q_dedup_simhash(sf_dir: str):
             "p": pa.array([int((n * (n - 1) // 2).sum())], pa.int64()),
         })
 
-    agg = sizes.map_batches(_pairs_of, batch_format="pyarrow").sum("p")
-    n_exact = int(agg) if agg is not None else 0
+    # cap-aware claims (r5 adversarial sweep): pair-COMPLETENESS is
+    # the contract only for groups below PAIR_RUN_CAP; at/above the
+    # cap the documented star-link contract guarantees CONNECTIVITY.
+    # Both are measured: sub-cap groups must yield every exact pair,
+    # giant groups must each form one candidate-graph component with
+    # every member labeled.
+    cap = dd.PAIR_RUN_CAP
 
-    # attach both endpoints' text hashes to each found pair
-    # (co-partitioned — dedup.attach_pair_column, no driver pull)
-    att = dd.attach_pair_column(found, hashed, "text_hash")
+    def _pairs_of_small(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        small = n[n < cap]
+        return pa.table({
+            "p": pa.array([int((small * (small - 1) // 2).sum())],
+                          pa.int64()),
+            "ng": pa.array([int((n >= cap).sum())], pa.int64()),
+        })
 
-    def _same_hash(g: pa.Table) -> pa.Table:
+    part = sizes.map_batches(
+        _pairs_of_small, batch_format="pyarrow").materialize()
+    n_exact = int(part.sum("p") or 0)
+    n_giant_groups = int(part.sum("ng") or 0)
+
+    # per-doc fused "hash:groupsize" value → ONE attach carries both
+    # the match key and the smallness flag to each pair side
+    from ..stages.joins import equi_join
+
+    with_n = equi_join(hashed, sizes, "text_hash", "text_hash", ["n"])
+
+    def _fuse(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "hn": pc.binary_join_element_wise(
+                pc.cast(t.column("text_hash"), pa.string()),
+                pc.cast(t.column("n"), pa.string()), ":"),
+        })
+
+    att = dd.attach_pair_column(
+        found, with_n.map_batches(_fuse, batch_format="pyarrow"), "hn")
+
+    def _same_hash_small(g: pa.Table) -> pa.Table:
         import numpy as np
         if g.num_rows < 2:
             return pa.table({"m": pa.array([0], pa.int64())})
@@ -924,19 +999,59 @@ def q_dedup_simhash(sf_dir: str):
         a = s.column("doc_a").to_numpy(zero_copy_only=False)
         b = s.column("doc_b").to_numpy(zero_copy_only=False)
         side = s.column("side").to_numpy(zero_copy_only=False)
-        h = s.column("text_hash").to_pylist()
+        h = s.column("hn").to_pylist()
         both = np.flatnonzero(
             (side[:-1] == 0) & (side[1:] == 1)
             & (a[:-1] == a[1:]) & (b[:-1] == b[1:]))
-        m = sum(1 for i in both if h[i] == h[i + 1])
+        m = sum(1 for i in both
+                if h[i] == h[i + 1]
+                and int(h[i].rsplit(":", 1)[1]) < cap)
         return pa.table({"m": pa.array([int(m)], pa.int64())})
 
     agg2 = att.groupby("coarse").map_groups(
-        _same_hash, batch_format="pyarrow").sum("m")
+        _same_hash_small, batch_format="pyarrow").sum("m")
     n_common = int(agg2) if agg2 is not None else 0
+
+    # giant groups: every member labeled into ONE component
+    if n_giant_groups:
+        from ..stages.shuffle import bucketed_map_groups
+
+        labels = dd.cluster_pairs_label_propagation(
+            found, as_dataset=True)
+        lab_h = equi_join(hashed, labels, "doc_id", "doc_id",
+                          ["cluster_id"])
+
+        def _group_ok(g: pa.Table) -> pa.Table:
+            import numpy as np
+            h = g.column("text_hash").to_numpy(zero_copy_only=False)
+            c = g.column("cluster_id").to_numpy(zero_copy_only=False)
+            n_g = g.column("n").to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            hs, cs, ns = h[order], c[order], n_g[order]
+            starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+            lens = np.diff(np.r_[starts, len(hs)])
+            bad = 0
+            for s0, ln, n_exp in zip(starts, lens, ns[starts]):
+                if n_exp >= cap:
+                    grp = cs[s0:s0 + ln]
+                    if ln != n_exp or np.unique(grp).size != 1:
+                        bad += 1
+            return pa.table({"bad": pa.array([bad], pa.int64())})
+
+        with_both = equi_join(lab_h, sizes, "text_hash", "text_hash",
+                              ["n"])
+        badsum = bucketed_map_groups(
+            with_both.select_columns(["text_hash", "cluster_id", "n"]),
+            "text_hash", _group_ok,
+            out_schema=pa.schema([("bad", pa.int64())])).sum("bad")
+        giant_connected = int(badsum or 0) == 0
+    else:
+        giant_connected = True
     return _claim_row(
         n_exact_dup_pairs=int(n_exact),
         all_exact_dups_found=bool(n_common == n_exact),
+        n_giant_groups=int(n_giant_groups),
+        giant_groups_connected=bool(giant_connected),
     )
 
 

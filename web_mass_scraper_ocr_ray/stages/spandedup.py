@@ -348,16 +348,26 @@ def strip_dup_spans(docs_ds, w: int = 8, id_col: str = "doc_id",
         if len(texts) == 0:
             return _empty
         docs = texts["doc_id"].to_numpy(dtype=np.int64)
-        tok_lists = texts["text"].str.split()  # \s+ with empties dropped
-        lens = np.fromiter((len(x) for x in tok_lists),
-                           dtype=np.int64, count=len(texts))
-        total = int(lens.sum())
-        flat = np.empty(total, dtype=object)
-        off = 0
-        for x in tok_lists:  # per-DOC append, not per-token work
-            flat[off:off + len(x)] = x
-            off += len(x)
-        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # tokenize with the SAME Arrow RE2 \s+ the window-hash stage
+        # uses: Python str.split() is Unicode-aware and disagrees on
+        # NBSP/thin-space text, so windows found under one
+        # tokenization were stripped under another (adversarial-gate
+        # finding, r5)
+        toks = pc.split_pattern_regex(
+            pa.array(texts["text"].to_numpy(), pa.string()),
+            pattern=r"\s+")
+        docidx = np.asarray(pc.list_parent_indices(toks),
+                            dtype=np.int64)
+        flat_a = pc.list_flatten(toks)
+        valid = pc.not_equal(flat_a, "")
+        vmask = np.asarray(valid.combine_chunks()
+                           if hasattr(valid, "combine_chunks")
+                           else valid)
+        docidx = docidx[vmask]
+        flat = flat_a.filter(valid).to_numpy(zero_copy_only=False)
+        lens = np.bincount(
+            docidx, minlength=len(texts)).astype(np.int64)
+        total = len(flat)
         starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         j = np.arange(total, dtype=np.int64) - starts[docidx]
