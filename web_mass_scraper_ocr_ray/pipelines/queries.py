@@ -2278,7 +2278,7 @@ def q_doc_sample_stratified(sf_dir: str):
     engines and cluster sizes (no RNG state, no shuffle)."""
     from ..stages.sampling import stratified_sample
 
-    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(256)}
     return stratified_sample(
         _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         id_col="doc_id", strata_col="source", rates_bp=rates,
@@ -2422,7 +2422,7 @@ def q_corpus_prep(sf_dir: str):
     duplicate(2) > sampled_out(3); 0 = kept."""
     from .prep_pipeline import PrepConfig, build_prep_pipeline
 
-    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(256)}
     cfg = PrepConfig(min_tokens=PREP_MIN_TOKENS,
                      max_dup_word_bp=PREP_MAX_DUP_BP,
                      sample_rates_bp=rates)
@@ -2446,7 +2446,7 @@ def q_corpus_prep_twopass(sf_dir: str):
     oracle."""
     from .prep_pipeline import PrepConfig, build_prep_pipeline
 
-    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(64)}
+    rates = {f"src{i}": 1000 + 700 * (i % 8) for i in range(256)}
     cfg = PrepConfig(min_tokens=PREP_MIN_TOKENS,
                      max_dup_word_bp=PREP_MAX_DUP_BP,
                      sample_rates_bp=rates,
