@@ -41,16 +41,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #   ext  — per-doc url/hostname/extracted-text (what the DOM walk +
 #          clean_text must produce, recomputed directly from documents)
 #   imgs — one row per synthesized <img>, r = payload class
-_EXT_CTE = """
+# clean_text parity class: Python re \s under Unicode mode =
+# ASCII [\t\n\x0b\f\r ] + \x1c-\x1f + \x85 (NEL) + the Z* separator
+# categories (NBSP, thin space, ideographic space, LS, PS). Collapse
+# runs over the FULL assembled string (an empty document text must
+# not leave a double space) — verified char-for-char against
+# functions/textclean.clean_text incl. NBSP/ZWSP/NEL/controls.
+_WS_CLASS = r"[\t\n\x0b\f\r \x1c-\x1f\x85\p{Zs}\p{Zl}\p{Zp}]+"
+
+_EXT_CTE = f"""
 ext AS (
   SELECT doc_id,
          'https://www.host' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
            || '.example.com/docs/' || doc_id AS url,
          'www_host' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
            || '_example_com' AS hostname,
-         'Doc ' || doc_id || ' '
-           || trim(regexp_replace(text, '\\s+', ' ', 'g'))
-           || ' footer ' || doc_id AS text
+         trim(regexp_replace(
+           'Doc ' || doc_id || ' ' || text || ' footer ' || doc_id,
+           '{_WS_CLASS}', ' ', 'g')) AS text
   FROM documents
 )
 """
@@ -598,7 +606,7 @@ WITH hs AS (
   SELECT doc_id, list_sort(list(h)) AS hsort FROM (
     SELECT doc_id,
       CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS h
-    FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+    FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
   ) GROUP BY doc_id
 )
 SELECT doc_id,
@@ -784,8 +792,10 @@ SELECT doc_id,
     AS kept
 FROM f
 """,
+        # greatest(n,1): empty docs land in bucket 0 (the engine's
+        # max(v,1) rule) instead of erroring log2(0)
         "doc_size_histogram": """
-SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket,
+SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bucket,
   CAST(count(*) AS BIGINT) AS n_pages,
   CAST(sum(n_chars) AS BIGINT) AS sum_bytes
 FROM documents GROUP BY 1
@@ -1063,13 +1073,15 @@ bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
 bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
 bga AS (SELECT doc_id, sum(c) AS nb, count(*) AS db
         FROM bgc GROUP BY doc_id)
-SELECT a.doc_id,
-  CAST(n AS BIGINT) AS n_tokens,
-  CAST(10000 - (10000 * d) // n AS BIGINT) AS dup_word_bp,
-  CAST((10000 * mx) // n AS BIGINT) AS top_word_bp,
+SELECT dd.doc_id,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(10000 - (10000 * d) // n, 0) AS BIGINT)
+    AS dup_word_bp,
+  CAST(COALESCE((10000 * mx) // n, 0) AS BIGINT) AS top_word_bp,
   CAST(coalesce(10000 - (10000 * db) // nb, 0) AS BIGINT)
     AS dup_bigram_bp
-FROM agg a LEFT JOIN bga USING (doc_id)
+FROM documents dd
+LEFT JOIN agg a USING (doc_id) LEFT JOIN bga USING (doc_id)
 """,
         "vocab_topk": r"""
 WITH w AS (
@@ -1318,7 +1330,7 @@ FROM w WHERE token IN ('scan', 'window', 'column')
 WITH c AS (
   SELECT doc_id,
          length(CAST(doc_id AS VARCHAR)) AS dg,
-         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+         trim(regexp_replace(text, '[\t\n\x0b\f\r \x1c-\x1f\x85\p{Zs}\p{Zl}\p{Zp}]+', ' ', 'g')) AS t
   FROM documents
 )
 SELECT
@@ -1346,7 +1358,7 @@ FROM c
 WITH c AS (
   SELECT doc_id,
          length(CAST(doc_id AS VARCHAR)) AS dg,
-         length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tl
+         length(trim(regexp_replace(text, '[\t\n\x0b\f\r \x1c-\x1f\x85\p{Zs}\p{Zl}\p{Zp}]+', ' ', 'g'))) AS tl
   FROM documents
 ),
 blocks AS (
@@ -2677,10 +2689,29 @@ WITH toks0 AS (
     SELECT substr(tok, 1, length(tok) - 1) FROM base
     WHERE length(tok) >= 4
   )
-), t AS (SELECT tok, length(tok) AS l FROM aug)
-SELECT a.tok AS tok_a, b.tok AS tok_b
-FROM t a JOIN t b ON b.l BETWEEN a.l - 1 AND a.l + 1 AND a.tok < b.tok
-WHERE levenshtein(a.tok, b.tok) = 1
+), t AS (SELECT tok, length(tok) AS l FROM aug),
+-- CHAR-exact edit-distance-1 via the FastSS deletion-variant shape
+-- (the same linear construction the engine uses). DuckDB's
+-- levenshtein counts BYTES, so a trailing NBSP would read as 2 edits
+-- — char-indexed substr deletions sidestep it entirely, and the
+-- variant equi-join replaces the quadratic length-bucket join:
+--   substitution pairs share a deletion at the SAME position;
+--   insert/delete pairs: the longer token has a deletion equal to
+--   the shorter token itself.
+vd AS (
+  SELECT tok, CAST(u.k AS BIGINT) AS pos,
+         substr(tok, 1, CAST(u.k - 1 AS BIGINT))
+           || substr(tok, CAST(u.k + 1 AS BIGINT)) AS v
+  FROM t, unnest(range(1, l + 1)) AS u(k)
+)
+SELECT DISTINCT tok_a, tok_b FROM (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM vd a JOIN vd b ON a.v = b.v AND a.pos = b.pos
+                     AND a.tok < b.tok
+  UNION ALL
+  SELECT least(a.tok, b.tok), greatest(a.tok, b.tok)
+  FROM vd a JOIN t b ON a.v = b.tok AND a.tok <> b.tok
+)
 """,
         "events_value_trend": """
 WITH base AS (
@@ -2820,7 +2851,7 @@ FROM f
 WITH h AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
     CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
-  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+  FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
 ),
 w AS (
   SELECT doc_id, pos,
@@ -2924,7 +2955,7 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
 WITH h AS (
   SELECT DISTINCT doc_id,
     CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
-  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+  FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
 ),
 f AS (SELECT hv, min(doc_id) AS first_doc FROM h GROUP BY hv)
 SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
@@ -3135,7 +3166,7 @@ WITH corpus AS (
 h AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
     CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
-  FROM corpus, unnest(range(1, length(text) - 6)) AS u(i)
+  FROM corpus, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
 ),
 w AS (
   SELECT doc_id, pos,
@@ -3226,8 +3257,10 @@ FROM w
         "events_trigrams": """
 WITH o AS (
   SELECT user_id, event_type,
-    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
-    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2
+    lag(event_type, 1) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS p2
   FROM events
 )
 SELECT p2 AS ev1, p1 AS ev2, event_type AS ev3,
@@ -4013,7 +4046,7 @@ FROM a GROUP BY 1
 WITH h AS (
   SELECT doc_id, source, CAST(u.i AS BIGINT) AS pos,
     CAST(({_FP_TERMS}) % 18446744073709551616 AS UBIGINT) AS hv
-  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+  FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
 ),
 w AS (
   SELECT doc_id, source, pos,

@@ -164,18 +164,18 @@ class TestCdcChunks:
             _rolling_hashes,
         )
 
-        b = text.encode()
         cuts = []
-        if len(b) >= window:
-            h = _rolling_hashes(b, window)
+        if len(text) >= window:
+            h = _rolling_hashes(text, window)
             cuts = [int(k) + window for k in
                     (h % mod == 0).nonzero()[0]]
         spans, prev = [], 0
         for c in cuts:
-            spans.append(b[prev:c]); prev = c
-        if prev < len(b):
-            spans.append(b[prev:])
-        return [(hashlib.md5(s).hexdigest(), len(s)) for s in spans]
+            spans.append(text[prev:c]); prev = c
+        if prev < len(text):
+            spans.append(text[prev:])
+        return [(hashlib.md5(s.encode("utf-8")).hexdigest(), len(s))
+                for s in spans]
 
     def test_matches_reference_and_covers_doc(self, ray_session):
         import numpy as np

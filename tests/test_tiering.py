@@ -80,8 +80,8 @@ class TestWinnowKernel:
         )
 
         shared = "zqxjkvwpyfgbhdnmcrltse!"  # 23 chars, high entropy
-        a = ("AAAA " * 20 + shared + " BBBB" * 20).encode()
-        b = ("CCCC " * 17 + shared + " DDDD" * 23).encode()
+        a = "AAAA " * 20 + shared + " BBBB" * 20
+        b = "CCCC " * 17 + shared + " DDDD" * 23
         sa = set(_window_min_values(_rolling_hashes(a, 8), 16).tolist())
         sb = set(_window_min_values(_rolling_hashes(b, 8), 16).tolist())
         assert sa & sb

@@ -2352,7 +2352,7 @@ def q_doc_mixture_upsample(sf_dir: str):
     of an LLM training recipe. Stateless, no shuffle."""
     from ..stages.sampling import upsample_by_group
 
-    factors = {f"src{i}": 1 + (i % 3) for i in range(64)}
+    factors = {f"src{i}": 1 + (i % 3) for i in range(256)}
     return upsample_by_group(
         _docs(sf_dir, ["doc_id", "source", "n_chars"]),
         group_col="source", factors=factors,
@@ -3990,10 +3990,14 @@ def q_events_trigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
 
     def _tri(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        # (ts, event_id): identical timestamps need a deterministic
+        # tie-break or the trigram counts are order-dependent
+        # (r5 adversarial-gate finding, hot-user tie block)
+        g = g.sort_values(["ts", "event_id"])
         t = g["event_type"].to_numpy()
         if len(t) < 3:
             return pd.DataFrame({"ev1": [], "ev2": [], "ev3": [],

@@ -69,12 +69,25 @@ def dedup_exact(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 # ---------- minhash -------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingles → 64-bit hashes, fully vectorized."""
-    data = text.encode("utf-8")
-    if len(data) < k:
-        data = data + b"\x00" * (k - len(data))
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+def _shingle_hashes(text: str, k: int = 5,
+                    pad: bool = True) -> np.ndarray:
+    """Character k-shingles → 64-bit hashes, fully vectorized.
+
+    Shingles run over Unicode CODEPOINTS (utf-32 view) — exactly the
+    char-indexed ``substr`` k-grams the DuckDB mirrors enumerate, so
+    parity holds for all Unicode (r5 adversarial sweep; the former
+    utf-8-bytes form desynced jaccard values on NBSP text). With
+    ``pad`` (the estimate/exact-jaccard contract) sub-``k`` texts
+    zero-pad to one shingle; candidate GENERATION passes pad=False
+    and gives such docs a unique per-doc sentinel signature instead —
+    an empty document is not a near-dup candidate (matching the SQL
+    mirrors, which emit no substring rows for it)."""
+    arr = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(arr) < k:
+        if not pad:
+            return np.zeros(0, np.uint64)
+        arr = np.concatenate([arr, np.zeros(k - len(arr), np.uint64)])
     n = len(arr) - k + 1
     out = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -106,7 +119,18 @@ class MinHasher:
             hv = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return hv.min(axis=1)
 
-    def _signatures(self, texts: list) -> np.ndarray:
+    def _sentinel(self, ids: np.ndarray) -> np.ndarray:
+        """Unique per-doc signature for ZERO-shingle (sub-k) docs:
+        (a·id + b) mod M is injective in id for fixed a≠0, so two
+        empty docs never band-collide — an empty document is not a
+        near-dup candidate (SQL-mirror parity; r5 adversarial
+        sweep)."""
+        with np.errstate(over="ignore"):
+            return (np.outer(ids.astype(np.uint64), self.a)
+                    + self.b[None, :]) % _MERSENNE
+
+    def _signatures(self, texts: list,
+                    ids: np.ndarray | None = None) -> np.ndarray:
         """Whole-batch kernel: ONE (T, n_perm) universal-hash matrix
         over the batch's concatenated shingles + a C-level grouped min
         (pandas) per doc — the per-doc loop spent most of its time in
@@ -115,9 +139,15 @@ class MinHasher:
 
         n = len(texts)
         out = np.zeros((n, self.n_perm), dtype=np.uint64)
-        sh_per_doc = [_shingle_hashes(t, self.k) for t in texts]
+        sh_per_doc = [_shingle_hashes(t, self.k, pad=False)
+                      for t in texts]
         counts = np.fromiter((len(s) for s in sh_per_doc),
                              dtype=np.int64, count=n)
+        if ids is not None:
+            z = np.nonzero(counts == 0)[0]
+            if len(z):
+                out[z] = self._sentinel(
+                    np.asarray(ids, np.int64)[z])
         nz = np.nonzero(counts)[0]
         if len(nz) == 0:
             return out
@@ -141,7 +171,9 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = self._signatures(texts)
+        ids = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+               if "doc_id" in batch.column_names else None)
+        sigs = self._signatures(texts, ids)
         return batch.append_column(
             "minhash",
             pa.FixedSizeListArray.from_arrays(

@@ -418,13 +418,15 @@ def cdc_chunks(docs_ds, mod: int = 64, window: int = 8,
     makes chunk-level storage dedup work across near-identical crawl
     snapshots where fixed-size blocks would shift.
 
-    Average chunk ≈ ``mod`` bytes (no min/max clamps — those would
+    Average chunk ≈ ``mod`` chars (no min/max clamps — those would
     make boundaries history-dependent and unmirrorable in one SQL
-    window pass). Docs shorter than ``window`` bytes emit one whole
+    window pass). Docs shorter than ``window`` chars emit one whole
     chunk (no rolling hash is computed, matching the SQL mirror's
-    empty unnest — NOT textstats._rolling_hashes' NUL-pad rule, which
-    this op deliberately sidesteps). Shares the oracle's ASCII
-    bytes==chars contract documented at _rolling_hashes.
+    empty unnest — NOT textstats._rolling_hashes' zero-pad rule,
+    which this op deliberately sidesteps). Boundaries, lengths and
+    chunk identity are CHAR-indexed (codepoint rolling hash, md5 of
+    the char slice's utf-8) — exact parity with the char-indexed SQL
+    mirror for all Unicode (r5 adversarial sweep).
 
     Per-doc cost: one vectorized rolling hash + one md5 per ~mod-byte
     chunk (md5 chosen for DuckDB parity; the per-call overhead at
@@ -441,22 +443,23 @@ def cdc_chunks(docs_ds, mod: int = 64, window: int = 8,
         texts = pc.cast(t.column(text_col), pa.string()).to_pylist()
         out_g, out_ch, out_len = [], [], []
         for g, txt in zip(grps, texts):
-            b = txt.encode("utf-8")
-            if len(b) >= window:
-                h = _rolling_hashes(b, window)
+            if len(txt) >= window:
+                h = _rolling_hashes(txt, window)
                 cuts = (np.flatnonzero(h % np.uint64(mod) == 0)
                         + window).tolist()
             else:
                 cuts = []
             prev = 0
             for c in cuts:
-                out_ch.append(hashlib.md5(b[prev:c]).hexdigest())
+                out_ch.append(hashlib.md5(
+                    txt[prev:c].encode("utf-8")).hexdigest())
                 out_len.append(c - prev)
                 out_g.append(g)
                 prev = c
-            if prev < len(b):
-                out_ch.append(hashlib.md5(b[prev:]).hexdigest())
-                out_len.append(len(b) - prev)
+            if prev < len(txt):
+                out_ch.append(hashlib.md5(
+                    txt[prev:].encode("utf-8")).hexdigest())
+                out_len.append(len(txt) - prev)
                 out_g.append(g)
         return pa.table({
             group_col: pa.array(out_g, pa.string()),

@@ -17,6 +17,17 @@ import pyarrow as pa
 
 from ._pool import autoscale_actors
 
+# Tokenization contract for every oracle-mirrored kernel: RE2-ASCII
+# whitespace ([\t\n\f\r ]), exactly what the DuckDB mirrors'
+# string_split_regex(text, '\s+') computes. Python str.split() is
+# Unicode-aware and silently disagrees on NBSP/thin-space text
+# (r5 adversarial-gate finding) — never use it in a mirrored kernel.
+_ASCII_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def _ascii_tokens(text: str) -> list:
+    return [x for x in _ASCII_WS.split(text) if x]
+
 # BPE-ish tokenizer: word pieces or single non-space punctuation — the
 # classic GPT-2-style pre-tokenization shape (public regex family).
 _BPE_ISH = r"\w+|[^\w\s]"
@@ -137,22 +148,25 @@ class LangId:
         ).append_column("lang_score", pa.array(scores, pa.float64()))
 
 
-def _rolling_hashes(data: bytes, window: int = 8) -> np.ndarray:
-    """Vectorized Rabin-Karp rolling hash over a byte string.
+def _rolling_hashes(text: str, window: int = 8) -> np.ndarray:
+    """Vectorized Rabin-Karp rolling hash over a string's CODEPOINTS.
 
     Oracle contract (shared by every caller whose DuckDB mirror
     reproduces these hashes — Fingerprinter, WinnowSelector,
-    winnow_pairs, novelty_table): inputs shorter than ``window`` are
-    NUL-padded to exactly one hash (the SQL mirrors, which unnest
-    ``range(1, length(text) - window + 2)``, emit NO row for them),
-    and the mirrors index by ``length(text)`` CHARACTERS while this
-    side hashes utf-8 BYTES. Parity therefore assumes an ASCII corpus
-    with docs ≥ ``window`` chars — true of the synthetic tables by
-    construction; non-ASCII or sub-window docs desync the oracle, not
-    the operator."""
-    if len(data) < window:
-        data = data + b"\x00" * (window - len(data))
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    winnow_pairs, novelty_table, cdc_chunks): the hash runs over
+    Unicode codepoints (utf-32 view), exactly what the SQL mirrors
+    compute with char-indexed ``substr`` + ``ascii()`` — parity is
+    EXACT for all Unicode, not just ASCII (r5 adversarial sweep
+    replaced the former utf-8-bytes contract, which desynced on any
+    multibyte char). Inputs shorter than ``window`` are zero-padded
+    to exactly one hash; the mirrors emit that row via
+    ``range(1, greatest(length(text) - window + 2, 2))`` — ascii('')
+    = 0 in DuckDB, so positions past the end zero-pad identically."""
+    arr = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(arr) < window:
+        arr = np.concatenate(
+            [arr, np.zeros(window - len(arr), np.uint64)])
     base = np.uint64(1000003)
     # powers base^(window-1-j)
     powers = np.array(
@@ -180,7 +194,7 @@ class Fingerprinter:
         texts = batch.column("text").to_pylist()
         fps: List[List[int]] = []
         for t in texts:
-            h = _rolling_hashes(t.encode("utf-8"), self.window)
+            h = _rolling_hashes(t, self.window)
             k = min(self.k, len(h))
             mins = np.partition(h, k - 1)[:k] if len(h) > k else np.sort(h)
             fps.append(sorted(int(x) for x in mins))
@@ -1130,7 +1144,7 @@ def bigram_topk(docs_ds, k: int = 20, text_col: str = "text"):
 
         counts: "collections.Counter" = collections.Counter()
         for text in t.column(text_col).to_pylist():
-            toks = text.split()
+            toks = _ascii_tokens(text)
             for a, b in zip(toks, toks[1:]):
                 counts[a + " " + b] += 1
         return pa.table({
@@ -1187,7 +1201,7 @@ def bigram_rarity(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         out_ids: List[int] = []
         out_bg: List[str] = []
         for d, txt in zip(ids, texts):
-            toks = txt.split()
+            toks = _ascii_tokens(txt)
             if len(toks) < 2:
                 continue
             out_ids.extend([d] * (len(toks) - 1))

@@ -167,7 +167,7 @@ class WinnowSelector:
         texts = batch.column("text").to_pylist()
         n_fp, fp_xor, fp_min, fp_max = [], [], [], []
         for t in texts:
-            h = _rolling_hashes(t.encode("utf-8"), self.hw)
+            h = _rolling_hashes(t, self.hw)
             sel = _window_min_values(h, self.sw)
             n_fp.append(len(sel))
             fp_xor.append(int(np.bitwise_xor.reduce(sel)) if len(sel)
@@ -235,7 +235,7 @@ def winnow_pairs(docs_ds, min_shared: int = 2, hash_window: int = 8,
         fp_out, id_out = [], []
         for i, txt in enumerate(t.column("text").to_pylist()):
             sel = _window_min_values(
-                _rolling_hashes(txt.encode("utf-8"), hash_window),
+                _rolling_hashes(txt, hash_window),
                 sel_window)
             fp_out.append(sel)
             id_out.append(np.full(len(sel), ids[i], np.int64))
@@ -337,8 +337,7 @@ def novelty_table(docs_ds, hash_window: int = 8):
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         hvs, out_ids = [], []
         for i, txt in enumerate(t.column("text").to_pylist()):
-            u = np.unique(_rolling_hashes(txt.encode("utf-8"),
-                                          hash_window))
+            u = np.unique(_rolling_hashes(txt, hash_window))
             hvs.append(u)
             out_ids.append(np.full(len(u), ids[i], np.int64))
         return pa.table({
@@ -545,7 +544,7 @@ def source_contamination(docs_ds, hash_window: int = 8,
         fp_out, src_out = [], []
         for src, txt in zip(srcs, t.column("text").to_pylist()):
             sel = np.unique(_window_min_values(
-                _rolling_hashes(txt.encode("utf-8"), hash_window),
+                _rolling_hashes(txt, hash_window),
                 sel_window))
             fp_out.append(sel)
             src_out.extend([src] * len(sel))
