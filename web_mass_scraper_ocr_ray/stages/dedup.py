@@ -82,8 +82,12 @@ def _shingle_hashes(text: str, k: int = 5,
     and gives such docs a unique per-doc sentinel signature instead —
     an empty document is not a near-dup candidate (matching the SQL
     mirrors, which emit no substring rows for it)."""
-    arr = np.frombuffer(
-        text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if text.isascii():
+        # ASCII codepoints == bytes: skip the 4x-wider utf-32 encode
+        arr = np.frombuffer(text.encode(), np.uint8).astype(np.uint64)
+    else:
+        arr = np.frombuffer(
+            text.encode("utf-32-le"), np.uint32).astype(np.uint64)
     if len(arr) < k:
         if not pad:
             return np.zeros(0, np.uint64)

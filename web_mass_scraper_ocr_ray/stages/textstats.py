@@ -162,8 +162,12 @@ def _rolling_hashes(text: str, window: int = 8) -> np.ndarray:
     to exactly one hash; the mirrors emit that row via
     ``range(1, greatest(length(text) - window + 2, 2))`` — ascii('')
     = 0 in DuckDB, so positions past the end zero-pad identically."""
-    arr = np.frombuffer(
-        text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if text.isascii():
+        # ASCII codepoints == bytes: skip the 4x-wider utf-32 encode
+        arr = np.frombuffer(text.encode(), np.uint8).astype(np.uint64)
+    else:
+        arr = np.frombuffer(
+            text.encode("utf-32-le"), np.uint32).astype(np.uint64)
     if len(arr) < window:
         arr = np.concatenate(
             [arr, np.zeros(window - len(arr), np.uint64)])
