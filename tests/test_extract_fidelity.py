@@ -156,17 +156,28 @@ continue</noscript>
         "Dashboard summary.",
     ),
     (
-        "unsupported_pseudo_under_hides",
-        # :not() is outside the supported subset → rule skipped → the
-        # banner STAYS (under-hiding; a browser would hide it). The
-        # rendered oracle here is the browser's view, so this fixture is
-        # expected to diverge EVEN WITH the resolver; it pins the
-        # documented residual gap.
+        "not_selector_hides",
+        # :not() joined the supported subset in r5 — the undismissed
+        # banner is hidden exactly as a browser renders it, while a
+        # .banner.dismissed element would NOT match the rule.
         b"""<html><head><link rel="stylesheet" href="p.css"></head><body>
 <div class="banner">Subscribe to our newsletter</div>
+<div class="banner dismissed">Old banner kept visible</div>
 <p>Article body.</p>
 </body></html>""",
         {"p.css": ".banner:not(.dismissed){display:none}"},
+        "Old banner kept visible Article body.",
+    ),
+    (
+        "attr_selector_under_hides",
+        # attribute selectors stay outside the supported subset →
+        # rule skipped → the promo STAYS (under-hiding; a browser
+        # would hide it). Pins the documented residual gap.
+        b"""<html><head><link rel="stylesheet" href="q.css"></head><body>
+<div class="promo" data-variant="b">Limited offer</div>
+<p>Article body.</p>
+</body></html>""",
+        {"q.css": '.promo[data-variant="b"]{display:none}'},
         "Article body.",
     ),
 ]
@@ -176,10 +187,10 @@ continue</noscript>
 _NEEDS_CSS = {
     "cookie_banner_external", "gdpr_modal_by_id", "responsive_mobile_menu",
     "compound_promo", "descendant_footer_legal",
-    "visibility_hidden_placeholder",
+    "visibility_hidden_placeholder", "not_selector_hides",
 }
 # documented residual gap even with assets: unsupported selector syntax
-_RESIDUAL = {"unsupported_pseudo_under_hides"}
+_RESIDUAL = {"attr_selector_under_hides"}
 
 
 def _tokens_subsequence(needle: str, haystack: str) -> bool:

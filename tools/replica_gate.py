@@ -27,7 +27,16 @@ def _to_pandas(result):
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.shape[1] == 0:
+            # an all-empty Dataset loses its column schema through
+            # to_pandas; rebuild it so a legitimately-empty result
+            # (e.g. a graph delta with no changes) compares by schema
+            sch = result.schema(fetch_if_missing=True)
+            if sch is not None:
+                df = pd.DataFrame(
+                    {n: pd.Series(dtype="object") for n in sch.names})
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
@@ -80,12 +89,18 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
+    import os
+
     con = duckdb.connect()
     # bound the oracle side: a pair-quadratic SQL mirror on a
-    # degenerate corpus must error, not fill the device with spill
+    # degenerate corpus must error, not fill the device with spill.
+    # Raise via env for deliberately-heavy runs (the sf0.1 dedup
+    # oracles need ~40 GB of spill).
     con.sql("SET temp_directory='/tmp/duckdb_gate_tmp'")
-    con.sql("SET max_temp_directory_size='20GB'")
-    con.sql("SET memory_limit='24GB'")
+    con.sql("SET max_temp_directory_size='%s'"
+            % os.environ.get("GATE_TEMP_BUDGET", "20GB"))
+    con.sql("SET memory_limit='%s'"
+            % os.environ.get("GATE_MEM_BUDGET", "24GB"))
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{args.sf}/{t}.parquet')")

@@ -102,10 +102,14 @@ _STYLE_BLOCK_RE = _re.compile(r"<\s*style\b[^>]*>(.*?)</\s*style\s*>",
                               _re.I | _re.S)
 _CSS_COMMENT_RE = _re.compile(r"/\*.*?\*/", _re.S)
 _CSS_RULE_RE = _re.compile(r"([^{}]+)\{([^{}]*)\}", _re.S)
-# one compound: optional type, then any mix of .class / #id tokens
+# one compound: optional type, then any mix of .class / #id / :not()
+# tokens (the :not argument is a selector list of plain compounds —
+# selectors-4 semantics: the element must match NONE of them)
 _COMPOUND_RE = _re.compile(
-    r"\A([A-Za-z][\w-]*)?((?:[.#][A-Za-z_-][\w-]*)*)\Z")
-_SIMPLE_TOKEN_RE = _re.compile(r"([.#])([A-Za-z_-][\w-]*)")
+    r"\A([A-Za-z][\w-]*)?((?:[.#][A-Za-z_-][\w-]*|:not\([^()]*\))*)\Z",
+    _re.I)
+_SIMPLE_TOKEN_RE = _re.compile(
+    r"([.#])([A-Za-z_-][\w-]*)|:not\(([^()]*)\)", _re.I)
 # <link …> pre-scan for external stylesheets (resolver-gated)
 _LINK_TAG_RE = _re.compile(r"<\s*link\b([^>]*)>", _re.I | _re.S)
 _REL_ATTR_RE = _re.compile(
@@ -114,32 +118,57 @@ _HREF_ATTR_RE = _re.compile(
     r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"'=]+))""", _re.I)
 
 
-def _parse_compound(part: str):
-    """'div.a.b#x' → (tag|None, frozenset classes, id|None); None if the
-    compound uses unsupported syntax."""
+def _parse_compound(part: str, allow_not: bool = True):
+    """'div.a.b#x:not(.c)' → (tag|None, frozenset classes, id|None,
+    nots tuple); None if the compound uses unsupported syntax. Each
+    ``nots`` entry is itself a (tag, classes, id, ()) compound the
+    element must NOT match (selectors-4 ``:not()`` with a plain
+    compound list; nested :not stays unsupported → rule skipped →
+    conservative under-hiding)."""
     m = _COMPOUND_RE.match(part)
     if not m or (not m.group(1) and not m.group(2)):
         return None
     tag = m.group(1).lower() if m.group(1) else None
     classes = set()
     eid = None
-    for kind, name in _SIMPLE_TOKEN_RE.findall(m.group(2) or ""):
+    nots = []
+    for kind, name, notarg in _SIMPLE_TOKEN_RE.findall(m.group(2) or ""):
         if kind == ".":
             classes.add(name)
-        elif eid is None:
+        elif kind == "#":
+            if eid is not None:
+                return None  # two #ids can never match
             eid = name
         else:
-            return None  # two #ids can never match
-    return (tag, frozenset(classes), eid)
+            if not allow_not:
+                return None
+            for piece in notarg.split(","):
+                piece = piece.strip()
+                if not piece:
+                    return None
+                inner = _parse_compound(piece, allow_not=False)
+                if inner is None:
+                    return None
+                nots.append(inner)
+    if tag is None and not classes and eid is None:
+        # a bare ':not(...)' subject has no dispatch anchor — skip
+        # the rule (under-hiding, never over-hiding)
+        return None
+    return (tag, frozenset(classes), eid, tuple(nots))
 
 
 def _compound_matches(comp, tag, classes, eid) -> bool:
-    ctag, ccls, cid = comp
+    ctag, ccls, cid, cnots = comp
     if ctag is not None and ctag != tag:
         return False
     if cid is not None and cid != eid:
         return False
-    return not ccls or ccls.issubset(classes)
+    if ccls and not ccls.issubset(classes):
+        return False
+    for nc in cnots:
+        if _compound_matches(nc, tag, classes, eid):
+            return False
+    return True
 
 
 class HiddenRules:
@@ -158,7 +187,7 @@ class HiddenRules:
         self._by_tag: dict = {}
         simple: set = set()
         for chain in chains:
-            stag, scls, sid = chain[-1]
+            stag, scls, sid = chain[-1][:3]
             if sid is not None:
                 self._by_id.setdefault(sid, []).append(chain)
             elif scls:
