@@ -624,6 +624,25 @@ SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
 GROUP BY label, pos
 """,
+        # REAL-pixel OCR through the production OCRStage pool: the
+        # mirror rebuilds the per-page rollup (texts joined with blank
+        # lines, counts over all images incl. the broken payload) from
+        # the synthesis contract
+        "ocr_glyph_pipeline": """
+SELECT doc_id,
+  CAST(1 + doc_id % 2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+       AS BIGINT) AS ocr_attempts,
+  CAST(1 + doc_id % 2 AS BIGINT) AS ocr_successes,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS ocr_error_unsupported_format_count,
+  CASE WHEN doc_id % 2 = 1
+       THEN 'PG ' || doc_id || ' IMG 0' || chr(10) || chr(10)
+            || 'PG ' || doc_id || ' IMG 1'
+       ELSE 'PG ' || doc_id || ' IMG 0' END AS total_ocr_text,
+  CAST((1 + doc_id % 2) * (9 + length(CAST(doc_id AS VARCHAR)))
+       AS BIGINT) AS total_ocr_text_length
+FROM documents
+""",
         # REAL-pixel OCR gate: the Ray side rasterizes 'ID <id> <LANG>'
         # into an actual BMP and the glyph engine recovers the text
         # from pixels alone; the mirror recomputes the expected string

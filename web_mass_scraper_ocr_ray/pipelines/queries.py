@@ -334,6 +334,74 @@ def q_ocr_rollup(sf_dir: str):
     return ds.map_batches(_flatten, batch_format="pyarrow")
 
 
+def q_ocr_glyph_pipeline(sf_dir: str):
+    """REAL-pixel OCR through the PRODUCTION page chain (upgrades the
+    S10/T2/A1 story from stub payloads to actual pixels): per document
+    a page row carries 1 + doc_id%2 inline ``data:image/bmp`` images —
+    each a rasterized ``'PG <doc_id> IMG <k>'`` line at a per-image
+    scale — PLUS one deliberately-broken payload every 3rd doc; the
+    batch flows through the REAL ``OCRStage`` actor pool with the
+    glyph engine (templates pinned per actor) and the reference rollup
+    (functions/metadata.create_ocr_metadata, utils.py:277-319: texts
+    joined with blank lines, counts summed over all images). The
+    oracle rebuilds the exact rollup from the synthesis contract, so a
+    hash match proves the pool read pixels, recovered the right text
+    per image, routed the broken payload to error_unsupported_format,
+    and rolled up with reference semantics."""
+    import base64
+
+    from ..ocr.glyphs import render_text_bmp
+    from ..stages.ocr_stage import OCRStage
+
+    def _pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls, imgs = [], []
+        for d in ids:
+            urls.append(f"https://ocr{d}.example.com/")
+            refs = []
+            for k in range(1 + d % 2):
+                b64 = base64.b64encode(render_text_bmp(
+                    f"PG {d} IMG {k}", scale=1 + (d + k) % 2)).decode()
+                refs.append({"payload_kind": "data", "src": f"im{k}",
+                             "image_url":
+                             f"data:image/bmp;base64,{b64}"})
+            if d % 3 == 0:
+                refs.append({"payload_kind": "data", "src": "bad",
+                             "image_url":
+                             "data:image/bmp;base64,AAAA"})
+            imgs.append(refs)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+            "images": pa.array(imgs),
+        })
+
+    out = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_pages, batch_format="pyarrow")
+        .map_batches(OCRStage, fn_constructor_kwargs={"engine": "glyph"},
+                     concurrency=2, batch_size=256,
+                     batch_format="pyarrow")
+    )
+
+    def _flatten(t: pa.Table) -> pa.Table:
+        rollups = t.column("ocr").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "ocr_attempts": t.column("ocr_attempts"),
+            "ocr_successes": t.column("ocr_successes"),
+            "ocr_error_unsupported_format_count":
+                t.column("ocr_error_unsupported_format_count"),
+            "total_ocr_text": pa.array(
+                [r["total_ocr_text"] for r in rollups], pa.string()),
+            "total_ocr_text_length": pa.array(
+                [r["total_ocr_text_length"] for r in rollups],
+                pa.int64()),
+        })
+
+    return out.map_batches(_flatten, batch_format="pyarrow")
+
+
 def q_company_join(sf_dir: str):
     """J1 broadcast small-side lookup join: doc → customer name.
     Key = doc_id % |customer| + min(c_custkey); the dimension table is
@@ -6367,6 +6435,7 @@ QUERIES: Dict[str, callable] = {
     "image_dedup_phash": q_image_dedup_phash,
     "image_phash_dct": q_image_phash_dct,
     "ocr_glyph_roundtrip": q_ocr_glyph_roundtrip,
+    "ocr_glyph_pipeline": q_ocr_glyph_pipeline,
     "embedding_centroids": q_embedding_centroids,
     "events_tumbling": q_events_tumbling,
     "events_hourly_distinct": q_events_hourly_distinct,
