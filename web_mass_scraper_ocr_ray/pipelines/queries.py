@@ -4050,36 +4050,17 @@ def q_events_mad_outliers(sf_dir: str):
 
 def q_events_trigrams(sf_dir: str):
     """Sequence mining one step past the transition matrix: per-user
-    consecutive event-type TRIGRAMS, counted corpus-wide. One
-    groupby(user) to order each sequence in-worker; trigram partials
-    pre-aggregate before the tiny final groupby."""
-    import pandas as pd
+    consecutive event-type TRIGRAMS, counted corpus-wide — the n=3
+    instance of stages/sequences.event_ngrams (hash-bucketed,
+    skew-proof, deterministic (ts, event_id) tie-break)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.sequences import event_ngrams
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id",
                                   "event_type"])
-
-    def _tri(g: pd.DataFrame) -> pd.DataFrame:
-        # (ts, event_id): identical timestamps need a deterministic
-        # tie-break or the trigram counts are order-dependent
-        # (r5 adversarial-gate finding, hot-user tie block)
-        g = g.sort_values(["ts", "event_id"])
-        t = g["event_type"].to_numpy()
-        if len(t) < 3:
-            return pd.DataFrame({"ev1": [], "ev2": [], "ev3": [],
-                                 "n": []}).astype(
-                {"ev1": str, "ev2": str, "ev3": str, "n": "int64"})
-        df = pd.DataFrame({"ev1": t[:-2], "ev2": t[1:-1], "ev3": t[2:]})
-        out = df.groupby(["ev1", "ev2", "ev3"]).size().reset_index(
-            name="n")
-        out["n"] = out["n"].astype("int64")
-        return out
-
-    return ev.groupby("user_id").map_groups(
-        _tri, batch_format="pandas"
-    ).groupby(["ev1", "ev2", "ev3"]).aggregate(Sum("n", alias_name="n"))
+    return event_ngrams(ev, 3)
 
 
 def q_doc_profile(sf_dir: str):

@@ -28,29 +28,63 @@ import pyarrow as pa
 from .shuffle import two_phase_aggregate
 
 
+def event_ngrams(ev_ds, n: int, user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts",
+                 tiebreak_col: str = "event_id", n_buckets: int = 64,
+                 out_cols: tuple | None = None):
+    """Per-user consecutive event-type n-grams counted corpus-wide →
+    ``(ev1..evn, n)`` — the skew-proof hash-bucketed shape (§10.4):
+    one (user, ts, tiebreak) sort per bucket, windows via shifted
+    slices (user sorted ⟹ equal endpoints ⟹ one run), in-bucket
+    pandas combine, then the tiny keyed aggregate. Replaces the
+    per-user ``groupby(user).map_groups`` form, which pays one Python
+    call per user and dies at 10⁹ users. The (ts, tiebreak) sort key
+    makes identical-timestamp bursts deterministic (r5
+    adversarial-gate tie-break contract)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import bucketed_map_groups
+
+    cols = list(out_cols or (f"ev{i + 1}" for i in range(n)))
+    out_schema = pa.schema(
+        [(c, pa.string()) for c in cols] + [("n", pa.int64())])
+    _empty = pa.table({**{c: pa.array([], pa.string()) for c in cols},
+                       "n": pa.array([], pa.int64())})
+
+    def _grams(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            (user_col, "ascending"), (ts_col, "ascending"),
+            (tiebreak_col, "ascending")])
+        s = g.take(idx).combine_chunks()
+        uid = s.column(user_col).to_numpy(zero_copy_only=False)
+        typ = np.asarray(s.column(type_col).to_pylist(), object)
+        m = len(uid)
+        if m < n:
+            return _empty
+        keep = np.flatnonzero(uid[n - 1:] == uid[:m - n + 1])
+        if len(keep) == 0:
+            return _empty
+        df = pd.DataFrame({cols[i]: typ[keep + i] for i in range(n)})
+        out = df.groupby(cols, sort=False).size().astype(
+            "int64").reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    grams = bucketed_map_groups(
+        ev_ds.select_columns(
+            [user_col, ts_col, tiebreak_col, type_col]),
+        user_col, _grams, n_buckets=n_buckets, out_schema=out_schema)
+    return two_phase_aggregate(grams, tuple(cols), {"n": ("n", "sum")})
+
+
 def event_transitions(ev_ds, user_col: str = "user_id",
                       type_col: str = "event_type",
                       ts_col: str = "ts", tiebreak_col: str = "event_id"):
     """→ ``(ev_from, ev_to, n, p_bp)``: count and within-from share
-    (basis points) of each consecutive event-type transition."""
-
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tiebreak_col], kind="stable")
-        a = g[type_col].to_numpy()
-        if len(a) < 2:
-            return pd.DataFrame({
-                "ev_from": pd.Series([], dtype=object),
-                "ev_to": pd.Series([], dtype=object),
-                "n": pd.Series([], dtype="int64"),
-            })
-        out = pd.DataFrame({"ev_from": a[:-1], "ev_to": a[1:]})
-        return (out.groupby(["ev_from", "ev_to"], sort=False)
-                .size().astype("int64").reset_index(name="n"))
-
-    per_user = ev_ds.groupby(user_col).map_groups(
-        _pairs, batch_format="pandas")
-    counts = two_phase_aggregate(
-        per_user, ("ev_from", "ev_to"), {"n": ("n", "sum")})
+    (basis points) of each consecutive event-type transition — the
+    n=2 instance of :func:`event_ngrams`, plus a tiny per-from
+    normalization (|event types| groups)."""
+    counts = event_ngrams(ev_ds, 2, user_col, type_col, ts_col,
+                          tiebreak_col, out_cols=("ev_from", "ev_to"))
 
     def _norm(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
