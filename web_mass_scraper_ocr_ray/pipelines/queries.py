@@ -752,6 +752,16 @@ def q_dedup_minhash(sf_dir: str):
     )
     found = cands.map_batches(_found, batch_format="pyarrow")
 
+    # direct pair hits first: on healthy corpora the claim already
+    # clears the bar here and the connectivity completion below never
+    # runs (it would add label-propagation rounds to every run)
+    n_truth, _, n_hit = _overlap_counts(truth, found, ("doc_id",))
+    if 100 * n_hit >= 95 * n_truth:
+        return _claim_row(
+            n_truth_pairs=int(n_truth),
+            candidates_recall_ge_95pct=True,
+        )
+
     # cap-aware completion (r5 adversarial sweep): in a degenerate
     # bucket (one text repeated ≫ PAIR_RUN_CAP times) the pair cap
     # preserves CONNECTIVITY, not pair-completeness — the documented
@@ -1039,22 +1049,40 @@ def q_dedup_simhash(sf_dir: str):
     n_exact = int(part.sum("p") or 0)
     n_giant_groups = int(part.sum("ng") or 0)
 
-    # per-doc fused "hash:groupsize" value → ONE attach carries both
-    # the match key and the smallness flag to each pair side
-    from ..stages.joins import equi_join
+    if n_giant_groups == 0:
+        # healthy corpus (every group below the cap): the smallness
+        # flag is vacuous — attach the bare text hash and skip the
+        # group-size join and the connectivity machinery entirely
+        def _as_hn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "hn": pc.cast(t.column("text_hash"), pa.string()),
+            })
 
-    with_n = equi_join(hashed, sizes, "text_hash", "text_hash", ["n"])
+        att = dd.attach_pair_column(
+            found, hashed.map_batches(_as_hn, batch_format="pyarrow"),
+            "hn")
+    else:
+        # per-doc fused "hash:groupsize" value → ONE attach carries
+        # both the match key and the smallness flag to each pair side
+        from ..stages.joins import equi_join
 
-    def _fuse(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "hn": pc.binary_join_element_wise(
-                pc.cast(t.column("text_hash"), pa.string()),
-                pc.cast(t.column("n"), pa.string()), ":"),
-        })
+        with_n = equi_join(hashed, sizes, "text_hash", "text_hash",
+                           ["n"])
 
-    att = dd.attach_pair_column(
-        found, with_n.map_batches(_fuse, batch_format="pyarrow"), "hn")
+        def _fuse(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "hn": pc.binary_join_element_wise(
+                    pc.cast(t.column("text_hash"), pa.string()),
+                    pc.cast(t.column("n"), pa.string()), ":"),
+            })
+
+        att = dd.attach_pair_column(
+            found, with_n.map_batches(_fuse, batch_format="pyarrow"),
+            "hn")
+
+    parse_size = n_giant_groups > 0
 
     def _same_hash_small(g: pa.Table) -> pa.Table:
         import numpy as np
@@ -1073,7 +1101,8 @@ def q_dedup_simhash(sf_dir: str):
             & (a[:-1] == a[1:]) & (b[:-1] == b[1:]))
         m = sum(1 for i in both
                 if h[i] == h[i + 1]
-                and int(h[i].rsplit(":", 1)[1]) < cap)
+                and (not parse_size
+                     or int(h[i].rsplit(":", 1)[1]) < cap))
         return pa.table({"m": pa.array([int(m)], pa.int64())})
 
     agg2 = att.groupby("coarse").map_groups(
